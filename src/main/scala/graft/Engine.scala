@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table registry for the graft engine.
+  *
+  * Mirrors the reference engine's session defaults (GlareDB
+  * `crates/glaredb_core/src/config/session.rs:32` — partitions = cores) with
+  * Spark-native equivalents: AQE on, shuffle partitions sized to local cores
+  * (not the 200 default), UTC session time zone for oracle parity.
+  */
+object Engine {
+
+  /** Default parallelism — matches the driver contract (local[32]). */
+  def defaultCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def session(cpus: Int = defaultCpus, appName: String = "graft"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+    configure(b, cpus).getOrCreate()
+  }
+
+  /** Apply graft's standard configs to any builder (shared by Bench/Verify). */
+  def configure(b: SparkSession.Builder, cpus: Int = defaultCpus): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+      // reader surfaces as long nanos with this flag (we expose it as ts
+      // BIGINT nanos; the DuckDB oracle uses epoch_ns(ts) to agree).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver-fixtures are small files; keep splits reasonable locally
+      .config("spark.sql.files.maxPartitionBytes", "128m")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings")
+
+  /** Read one driver fixture table and register it as a temp view. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Register every fixture table as a temp view (for spark.sql queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach(table(spark, dir, _))
+}
