@@ -17,10 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Windows.queries ++
-      graft.queries.Aggregates.queries
+      graft.queries.Aggregates.queries ++
+      graft.queries.Funcs.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Windows.oracles ++
-      graft.queries.Aggregates.oracles
+      graft.queries.Aggregates.oracles ++
+      graft.queries.Funcs.oracles
 }
