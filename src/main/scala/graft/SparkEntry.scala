@@ -18,11 +18,23 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Windows.queries ++
       graft.queries.Aggregates.queries ++
-      graft.queries.Funcs.queries
+      graft.queries.Funcs.queries ++
+      graft.operators.TextOps.queries ++
+      graft.operators.Dedup.queries ++
+      graft.operators.Similarity.queries ++
+      graft.operators.Events.queries ++
+      graft.sources.Sources.queries ++
+      graft.streaming.Streaming.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Windows.oracles ++
       graft.queries.Aggregates.oracles ++
-      graft.queries.Funcs.oracles
+      graft.queries.Funcs.oracles ++
+      graft.operators.TextOps.oracles ++
+      graft.operators.Dedup.oracles ++
+      graft.operators.Similarity.oracles ++
+      graft.operators.Events.oracles ++
+      graft.sources.Sources.oracles ++
+      graft.streaming.Streaming.oracles
 }

@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * The reference exposes `l2_distance` as a scalar function
+  * (`crates/glaredb_core/src/functions/scalar/builtin/similarity/l2_distance.rs:25`);
+  * we add cosine/dot as well since the ANN operators need them. These are
+  * full codegen expressions (not UDFs): the generated Java loops directly
+  * over the unsafe float array data with zero boxing, and stays inside
+  * whole-stage codegen — the brute-force KNN inner loop compiles into the
+  * same function as the surrounding join.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  protected def compute(a: ArrayData, b: ArrayData): Double
+  /** Java loop body: given array vars `a`,`b` and int `n`, set `result`. */
+  protected def genLoop(a: String, b: String, n: String, result: String): String
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${genLoop(a, b, n, ev.value)}
+       """.stripMargin
+    })
+}
+
+/** cosine_sim(a, b) — cosine similarity of two float vectors, in double. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "cosine_sim"
+
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
+  }
+
+  override protected def genLoop(a: String, b: String, n: String, result: String): String =
+    s"""
+       |double dot = 0.0, na = 0.0, nb = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  double x = $a.getFloat(i); double y = $b.getFloat(i);
+       |  dot += x * y; na += x * x; nb += y * y;
+       |}
+       |$result = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb) + 1e-12);
+     """.stripMargin
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** dot_product(a, b) — inner product of two float vectors, in double. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "dot_product"
+
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def genLoop(a: String, b: String, n: String, result: String): String =
+    s"""
+       |double dot = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  dot += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+       |}
+       |$result = dot;
+     """.stripMargin
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** l2_distance(a, b) — Euclidean distance of two float vectors, in double.
+  * Matches the reference's l2_distance contract (l2_distance.rs:25). */
+case class L2Distance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "l2_distance"
+
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def genLoop(a: String, b: String, n: String, result: String): String =
+    s"""
+       |double acc = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  double d = ((double) $a.getFloat(i)) - ((double) $b.getFloat(i));
+       |  acc += d * d;
+       |}
+       |$result = java.lang.Math.sqrt(acc);
+     """.stripMargin
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** simhash64(tokens) — 64-bit SimHash of an array of string tokens.
+  *
+  * Each token is hashed with FNV-1a 64 (public-domain construction); each of
+  * the 64 output bits is the sign of the +/-1 vote sum across token hashes.
+  * Near-duplicate documents land within a small Hamming distance, which the
+  * dedup operator exploits by banding the 64 bits into 16-bit keys.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  private def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = fnv1a64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SQL registration so queries can use these via `expr("cosine_sim(a,b)")`. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_distance",
+      es => L2Distance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "built-in")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.QueryDsl._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream batch operators over `events` (ts = BIGINT nanos; the
+  * session reads TIMESTAMP(NANOS) parquet as longs — see Engine).
+  *
+  * All time arithmetic is integer nanosecond math: exact, portable (the
+  * DuckDB oracle uses epoch_ns), and immune to double precision loss at
+  * 1.7e18 magnitudes. Sessionization is the standard lag-gap-flag +
+  * running-sum pattern: one shuffle on user_id, then two ordered window
+  * passes within each partition.
+  */
+object Events {
+
+  private val GapUs = 30L * 60 * 1000 * 1000 // 30 min session gap (microseconds)
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+
+  val queries: Map[String, Q] = Map(
+    "e01_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val sessions = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > GapUs, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("t_start"),
+          max(col("ts_us")).as("t_end"),
+          sumd(dmoney(col("value"))).as("total_value"))
+        .withColumn("session_id", col("session_id").cast(IntegerType))
+        .orderBy("user_id", "session_id")
+    },
+
+    "e02_tumbling_hour" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(expr(s"ts DIV $HourNs").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sumd(dmoney(col("value"))).as("total_value"))
+        .orderBy("hour_bucket", "event_type")
+    },
+
+    "e03_funnel" -> { (s, dir) =>
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", expr("ts DIV 1000"))).as("signup_ts"),
+          min(when(col("event_type") === "purchase", expr("ts DIV 1000"))).as("purchase_ts"),
+          count(lit(1)).as("n_events"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        count(col("signup_ts")).as("n_signup"),
+        count(when(col("purchase_ts") > col("signup_ts"), 1)).as("n_converted"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "e01_sessionize" -> s"""
+      WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tsn, value,
+          CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL
+                 OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > $GapUs
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      sessions AS (
+        SELECT user_id, value, tsn,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(session_id AS INT) AS session_id,
+        COUNT(*) AS n_events,
+        CAST(MIN(tsn) AS BIGINT) AS t_start,
+        CAST(MAX(tsn) AS BIGINT) AS t_end,
+        ${sql.sumd(sql.dmoney("value"))} AS total_value
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+
+    "e02_tumbling_hour" -> s"""
+      SELECT epoch_ns(ts) // $HourNs AS hour_bucket, event_type,
+        COUNT(*) AS n,
+        ${sql.sumd(sql.dmoney("value"))} AS total_value
+      FROM events
+      GROUP BY hour_bucket, event_type
+      ORDER BY hour_bucket, event_type""",
+
+    "e03_funnel" -> """
+      WITH per_user AS (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS signup_ts,
+          MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS purchase_ts
+        FROM events GROUP BY user_id)
+      SELECT COUNT(*) AS n_users,
+        COUNT(signup_ts) AS n_signup,
+        COUNT(CASE WHEN purchase_ts > signup_ts THEN 1 END) AS n_converted
+      FROM per_user""")
+}

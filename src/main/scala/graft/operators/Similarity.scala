@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.QueryDsl._
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity-search operators over the `embeddings` table
+  * (ArrayType(FloatType), 64 dims).
+  *
+  * Scale design:
+  *  - Brute-force KNN broadcasts the (small) probe set and streams the full
+  *    corpus once — O(corpus x probes) with no corpus shuffle; the cosine
+  *    kernel is a native codegen expression (graft.functions).
+  *  - The ANN path buckets vectors by deterministic random-hyperplane signs
+  *    (LSH); probes only search their own bucket: the join is an equi-join
+  *    on bucket id, which shuffle-partitions cleanly at any corpus size.
+  */
+object Similarity {
+
+  /** Deterministic hyperplanes: dim-d weight of plane p is derived from a
+    * seeded xorshift — literal arrays, identical on every executor. */
+  private def plane(p: Int, dims: Int): Array[Double] = {
+    val rnd = new scala.util.Random(42L + p)
+    Array.fill(dims)(rnd.nextDouble() * 2 - 1)
+  }
+
+  private def projection(vec: Column, p: Int): Column = {
+    val w = lit(plane(p, 64))
+    aggregate(zip_with(vec, w, (x, y) => x.cast(DoubleType) * y),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** 4-bit LSH bucket id from hyperplane sign bits. */
+  private def bucket(vec: Column): Column =
+    (0 until 4).map(p => when(projection(vec, p) > 0, 1 << p).otherwise(0))
+      .reduce(_ + _)
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-5 for 10 probes (baseline / ground truth).
+    "n01_knn_cosine" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(desc("sim"), asc("neighbor_id"))
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+        .crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("neighbor_id"),
+          expr("cosine_sim(pvec, nvec)").as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("sim"))
+        .orderBy("probe_id", "rnk")
+    },
+
+    // Oracle-checked KNN on quantized integer vectors: exact int64 dot
+    // products are engine-independent, so this one hash-matches DuckDB.
+    "n02_knn_dot_int" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"),
+          x => round(x.cast(DoubleType) * 1000).cast(LongType)).as("qv"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(desc("dot"), asc("neighbor_id"))
+      e.select(col("vec_id").as("neighbor_id"), col("qv").as("nv"))
+        .crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("neighbor_id"),
+          aggregate(zip_with(col("pv"), col("nv"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v).as("dot"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("neighbor_id"), col("dot"), col("rnk"))
+        .orderBy("probe_id", "rnk")
+    },
+
+    // ANN via LSH buckets: probes search only their own bucket.
+    "n03_knn_lsh" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+          col("bkt").as("pbkt"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(desc("sim"), asc("neighbor_id"))
+      e.join(broadcast(probes), col("bkt") === col("pbkt"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          expr("cosine_sim(pvec, embedding)").as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("sim"))
+        .orderBy("probe_id", "rnk")
+    },
+
+    // Embedding near-duplicate candidates: bucket-join (never cross join),
+    // ranked by exact cosine within buckets.
+    "d06_embedding_neardup" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+      e.as("a").join(e.as("b"),
+          col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          expr("cosine_sim(a.embedding, b.embedding)").as("sim"))
+        .orderBy(desc("sim"), asc("id1"), asc("id2"))
+        .limit(100)
+    },
+
+    // l2_distance parity with the reference's similarity function
+    // (l2_distance.rs:25): nearest neighbors by Euclidean distance.
+    "n04_l2_nearest" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(asc("dist"), asc("neighbor_id"))
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+        .crossJoin(broadcast(probes))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          expr("l2_distance(pvec, nvec)").as("dist"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("dist"))
+        .orderBy("probe_id", "rnk")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "n02_knn_dot_int" -> """
+      WITH q AS (
+        SELECT vec_id,
+          LIST_TRANSFORM(embedding,
+            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+      pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+          (SELECT CAST(SUM(p.qv[g.i] * c.qv[g.i]) AS BIGINT)
+           FROM (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i) g) AS dot
+        FROM q p CROSS JOIN q c
+        WHERE p.vec_id < 5),
+      ranked AS (
+        SELECT probe_id, neighbor_id, dot,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rnk
+        FROM pairs)
+      SELECT probe_id, neighbor_id, dot, rnk
+      FROM ranked WHERE rnk <= 5
+      ORDER BY probe_id, rnk""")
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.QueryDsl._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * language ID (stopword n-gram heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting.
+  *
+  * All pure column expressions (codegen'd, shuffle-free per-row work) so the
+  * scan parallelism is the only scale knob — at 100 TB these run as a single
+  * narrow stage over the parquet splits.
+  */
+object TextOps {
+
+  /** lowercased, whitespace-collapsed text */
+  private def norm(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+  private val sqlNorm = "REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')"
+
+  /** # of occurrences of `pat` in ' '+norm+' ' via the length-delta trick
+    * (portable across engines, exact integer arithmetic). */
+  private def cnt(padded: Column, pat: String): Column =
+    ((length(padded) - length(replace(padded, lit(pat), lit("")))) / pat.length)
+      .cast(IntegerType)
+  private def sqlCnt(padded: String, pat: String): String =
+    s"CAST((LENGTH($padded) - LENGTH(REPLACE($padded, '$pat', ''))) / ${pat.length} AS INT)"
+
+  val queries: Map[String, Q] = Map(
+    "t01_lang_id" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val padded = concat(lit(" "), norm(col("text")), lit(" "))
+      val (en, es, de, fr) =
+        (cnt(padded, " the "), cnt(padded, " el "), cnt(padded, " der "), cnt(padded, " le "))
+      d.select(col("doc_id"), col("lang"),
+          en.as("s_en"), es.as("s_es"), de.as("s_de"), fr.as("s_fr"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+            col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .withColumn("correct", col("predicted") === col("lang"))
+        .orderBy("doc_id")
+    },
+
+    "t02_quality_score" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val nc = norm(col("text"))
+      val padded = concat(lit(" "), nc, lit(" "))
+      val nWords = (length(nc) - length(replace(nc, lit(" "), lit(""))) + 1)
+        .cast(IntegerType)
+      val nStop = cnt(padded, " the ") + cnt(padded, " a ") + cnt(padded, " of ")
+      d.select(col("doc_id"),
+          length(col("text")).as("n_chars_actual"),
+          nWords.as("n_words"),
+          (length(replace(nc, lit(" "), lit(""))) / nWords).as("avg_word_len"),
+          (nStop / nWords).as("stop_ratio"),
+          (least(nWords / lit(20.0), lit(1.0)) *
+            (lit(1.0) - least(nStop / nWords, lit(1.0)))).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    "t03_token_count" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    "t04_fingerprint" -> { (s, dir) =>
+      val nc = norm(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(nc.cast(BinaryType)).as("fp"),
+          md5(concat_ws(" ", array_sort(split(nc, " "))).cast(BinaryType))
+            .as("sorted_fp"))
+        .orderBy("doc_id")
+    })
+
+  val oracles: Map[String, String] = {
+    val padded = s"' ' || $sqlNorm || ' '"
+    Map(
+      "t01_lang_id" -> s"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+            ${sqlCnt(padded, " the ")} AS s_en,
+            ${sqlCnt(padded, " el ")} AS s_es,
+            ${sqlCnt(padded, " der ")} AS s_de,
+            ${sqlCnt(padded, " le ")} AS s_fr
+          FROM documents)
+        SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+          CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+               WHEN s_de >= s_fr THEN 'de'
+               ELSE 'fr' END AS predicted,
+          (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+               WHEN s_de >= s_fr THEN 'de'
+               ELSE 'fr' END) = lang AS correct
+        FROM scored ORDER BY doc_id""",
+
+      "t02_quality_score" -> s"""
+        WITH base AS (
+          SELECT doc_id, text, $sqlNorm AS nc,
+            CAST(LENGTH($sqlNorm) - LENGTH(REPLACE($sqlNorm, ' ', '')) + 1 AS INT) AS n_words,
+            ${sqlCnt(padded, " the ")} + ${sqlCnt(padded, " a ")} + ${sqlCnt(padded, " of ")} AS n_stop
+          FROM documents)
+        SELECT doc_id,
+          CAST(LENGTH(text) AS INT) AS n_chars_actual,
+          n_words,
+          LENGTH(REPLACE(nc, ' ', '')) / n_words AS avg_word_len,
+          n_stop / n_words AS stop_ratio,
+          LEAST(n_words / 20.0, 1.0) * (1.0 - LEAST(n_stop / n_words, 1.0)) AS quality
+        FROM base ORDER BY doc_id""",
+
+      "t03_token_count" -> """
+        SELECT doc_id,
+          CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS INT) AS ws_tokens,
+          CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT)
+            AS bpe_tokens,
+          CAST(LENGTH(text) AS INT) AS n_chars
+        FROM documents ORDER BY doc_id""",
+
+      "t04_fingerprint" -> s"""
+        SELECT doc_id,
+          MD5($sqlNorm) AS fp,
+          MD5(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT($sqlNorm, ' ')), ' ')) AS sorted_fp
+        FROM documents ORDER BY doc_id""")
+  }
+}

@@ -244,7 +244,7 @@ object Relational {
         SELECT p_partkey, p_name, p_retailprice
         FROM part
         WHERE p_retailprice > (
-          SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) + 40 FROM part)
+          SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) + 5 FROM part)
         ORDER BY p_partkey
       """)
     },
@@ -524,7 +524,7 @@ object Relational {
       SELECT p_partkey, p_name, p_retailprice
       FROM part
       WHERE p_retailprice > (
-        SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) + 40 FROM part)
+        SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) + 5 FROM part)
       ORDER BY p_partkey""",
 
     "q23_in_subquery" -> """

@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.QueryDsl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink coverage (SURVEY.md §2.2): read_csv (with inference),
+  * read_text (wholetext), glob listing, path-as-table resolver sugar, and
+  * the catalog listing TVFs.
+  *
+  * CSV/text inputs are produced inside the repo's target dir from the
+  * parquet fixtures (the fixtures are read-only), then read back through the
+  * real Spark source — the oracle checks the values that round-tripped.
+  */
+object Sources {
+
+  private def tmpDir(name: String): String = {
+    val d = new java.io.File(s"target/tmp_sources/$name")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  val queries: Map[String, Q] = Map(
+    // read_csv with dialect + inference (glaredb_ext_csv read_csv.rs:34,
+    // schema.rs:33): parquet -> csv -> inferred read -> aggregate.
+    "s01_read_csv" -> { (s, dir) =>
+      val out = tmpDir("region_csv")
+      t(s, dir, "region").coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.option("header", "true").option("inferSchema", "true").csv(out)
+        .agg(count(lit(1)).as("n"),
+          min(col("r_name")).as("first_region"),
+          max(col("r_regionkey")).cast(IntegerType).as("max_key"))
+    },
+
+    // read_text: whole file as a single row (read_text.rs:28).
+    "s02_read_text" -> { (s, dir) =>
+      val out = tmpDir("text_in")
+      val f = new java.io.File(out, "doc.txt")
+      java.nio.file.Files.writeString(f.toPath, "hello graft\nsecond line\n")
+      s.read.option("wholetext", "true").text(out)
+        .select(length(col("value")).as("len"),
+          size(split(col("value"), "\n")).as("n_lines"))
+    },
+
+    // glob(pattern): list matching files (functions/table/builtin/glob.rs:20).
+    "s03_glob" -> { (s, dir) =>
+      import s.implicits._
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val files = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/*.parquet"))
+        .map(st => st.getPath.getName).sorted.toSeq
+      files.toDF("file_name").orderBy("file_name")
+    },
+
+    // Path-as-table resolver sugar: FROM '<path>'
+    // (logical/resolver/resolve_normal.rs:255-276).
+    "s04_path_as_table" -> { (s, dir) =>
+      GraftSession.sql(s,
+        s"SELECT count(*) AS n, min(l_orderkey) AS min_key FROM '$dir/lineitem.parquet'")
+    },
+
+    // read_parquet(...) TVF (glaredb_ext_parquet functions/scan.rs:33).
+    "s05_read_parquet_tvf" -> { (s, dir) =>
+      GraftSession.sql(s,
+        s"""SELECT o_orderstatus, count(*) AS n
+            FROM read_parquet('$dir/orders.parquet')
+            GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+
+    // Catalog listing (list_tables / memory_scan family,
+    // functions/table/builtin/list_entries.rs): temp views in the session.
+    "s06_list_tables" -> { (s, dir) =>
+      import s.implicits._
+      graft.Engine.registerAll(s, dir)
+      s.catalog.listTables().collect()
+        .filter(_.isTemporary).map(_.name)
+        .filter(graft.Engine.tableNames.contains).sorted.toSeq
+        .toDF("table_name").orderBy("table_name")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "s01_read_csv" -> """
+      SELECT COUNT(*) AS n, MIN(r_name) AS first_region,
+             CAST(MAX(r_regionkey) AS INT) AS max_key
+      FROM region""",
+
+    "s02_read_text" -> """
+      SELECT CAST(24 AS INT) AS len, CAST(3 AS INT) AS n_lines""",
+
+    "s03_glob" -> """
+      SELECT file_name FROM (VALUES
+        ('customer.parquet'), ('documents.parquet'), ('embeddings.parquet'),
+        ('events.parquet'), ('lineitem.parquet'), ('nation.parquet'),
+        ('orders.parquet'), ('part.parquet'), ('region.parquet'),
+        ('supplier.parquet')) t(file_name)
+      ORDER BY file_name""",
+
+    "s04_path_as_table" -> """
+      SELECT count(*) AS n, CAST(MIN(l_orderkey) AS BIGINT) AS min_key
+      FROM lineitem""",
+
+    "s05_read_parquet_tvf" -> """
+      SELECT o_orderstatus, count(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "s06_list_tables" -> """
+      SELECT table_name FROM (VALUES
+        ('customer'), ('documents'), ('embeddings'), ('events'), ('lineitem'),
+        ('nation'), ('orders'), ('part'), ('region'), ('supplier')) t(table_name)
+      ORDER BY table_name""")
+}

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-wide invariants at sf0.001. The DuckDB oracle (driver-side /
+  * scripts/check.py) covers value correctness for SQL-expressible queries;
+  * these specs cover the operators the oracle can't express: sketch/LSH
+  * behavior, vector kernels, and smoke over every catalog entry.
+  */
+class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Engine.session(cpus = 8, appName = "graft-test")
+  val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("every catalog query executes and returns rows at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"queries with empty results: $empties")
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query with an oracle exists in the catalog") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("cosine_sim: self-similarity is 1, matches scala computation") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Engine.table(spark, dir, "embeddings")
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"),
+        expr("cosine_sim(embedding, embedding)").as("self_sim"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("self_sim") - 1.0) < 1e-9)
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)
+      val expected = v.map(x => x * x).sum /
+        (math.sqrt(v.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum) + 1e-12)
+      assert(math.abs(r.getAs[Double]("self_sim") - expected) < 1e-9)
+    }
+  }
+
+  test("l2_distance: zero for self, symmetric") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Engine.table(spark, dir, "embeddings").filter(col("vec_id") < 5)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val d = a.crossJoin(b)
+      .select(col("ida"), col("idb"),
+        expr("l2_distance(va, vb)").as("dab"),
+        expr("l2_distance(vb, va)").as("dba"))
+      .collect()
+    d.foreach { r =>
+      assert(r.getAs[Double]("dab") === r.getAs[Double]("dba"))
+      if (r.getAs[Long]("ida") == r.getAs[Long]("idb"))
+        assert(r.getAs[Double]("dab") == 0.0)
+    }
+  }
+
+  test("brute-force KNN: each probe's rank-1 neighbor is itself") {
+    val top1 = SparkEntry.queries("n01_knn_cosine")(spark, dir)
+      .filter(col("rnk") === 1).collect()
+    assert(top1.length == 10)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("probe_id") == r.getAs[Long]("neighbor_id"))
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9)
+    }
+  }
+
+  test("LSH KNN: probe finds itself; sims bounded by brute-force") {
+    val brute = SparkEntry.queries("n01_knn_cosine")(spark, dir)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("sim")).toMap
+    val lsh = SparkEntry.queries("n03_knn_lsh")(spark, dir)
+      .filter(col("rnk") === 1).collect()
+    lsh.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      assert(r.getAs[Double]("sim") <= brute(p) + 1e-12)
+      assert(r.getAs[Long]("neighbor_id") == p) // self shares its own bucket
+    }
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    import spark.implicits._
+    val docs = Engine.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+    // plant near-dups: copy each doc with one appended word, offset ids
+    val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" extra")).as("text"))
+    val pairs = graft.operators.Dedup
+      .minhashPairs(docs.union(perturbed), 0.5)
+      .collect()
+    val planted = pairs.count(r =>
+      r.getAs[Long]("id2") - r.getAs[Long]("id1") == 100000)
+    // banding (4 bands of 4) catches nearly all >0.9-jaccard pairs
+    assert(planted >= 40, s"only $planted of 50 planted dups found")
+    pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("simhash: planted near-duplicates land within small hamming distance") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Engine.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+    val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" extra")).as("text"))
+    val pairs = graft.operators.Dedup
+      .simhashPairs(docs.union(perturbed), 10)
+      .collect()
+    val planted = pairs.count(r =>
+      r.getAs[Long]("id2") - r.getAs[Long]("id1") == 100000)
+    assert(planted >= 40, s"only $planted of 50 planted dups found")
+  }
+
+  test("exact dedup groups duplicate texts") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_test")
+    val groups = df.groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep"))
+      .collect().map(r => r.getAs[Long]("n") -> r.getAs[Long]("keep")).toMap
+    assert(groups(2L) == 1L && groups(1L) == 3L)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val r = SparkEntry.queries("q47_approx_sketch")(spark, dir).collect()
+    r.foreach { row =>
+      val approx = row.getAs[Long]("approx_parts").toDouble
+      val exact = row.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("path-as-table sugar resolves quoted paths and read_parquet TVF") {
+    val n1 = graft.sources.GraftSession
+      .sql(spark, s"SELECT count(*) AS n FROM '$dir/region.parquet'")
+      .collect()(0).getAs[Long]("n")
+    val n2 = graft.sources.GraftSession
+      .sql(spark, s"SELECT count(*) AS n FROM read_parquet('$dir/region.parquet')")
+      .collect()(0).getAs[Long]("n")
+    assert(n1 == 5 && n2 == 5)
+  }
+
+  test("simhash64 is deterministic and order-sensitive only via token multiset") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq(("a b c d e f g h", "a b c d e f g h", "x y z w q r s t"))
+      .toDF("t1", "t2", "t3")
+      .select(
+        expr("simhash64(split(t1, ' '))").as("h1"),
+        expr("simhash64(split(t2, ' '))").as("h2"),
+        expr("simhash64(split(t3, ' '))").as("h3"))
+      .collect()(0)
+    assert(r.getAs[Long]("h1") == r.getAs[Long]("h2"))
+    assert(r.getAs[Long]("h1") != r.getAs[Long]("h3"))
+  }
+}
