@@ -166,6 +166,106 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** minhash_sig(shingle_hashes, k) — k-permutation MinHash signature.
+  *
+  * Input: array<long> of (already hashed) shingles; output: array<long> of
+  * k minimums over splitmix64-mixed permutations. One eval per row with a
+  * tight k x n loop — replaces k separate higher-order-function passes
+  * (interpreted per element) with a single JVM loop, and avoids ANSI
+  * overflow on affine permutations by using splitmix64 mixing.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType = ArrayType(LongType)
+
+  private lazy val seeds: Array[Long] = {
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) { out(j) = MinHashSignature.splitmix64(0x9e3779b97f4a7c15L * (j + 1)); j += 1 }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val mixed = MinHashSignature.splitmix64(h ^ seeds(j))
+          if (mixed < out(j)) out(j) = mixed
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSignature {
+  /** splitmix64 finalizer (public-domain construction). */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
+
+/** shingle_hashes(str, n) — distinct hashed character n-grams, one pass.
+  *
+  * Replaces the declarative transform(sequence(...), substring(...)) +
+  * array_distinct pipeline (which interprets a lambda per position and
+  * re-evaluates the inlined normalization per element) with a single eval
+  * per row: a rolling byte window hashed with FNV-1a 64, deduplicated in a
+  * hash set. Output order is first-occurrence; downstream set operations
+  * (intersect/union, minhash_sig) are order-insensitive.
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType)
+
+  override def nullSafeEval(str: Any, nAny: Any): Any = {
+    val bytes = str.asInstanceOf[UTF8String].getBytes
+    val n = nAny.asInstanceOf[Number].intValue()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (bytes.length <= n) {
+      seen.add(ShingleHashes.fnv1a64(bytes, 0, bytes.length))
+    } else {
+      var i = 0
+      while (i + n <= bytes.length) {
+        seen.add(ShingleHashes.fnv1a64(bytes, i, n))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object ShingleHashes {
+  def fnv1a64(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = off
+    val end = off + len
+    while (i < end) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+}
+
 /** SQL registration so queries can use these via `expr("cosine_sim(a,b)")`. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -178,5 +278,10 @@ object GraftFunctions {
       es => L2Distance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSignature(es(0),
+        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashes(es(0), es(1)), "built-in")
   }
 }
