@@ -19,6 +19,8 @@ object SparkEntry {
       graft.queries.Windows.queries ++
       graft.queries.Aggregates.queries ++
       graft.queries.Funcs.queries ++
+      graft.queries.Extended.queries ++
+      graft.operators.Multimodal.queries ++
       graft.operators.TextOps.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
@@ -31,6 +33,8 @@ object SparkEntry {
       graft.queries.Windows.oracles ++
       graft.queries.Aggregates.oracles ++
       graft.queries.Funcs.oracles ++
+      graft.queries.Extended.oracles ++
+      graft.operators.Multimodal.oracles ++
       graft.operators.TextOps.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.QueryDsl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines.
+  *
+  * Media (image/audio/video) is modeled as opaque `binary` payloads with
+  * typed metadata — here synthesized deterministically from `documents.text`
+  * since the fixtures carry no real media and the container has no decode
+  * libraries. The *decode step is a stub* (clearly marked); everything
+  * around it — schema, binary column handling, per-partition batch shape,
+  * feature extraction layout — is the real Spark plumbing that a production
+  * decoder (e.g. a Pandas UDF via mapInPandas, or a JNI codec in
+  * mapPartitions) would drop into.
+  */
+object Multimodal {
+
+  /** STUB decode: a real pipeline would decode image bytes here. The stub
+    * derives deterministic pseudo-features from the payload bytes so the
+    * batch shape, schema, and partitioning are exercised end-to-end. */
+  case class MediaFeatures(
+      doc_id: Long, byte_len: Int, mean_byte: Double, frames: Array[Int])
+
+  val queries: Map[String, Q] = Map(
+    // Expression-level binary ops: payload synthesis, length, hash, slice
+    // ("thumbnail" stub) — oracle-checked against DuckDB BLOB functions.
+    "m01_binary_payload" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          col("text").cast(BinaryType).as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("payload_md5"),
+          substring(col("payload"), 1, 8).as("thumb"))
+        .orderBy("doc_id")
+    },
+
+    // Partition-parallel decode stage: typed mapPartitions over binary
+    // payloads -> feature struct per row. The decode body is the stub; the
+    // operator shape (narrow stage, per-partition batching, typed Encoder
+    // output) is the scale-out path for real codecs.
+    "m02_decode_features" -> { (s, dir) =>
+      import s.implicits._
+      val payloads = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+      payloads.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // ??? real decoder goes here; deterministic stub features:
+          val mean = if (bytes.isEmpty) 0.0
+            else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+          MediaFeatures(id, bytes.length, mean,
+            Array.tabulate(4)(f => if (bytes.length > f) bytes(f) & 0xff else 0))
+        }
+      }.toDF()
+        .select(col("doc_id"), col("byte_len"),
+          col("mean_byte"), col("frames"))
+        .orderBy("doc_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "m01_binary_payload" -> """
+      SELECT doc_id,
+        CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
+        MD5(text) AS payload_md5,
+        ENCODE(SUBSTRING(text, 1, 8)) AS thumb
+      FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.QueryDsl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second-wave relational parity (SURVEY.md §2.1/2.3 leftovers):
+  * LATERAL joins (GlareDB plans laterals via dependent-join pushdown,
+  * `logical/planner/plan_subquery.rs:48-87`), mark-join semantics (LeftMark,
+  * `logical_join.rs:27-34` — EXISTS as a projected boolean), SELECT *
+  * EXCLUDE/REPLACE (`slt/standard/select/exclude_except.slt`, `replace.slt`),
+  * COPY TO (`bind_copy.rs` — parse-only in the reference; real here), DDL
+  * (CTAS/INSERT/temp tables, `bind_create_table.rs`), and DESCRIBE.
+  */
+object Extended {
+
+  val queries: Map[String, Q] = Map(
+    // LATERAL: per-nation top-2 suppliers by balance (correlated derived
+    // table). Spark supports LATERAL since 3.2; Catalyst decorrelates.
+    "q62_lateral_join" -> { (s, dir) =>
+      t(s, dir, "nation"); t(s, dir, "supplier")
+      s.sql("""
+        SELECT n_nationkey, n_name, top.s_name, top.s_acctbal
+        FROM nation,
+        LATERAL (
+          SELECT s_name, s_acctbal FROM supplier
+          WHERE s_nationkey = n_nationkey
+          ORDER BY s_acctbal DESC, s_suppkey ASC
+          LIMIT 2) top
+        ORDER BY n_nationkey, top.s_acctbal DESC, top.s_name
+      """)
+    },
+
+    // Mark join: EXISTS surfaced as a boolean column (DuckDB-style LeftMark
+    // used for decorrelated EXISTS/IN). Spark expresses it as a left join
+    // against the distinct key set + null-flag.
+    "q63_mark_exists" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 350000)
+        .select(col("o_custkey")).distinct()
+        .withColumn("mark", lit(true))
+      c.join(big, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("mark"), lit(false)).as("has_big_order"))
+        .filter(col("c_custkey") <= 300)
+        .orderBy("c_custkey")
+    },
+
+    // SELECT * EXCLUDE (cols) -> df.drop
+    "q64_select_exclude" -> { (s, dir) =>
+      t(s, dir, "nation")
+        .drop("n_regionkey")
+        .filter(col("n_nationkey") <= 10)
+        .orderBy("n_nationkey")
+    },
+
+    // SELECT * REPLACE (expr AS col) -> withColumn
+    "q65_select_replace" -> { (s, dir) =>
+      t(s, dir, "region")
+        .withColumn("r_name", lower(col("r_name")))
+        .orderBy("r_regionkey")
+    },
+
+    // COPY TO: write the aggregate to parquet, read it back (round-trip
+    // through the sink — df.write is the real COPY TO).
+    "q66_copy_to" -> { (s, dir) =>
+      val out = "target/tmp_sources/copy_to_parquet"
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumd(dbig(col("o_totalprice"))).as("total"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("o_orderstatus")
+    },
+
+    // DDL: CTAS + INSERT INTO + SELECT, against the session catalog.
+    "q67_ddl_ctas_insert" -> { (s, dir) =>
+      t(s, dir, "region")
+      // unique name: the warehouse dir outlives the (in-memory) catalog, so
+      // a fixed name would collide with a stale location from a prior run
+      val tbl = "graft_ddl_t_" + java.util.UUID.randomUUID.toString.take(8)
+      s.sql(s"CREATE TABLE $tbl USING parquet AS SELECT r_regionkey, r_name FROM region")
+      s.sql(s"INSERT INTO $tbl VALUES (99, 'NOWHERE')")
+      val out = s.sql(
+        s"SELECT COUNT(*) AS n, CAST(MAX(r_regionkey) AS INT) AS max_key FROM $tbl")
+      // materialize before dropping the backing table, then clean up
+      val rows = out.collect()
+      s.sql(s"DROP TABLE $tbl")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    },
+
+    // DESCRIBE: schema surfaced as rows (reference: plan_describe.rs).
+    "q68_describe" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+      s.sql("DESCRIBE lineitem")
+        .select(col("col_name"), col("data_type"))
+        .orderBy("col_name")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q62_lateral_join" -> """
+      SELECT n_nationkey, n_name, top.s_name, top.s_acctbal
+      FROM nation,
+      LATERAL (
+        SELECT s_name, s_acctbal FROM supplier
+        WHERE s_nationkey = n_nationkey
+        ORDER BY s_acctbal DESC, s_suppkey ASC
+        LIMIT 2) top
+      ORDER BY n_nationkey, top.s_acctbal DESC, top.s_name""",
+
+    "q63_mark_exists" -> """
+      SELECT c_custkey,
+             EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+               AS has_big_order
+      FROM customer
+      WHERE c_custkey <= 300
+      ORDER BY c_custkey""",
+
+    "q64_select_exclude" -> """
+      SELECT * EXCLUDE (n_regionkey) FROM nation
+      WHERE n_nationkey <= 10 ORDER BY n_nationkey""",
+
+    "q65_select_replace" -> """
+      SELECT * REPLACE (LOWER(r_name) AS r_name) FROM region
+      ORDER BY r_regionkey""",
+
+    "q66_copy_to" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             ${sql.sumd(sql.dbig("o_totalprice"))} AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q67_ddl_ctas_insert" -> """
+      SELECT COUNT(*) + 1 AS n, CAST(99 AS INT) AS max_key FROM region""",
+
+    "q68_describe" -> """
+      SELECT col_name, data_type FROM (VALUES
+        ('l_orderkey', 'bigint'), ('l_partkey', 'bigint'),
+        ('l_suppkey', 'bigint'), ('l_linenumber', 'int'),
+        ('l_quantity', 'double'), ('l_extendedprice', 'double'),
+        ('l_discount', 'double'), ('l_tax', 'double'),
+        ('l_returnflag', 'string'), ('l_linestatus', 'string'),
+        ('l_shipdate', 'timestamp_ntz')) t(col_name, data_type)
+      ORDER BY col_name""")
+}
