@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.Aggregates.queries ++
       graft.queries.Funcs.queries ++
       graft.queries.Extended.queries ++
+      graft.queries.OptimizerShapes.queries ++
       graft.operators.Multimodal.queries ++
       graft.operators.TextOps.queries ++
       graft.operators.Dedup.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
       graft.queries.Aggregates.oracles ++
       graft.queries.Funcs.oracles ++
       graft.queries.Extended.oracles ++
+      graft.queries.OptimizerShapes.oracles ++
       graft.operators.Multimodal.oracles ++
       graft.operators.TextOps.oracles ++
       graft.operators.Dedup.oracles ++

@@ -89,6 +89,29 @@ object Extended {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     },
 
+    // GlareDB-name function surface through the compat layer: the SQL text
+    // below uses the reference's names (strpos, list_extract, epoch,
+    // isfinite, csc, gcd, lcm, to_int32) yet runs on Spark unchanged.
+    "q69_compat_functions" -> { (s, dir) =>
+      graft.functions.GlareCompat.register(s)
+      t(s, dir, "part"); t(s, dir, "embeddings")
+      s.sql("""
+        SELECT p_partkey,
+          CAST(strpos(p_name, 'a') AS INT) AS pos_a,
+          byte_length(p_brand) AS blen,
+          gcd(p_size, 24) AS g,
+          lcm(p_size, 4) AS l,
+          isfinite(p_retailprice) AS fin,
+          isinf(p_retailprice) AS inf_check,
+          isinf(CAST('Infinity' AS DOUBLE)) AS inf_lit,
+          ROUND(csc(p_size), 6) AS csc_sz,
+          to_int32(p_size * 2) AS i32,
+          to_string(p_size) AS s_sz,
+          CAST(epoch(CAST(p_partkey * 1000 AS BIGINT)) AS TIMESTAMP_NTZ) AS ep
+        FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+      """)
+    },
+
     // DESCRIBE: schema surfaced as rows (reference: plan_describe.rs).
     "q68_describe" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -132,6 +155,21 @@ object Extended {
 
     "q67_ddl_ctas_insert" -> """
       SELECT COUNT(*) + 1 AS n, CAST(99 AS INT) AS max_key FROM region""",
+
+    "q69_compat_functions" -> """
+      SELECT p_partkey,
+        CAST(STRPOS(p_name, 'a') AS INT) AS pos_a,
+        CAST(STRLEN(p_brand) AS INT) AS blen,
+        CAST(GCD(p_size, 24) AS BIGINT) AS g,
+        CAST(LCM(p_size, 4) AS BIGINT) AS l,
+        ISFINITE(p_retailprice) AS fin,
+        ISINF(p_retailprice) AS inf_check,
+        ISINF(CAST('Infinity' AS DOUBLE)) AS inf_lit,
+        ROUND(1.0 / SIN(p_size), 6) AS csc_sz,
+        CAST(p_size * 2 AS INT) AS i32,
+        CAST(p_size AS VARCHAR) AS s_sz,
+        MAKE_TIMESTAMP(p_partkey * 1000 * 1000000) AS ep
+      FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
 
     "q68_describe" -> """
       SELECT col_name, data_type FROM (VALUES

@@ -16,6 +16,12 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
+  case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
+  case class SessionState(sessions: List[(Long, Long, Long, Long)])
+  case class SessionOut(
+      user_id: Long, session_id: Int, n_events: Long,
+      t_start: Long, t_end: Long)
+
   /** Streaming file sources need a directory: stage the events parquet
     * into a per-sf temp dir under target/. */
   private def stageDir(dir: String): String = {
@@ -73,6 +79,65 @@ object Streaming {
       try q.processAllAvailable()
       finally q.stop()
       s.table(sinkName).orderBy("user_id")
+    },
+
+    // Custom stateful streaming: sessionization with
+    // flatMapGroupsWithState (KeyValueGroupedDataset). State is the
+    // per-user event list; on completion the emitted sessions must agree
+    // with the batch lag-gap sessionization — the oracle is the same SQL
+    // as e01_sessionize (minus the value sum, which the typed path skips).
+    "st03_stream_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val sinkName = "st03_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val gapUs = 30L * 60 * 1000 * 1000
+
+      def assign(
+          user: Long, events: Iterator[Ev],
+          state: GroupState[List[(Long, Long)]]): Iterator[SessionOut] = {
+        val prior = state.getOption.getOrElse(Nil)
+        val all = (prior ++ events.map(e => (e.ts / 1000, e.event_id)).toList)
+          .sortBy(identity)
+        state.update(all)
+        var sid = 0; var prev = Long.MinValue
+        val out = scala.collection.mutable.Map
+          .empty[Int, (Long, Long, Long)] // sid -> (n, start, end)
+        all.foreach { case (tsUs, _) =>
+          if (prev == Long.MinValue || tsUs - prev > gapUs) sid += 1
+          val (n, st, en) = out.getOrElse(sid, (0L, tsUs, tsUs))
+          out(sid) = (n + 1, math.min(st, tsUs), math.max(en, tsUs))
+          prev = tsUs
+        }
+        out.toSeq.sortBy(_._1).iterator.map { case (id, (n, st, en)) =>
+          SessionOut(user, id, n, st, en)
+        }
+      }
+
+      val q = s.readStream.schema(schema).parquet(stageDir(dir))
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.NoTimeout)(assign)
+        .writeStream.outputMode("update").format("memory").queryName(sinkName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // update-mode sink may hold multiple versions per key: keep the last
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("version").desc)
+      s.table(sinkName)
+        .withColumn("version", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("t_start"), col("t_end"))
+        .orderBy("user_id", "session_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -90,5 +155,26 @@ object Streaming {
         ${sql.sumd(sql.dmoney("value"))} AS total_value
       FROM events
       GROUP BY user_id
-      ORDER BY user_id""")
+      ORDER BY user_id""",
+
+    "st03_stream_sessionize" -> s"""
+      WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tsn,
+          CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL
+                 OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > ${30L * 60 * 1000 * 1000}
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      sessions AS (
+        SELECT user_id, tsn,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(session_id AS INT) AS session_id,
+        COUNT(*) AS n_events,
+        CAST(MIN(tsn) AS BIGINT) AS t_start,
+        CAST(MAX(tsn) AS BIGINT) AS t_end
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""")
 }
