@@ -27,6 +27,7 @@ object SparkEntry {
       graft.operators.Similarity.queries ++
       graft.operators.Events.queries ++
       graft.sources.Sources.queries ++
+      graft.sources.Introspection.queries ++
       graft.streaming.Streaming.queries
 
   def oracleSql: Map[String, String] =
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.operators.Similarity.oracles ++
       graft.operators.Events.oracles ++
       graft.sources.Sources.oracles ++
+      graft.sources.Introspection.oracles ++
       graft.streaming.Streaming.oracles
 }
