@@ -29,6 +29,8 @@ object Bench {
     "d04_simhash_pairs",   // simhash + band join
     "n01_knn_cosine",      // brute-force vector KNN (codegen kernel)
     "n02_knn_dot_int",     // quantized dot KNN
+    "o02_or_predicate_join", // OR-distributed join filters
+    "o05_having_in",       // HAVING-IN pipeline
     "t04_fingerprint")     // text normalize + md5
 
   def main(args: Array[String]): Unit = {
