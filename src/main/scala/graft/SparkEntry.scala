@@ -28,6 +28,8 @@ object SparkEntry {
       graft.operators.Events.queries ++
       graft.sources.Sources.queries ++
       graft.sources.Introspection.queries ++
+      graft.sources.TpchGen.queries ++
+      graft.operators.Skew.queries ++
       graft.streaming.Streaming.queries
 
   def oracleSql: Map[String, String] =
@@ -44,5 +46,7 @@ object SparkEntry {
       graft.operators.Events.oracles ++
       graft.sources.Sources.oracles ++
       graft.sources.Introspection.oracles ++
+      graft.sources.TpchGen.oracles ++
+      graft.operators.Skew.oracles ++
       graft.streaming.Streaming.oracles
 }

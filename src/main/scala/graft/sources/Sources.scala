@@ -33,6 +33,19 @@ object Sources {
           max(col("r_regionkey")).cast(IntegerType).as("max_key"))
     },
 
+    // read_csv dialect options (glaredb_ext_csv dialect.rs): custom
+    // delimiter + quote, explicit schema.
+    "s07_read_csv_dialect" -> { (s, dir) =>
+      val out = tmpDir("nation_csv_semi")
+      t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("delimiter", ";").option("quote", "'")
+        .csv(out)
+      s.read.option("header", "true").option("delimiter", ";").option("quote", "'")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(out)
+        .orderBy("n_nationkey")
+    },
+
     // read_text: whole file as a single row (read_text.rs:28).
     "s02_read_text" -> { (s, dir) =>
       val out = tmpDir("text_in")
@@ -86,6 +99,9 @@ object Sources {
 
     "s02_read_text" -> """
       SELECT CAST(24 AS INT) AS len, CAST(3 AS INT) AS n_lines""",
+
+    "s07_read_csv_dialect" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
 
     "s03_glob" -> """
       SELECT file_name FROM (VALUES
