@@ -30,6 +30,7 @@ object SparkEntry {
       graft.sources.Introspection.queries ++
       graft.sources.TpchGen.queries ++
       graft.operators.Skew.queries ++
+      graft.functions.Aggregators.queries ++
       graft.streaming.Streaming.queries
 
   def oracleSql: Map[String, String] =
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.sources.Introspection.oracles ++
       graft.sources.TpchGen.oracles ++
       graft.operators.Skew.oracles ++
+      graft.functions.Aggregators.oracles ++
       graft.streaming.Streaming.oracles
 }

@@ -111,6 +111,49 @@ object Similarity {
         .limit(100)
     },
 
+    // IVF (inverted-file) ANN: KMeans coarse quantizer partitions the
+    // corpus into nlist cells; probes search only their nprobe nearest
+    // cells. The cluster assignment is a narrow map stage; the probe
+    // search is an equi-join on cell id — the textbook billion-vector
+    // layout (train on a sample, assign in parallel, bucket-join).
+    "n05_knn_ivf" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.ml.linalg.Vector
+      val e = t(s, dir, "embeddings")
+        .withColumn("fvec", array_to_vector(col("embedding")))
+      val nlist = 8; val nprobe = 2
+      val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("fvec").setPredictionCol("cell")
+      val model = km.fit(e.select(col("fvec")))
+      val assigned = model.transform(e)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      // probe cells: nprobe nearest centroids per probe vector
+      val centroids = model.clusterCenters.zipWithIndex.map {
+        case (c, i) => (i, c.toArray.map(_.toFloat))
+      }.toSeq
+      val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
+      val probes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      val probeCells = probes.crossJoin(broadcast(centDf))
+        .select(col("probe_id"), col("pvec"), col("cell"),
+          expr("l2_distance(pvec, centroid)").as("cdist"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(asc("cdist"), asc("cell"))))
+        .filter(col("crank") <= nprobe)
+        .select(col("probe_id"), col("pvec"), col("cell"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(desc("sim"), asc("neighbor_id"))
+      assigned.join(broadcast(probeCells), "cell")
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          expr("cosine_sim(pvec, embedding)").as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("sim"))
+        .orderBy("probe_id", "rnk")
+    },
+
     // l2_distance parity with the reference's similarity function
     // (l2_distance.rs:25): nearest neighbors by Euclidean distance.
     "n04_l2_nearest" -> { (s, dir) =>

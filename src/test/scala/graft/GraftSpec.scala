@@ -153,6 +153,51 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n1 == 5 && n2 == 5)
   }
 
+  test("IVF KNN: probes find themselves; sims bounded by brute force") {
+    val brute = SparkEntry.queries("n01_knn_cosine")(spark, dir)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("sim")).toMap
+    val ivf = SparkEntry.queries("n05_knn_ivf")(spark, dir)
+      .filter(col("rnk") === 1).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      assert(r.getAs[Long]("neighbor_id") == p) // own cell contains self
+      assert(r.getAs[Double]("sim") <= brute(p) + 1e-12)
+    }
+  }
+
+  test("plan regression: q01 pushes the shipdate filter into the scan") {
+    val plan = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter in:\n$plan")
+    assert(!plan.contains("l_orderkey"), "column pruning lost: l_orderkey read")
+  }
+
+  test("plan regression: q03 plans a top-k (TakeOrderedAndProject)") {
+    val plan = SparkEntry.queries("q03_topk_revenue")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
+  }
+
+  test("plan regression: q05 broadcasts the dimension tables") {
+    val plan = SparkEntry.queries("q05_nation_revenue")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("salted join equals plain join exactly") {
+    val salted = SparkEntry.queries("k01_salted_join")(spark, dir).collect()
+    val plain = Engine.table(spark, dir, "orders")
+      .join(Engine.table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("simhash64 is deterministic and order-sensitive only via token multiset") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
