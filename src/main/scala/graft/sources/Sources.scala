@@ -80,6 +80,17 @@ object Sources {
             GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     },
 
+    // DataSourceV2 scan extension (TableScanFunction parity): partitioned
+    // series source with projection pushdown.
+    "s08_dsv2_series" -> { (s, dir) =>
+      s.read.format("graft.sources.seriesv2.SeriesSource")
+        .option("start", "1").option("end", "1001").option("partitions", "8")
+        .load()
+        .filter(col("id") % 9 === 0)
+        .select(col("id"), col("id_sq"))
+        .orderBy("id")
+    },
+
     // Catalog listing (list_tables / memory_scan family,
     // functions/table/builtin/list_entries.rs): temp views in the session.
     "s06_list_tables" -> { (s, dir) =>
@@ -110,6 +121,10 @@ object Sources {
         ('orders.parquet'), ('part.parquet'), ('region.parquet'),
         ('supplier.parquet')) t(file_name)
       ORDER BY file_name""",
+
+    "s08_dsv2_series" -> """
+      SELECT CAST(range AS BIGINT) AS id, CAST(range * range AS BIGINT) AS id_sq
+      FROM RANGE(1, 1001) WHERE range % 9 = 0 ORDER BY id""",
 
     "s04_path_as_table" -> """
       SELECT count(*) AS n, CAST(MIN(l_orderkey) AS BIGINT) AS min_key

@@ -187,6 +187,19 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("DSv2 series source prunes unprojected columns") {
+    val df = spark.read.format("graft.sources.seriesv2.SeriesSource")
+      .option("start", "1").option("end", "101").load()
+      .select(col("id"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.isDefined, "no BatchScanExec in plan")
+    assert(scan.get.scan.readSchema().fieldNames.toSeq == Seq("id"),
+      s"pruning failed: ${scan.get.scan.readSchema()}")
+    assert(df.count() == 100)
+  }
+
   test("salted join equals plain join exactly") {
     val salted = SparkEntry.queries("k01_salted_join")(spark, dir).collect()
     val plain = Engine.table(spark, dir, "orders")
