@@ -30,6 +30,7 @@ object SparkEntry {
       graft.sources.Introspection.queries ++
       graft.sources.TpchGen.queries ++
       graft.operators.Skew.queries ++
+      graft.operators.Skew.bucketedQueries ++
       graft.functions.Aggregators.queries ++
       graft.streaming.Streaming.queries
 

@@ -45,7 +45,61 @@ object Skew {
         .orderBy("c_mktsegment")
     })
 
+  /** Bucketed tables: co-locate both join sides on the key at write time,
+    * so repeated joins/aggregations on that key run with NO shuffle — the
+    * standard layout for a 100 TB fact table that is joined on the same
+    * key by every downstream pipeline. Returns the bucketed table names. */
+  def writeBucketed(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      nBuckets: Int): (String, String) = {
+    val tag = Integer.toHexString(dir.hashCode).take(8)
+    val (to, tc) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
+    if (!spark.catalog.tableExists(to)) {
+      // the in-memory catalog is per-JVM but the warehouse dir persists:
+      // purge stale locations from earlier runs before re-creating
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      Seq(to, tc).foreach { tbl =>
+        val f = new java.io.File(wh, tbl)
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+      }
+      t(spark, dir, "orders")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(to)
+      t(spark, dir, "customer")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(tc)
+    }
+    (to, tc)
+  }
+
+  val bucketedQueries: Map[String, Q] = Map(
+    // Join of two tables bucketed on the join key: zero Exchange nodes
+    // (asserted by spec) — at scale the only cost is the local merge.
+    "k02_bucketed_join" -> { (s, dir) =>
+      val (to, tc) = writeBucketed(s, dir, 8)
+      s.table(to).hint("merge")
+        .join(s.table(tc).hint("merge"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumd(dbig(col("o_totalprice"))).as("total"))
+        .orderBy("c_mktsegment")
+    })
+
   val oracles: Map[String, String] = Map(
+    "k02_bucketed_join" -> s"""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             ${sql.sumd(sql.dbig("o_totalprice"))} AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     "k01_salted_join" -> s"""
       SELECT c_mktsegment, COUNT(*) AS n_orders,
              ${sql.sumd(sql.dbig("o_totalprice"))} AS total

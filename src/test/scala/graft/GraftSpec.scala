@@ -200,6 +200,15 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 100)
   }
 
+  test("bucketed join plans no shuffle exchange for the join") {
+    val (to, tc) = graft.operators.Skew.writeBucketed(spark, dir, 8)
+    val joined = spark.table(to).hint("merge")
+      .join(spark.table(tc).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+  }
+
   test("salted join equals plain join exactly") {
     val salted = SparkEntry.queries("k01_salted_join")(spark, dir).collect()
     val plain = Engine.table(spark, dir, "orders")
