@@ -32,7 +32,8 @@ object SparkEntry {
       graft.operators.Skew.queries ++
       graft.operators.Skew.bucketedQueries ++
       graft.functions.Aggregators.queries ++
-      graft.streaming.Streaming.queries
+      graft.streaming.Streaming.queries ++
+      graft.streaming.Streaming.joinQueries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++

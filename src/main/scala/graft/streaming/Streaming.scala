@@ -140,7 +140,52 @@ object Streaming {
         .orderBy("user_id", "session_id")
     })
 
+  private val evSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  val joinQueries: Map[String, Q] = Map(
+    // Stream-stream inner join with event-time range condition: signups
+    // joined to the same user's purchases within the following hour.
+    // Watermarks bound the join state on both sides — at scale this is
+    // what keeps an unbounded two-stream join's state finite. Inner
+    // matches emit as they arrive, so a single-batch drain is complete
+    // and deterministic; the oracle is the equivalent batch self-join.
+    "st04_stream_stream_join" -> { (s, dir) =>
+      val sinkName = "st04_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      def side(kind: String, idAs: String, tsAs: String) =
+        s.readStream.schema(evSchema).parquet(stageDir(dir))
+          .filter(col("event_type") === kind)
+          .select(col("user_id"),
+            col("event_id").as(idAs),
+            timestamp_micros(expr("ts DIV 1000")).as(tsAs))
+          .withWatermark(tsAs, "1 hour")
+      val signups = side("signup", "signup_id", "signup_time")
+      val purchases = side("purchase", "purchase_id", "purchase_time")
+        .withColumnRenamed("user_id", "p_user_id")
+      val q = signups.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_time") > col("signup_time") &&
+            col("purchase_time") <= col("signup_time") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("signup_id"), col("purchase_id"))
+        .writeStream.outputMode("append").format("memory").queryName(sinkName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(sinkName).orderBy("user_id", "signup_id", "purchase_id")
+    })
+
   val oracles: Map[String, String] = Map(
+    "st04_stream_stream_join" -> """
+      SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'signup' AND b.event_type = 'purchase'
+       AND epoch_us(b.ts) > epoch_us(a.ts)
+       AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+      ORDER BY a.user_id, signup_id, purchase_id""",
+
     // Window start = hour-aligned epoch; reconstruct via make_timestamp(µs).
     "st01_stream_hourly" -> s"""
       SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start,
