@@ -112,6 +112,48 @@ object Extended {
       """)
     },
 
+    // Parameterized query — the reference's extended-protocol
+    // prepare/bind surface (engine/session.rs:192,206). Spark 4 binds
+    // named parameters server-side.
+    "q70_parameterized" -> { (s, dir) =>
+      t(s, dir, "orders")
+      s.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders " +
+          "WHERE o_totalprice > :minPrice AND o_orderstatus = :status " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        Map("minPrice" -> 200000, "status" -> "F"))
+    },
+
+    // SQL session variables (reference `slt/standard/vars/`): DECLARE /
+    // SET VAR / reference in a query.
+    "q71_sql_variables" -> { (s, dir) =>
+      t(s, dir, "customer")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_min_bal DOUBLE DEFAULT 0.0")
+      s.sql("SET VAR graft_min_bal = 9500.0")
+      s.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM customer WHERE c_acctbal > graft_min_bal
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """)
+    },
+
+    // Views: named SQL re-bound at use (catalog/entry.rs View;
+    // slt/standard/views/).
+    "q72_view_ddl" -> { (s, dir) =>
+      t(s, dir, "orders")
+      s.sql("""
+        CREATE OR REPLACE TEMP VIEW graft_big_orders AS
+        SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000
+      """)
+      s.sql("""
+        SELECT o_custkey, COUNT(*) AS n
+        FROM graft_big_orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 2
+        ORDER BY o_custkey
+      """)
+    },
+
     // DESCRIBE: schema surfaced as rows (reference: plan_describe.rs).
     "q68_describe" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -170,6 +212,24 @@ object Extended {
         CAST(p_size AS VARCHAR) AS s_sz,
         MAKE_TIMESTAMP(p_partkey * 1000 * 1000000) AS ep
       FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
+
+    "q70_parameterized" -> """
+      SELECT o_orderpriority, COUNT(*) AS n FROM orders
+      WHERE o_totalprice > 200000 AND o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q71_sql_variables" -> """
+      SELECT c_mktsegment, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 9500.0
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q72_view_ddl" -> """
+      SELECT o_custkey, COUNT(*) AS n
+      FROM (SELECT o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > 300000) graft_big_orders
+      GROUP BY o_custkey
+      HAVING COUNT(*) >= 2
+      ORDER BY o_custkey""",
 
     "q68_describe" -> """
       SELECT col_name, data_type FROM (VALUES

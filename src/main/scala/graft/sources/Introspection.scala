@@ -74,6 +74,22 @@ object Introspection {
       queryInfo(s.sql(
         "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"))
         .select(col("n_output_cols"))
+    },
+
+    // execution_profile(): runtime SQL metrics after forcing execution
+    // (EXPLAIN ANALYZE analogue). Row counts are deterministic; time
+    // metrics are not, so only the stable subset is projected.
+    "p03_execution_profile" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+      val df = s.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag")
+      df.write.format("noop").mode("overwrite").save()
+      val metrics = df.queryExecution.executedPlan.collect {
+        case p => p.metrics.get("numOutputRows").map(m => (p.nodeName, m.value))
+      }.flatten
+      metrics.filter(_._1.contains("HashAggregate"))
+        .map(_._2).sorted.map(v => Tuple1(v)).toDF("num_output_rows")
     })
 
   val oracles: Map[String, String] = Map(
