@@ -78,18 +78,25 @@ object Introspection {
 
     // execution_profile(): runtime SQL metrics after forcing execution
     // (EXPLAIN ANALYZE analogue). Row counts are deterministic; time
-    // metrics are not, so only the stable subset is projected.
+    // metrics are not, so only row-count metrics are surfaced.
     "p03_execution_profile" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem")
       val df = s.sql(
         "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag")
-      df.write.format("noop").mode("overwrite").save()
-      val metrics = df.queryExecution.executedPlan.collect {
-        case p => p.metrics.get("numOutputRows").map(m => (p.nodeName, m.value))
+      val nRows = df.collect().length.toLong // executes THIS QueryExecution
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val aggRows = finalPlan.collect {
+        case p if p.nodeName.contains("HashAggregate") =>
+          p.metrics.get("numOutputRows").map(m => (p.nodeName, m.value))
       }.flatten
-      metrics.filter(_._1.contains("HashAggregate"))
-        .map(_._2).sorted.map(v => Tuple1(v)).toDF("num_output_rows")
+      (Seq(("result_rows", nRows)) ++ aggRows)
+        .sortBy(x => (x._1, x._2))
+        .toDF("metric", "rows")
     })
 
   val oracles: Map[String, String] = Map(
