@@ -27,6 +27,10 @@ object Engine {
     b.config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // coalesce by advisory size (64MB), not parallelism: small shuffles
+      // collapse to few tasks (less scheduling overhead at low SF) while
+      // big inputs still fan out by size — the production setting.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
