@@ -31,6 +31,9 @@ object Bench {
     "n02_knn_dot_int",     // quantized dot KNN
     "o02_or_predicate_join", // OR-distributed join filters
     "o05_having_in",       // HAVING-IN pipeline
+    "cb04_top_users",      // heavy-hitter top-k
+    "cb05_daily_histogram", // time histogram + distinct
+    "k02_bucketed_join",   // shuffle-free co-located join
     "t04_fingerprint")     // text normalize + md5
 
   def main(args: Array[String]): Unit = {

@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Funcs.queries ++
       graft.queries.Extended.queries ++
       graft.queries.OptimizerShapes.queries ++
+      graft.queries.ClickBenchShapes.queries ++
       graft.operators.Multimodal.queries ++
       graft.operators.TextOps.queries ++
       graft.operators.Dedup.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.queries.Funcs.oracles ++
       graft.queries.Extended.oracles ++
       graft.queries.OptimizerShapes.oracles ++
+      graft.queries.ClickBenchShapes.oracles ++
       graft.operators.Multimodal.oracles ++
       graft.operators.TextOps.oracles ++
       graft.operators.Dedup.oracles ++

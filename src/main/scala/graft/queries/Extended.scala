@@ -154,6 +154,23 @@ object Extended {
       """)
     },
 
+    // Partitioned COPY TO + partition-pruned read-back: the hive-style
+    // layout that turns a 100 TB scan into a single-partition read when
+    // the filter hits the partition column (PartitionFilters in the plan,
+    // spec-asserted).
+    "q73_partitioned_write" -> { (s, dir) =>
+      val out = s"target/tmp_sources/lineitem_by_flag_${Integer.toHexString(dir.hashCode)}"
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        t(s, dir, "lineitem")
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+      }
+      s.read.parquet(out)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumd(drate(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_linestatus")
+    },
+
     // DESCRIBE: schema surfaced as rows (reference: plan_describe.rs).
     "q68_describe" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -230,6 +247,12 @@ object Extended {
       GROUP BY o_custkey
       HAVING COUNT(*) >= 2
       ORDER BY o_custkey""",
+
+    "q73_partitioned_write" -> s"""
+      SELECT l_linestatus, COUNT(*) AS n,
+             ${sql.sumd(sql.drate("l_quantity"))} AS sum_qty
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_linestatus ORDER BY l_linestatus""",
 
     "q68_describe" -> """
       SELECT col_name, data_type FROM (VALUES

@@ -200,6 +200,16 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 100)
   }
 
+  test("partitioned write enables partition pruning on read-back") {
+    SparkEntry.queries("q73_partitioned_write")(spark, dir).count() // ensure written
+    val out = s"target/tmp_sources/lineitem_by_flag_${Integer.toHexString(dir.hashCode)}"
+    val plan = spark.read.parquet(out)
+      .filter(col("l_returnflag") === "R")
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"no partition pruning in:\n$plan")
+  }
+
   test("bucketed join plans no shuffle exchange for the join") {
     val (to, tc) = graft.operators.Skew.writeBucketed(spark, dir, 8)
     val joined = spark.table(to).hint("merge")
