@@ -123,32 +123,35 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** simhash64(tokens) — 64-bit SimHash of an array of string tokens.
-  *
-  * Each token is hashed with FNV-1a 64 (public-domain construction); each of
-  * the 64 output bits is the sign of the +/-1 vote sum across token hashes.
-  * Near-duplicate documents land within a small Hamming distance, which the
-  * dedup operator exploits by banding the 64 bits into 16-bit keys.
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def prettyName: String = "simhash64"
-  override def dataType: DataType = LongType
 
-  private def fnv1a64(bytes: Array[Byte]): Long = {
+/** JVM kernels shared by the sketch expressions' interpreted eval and
+  * generated code. Top-level object => scalac emits static forwarders, so
+  * Janino-generated Java calls these directly and the surrounding stage
+  * stays inside whole-stage codegen (no CodegenFallback row boxing).
+  */
+object SketchKernels {
+  def fnv1a64(bytes: Array[Byte], off: Int, len: Int): Long = {
     var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    var i = off
+    val end = off + len
+    while (i < end) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
     h
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def simhash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = fnv1a64(arr.getUTF8String(i).getBytes)
+        val bytes = arr.getUTF8String(i).getBytes
+        val h = fnv1a64(bytes, 0, bytes.length)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -163,6 +166,63 @@ case class SimHash64(child: Expression)
     out
   }
 
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val seeds = new Array[Long](k)
+    var j = 0
+    while (j < k) { seeds(j) = splitmix64(0x9e3779b97f4a7c15L * (j + 1)); j += 1 }
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        j = 0
+        while (j < k) {
+          val mixed = splitmix64(h ^ seeds(j))
+          if (mixed < out(j)) out(j) = mixed
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def shingleHashes(str: UTF8String, n: Int): ArrayData = {
+    val bytes = str.getBytes
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (bytes.length <= n) {
+      seen.add(fnv1a64(bytes, 0, bytes.length))
+    } else {
+      var i = 0
+      while (i + n <= bytes.length) { seen.add(fnv1a64(bytes, i, n)); i += 1 }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** simhash64(tokens) — 64-bit SimHash of an array of string tokens.
+  *
+  * Each token is hashed with FNV-1a 64 (public-domain construction); each of
+  * the 64 output bits is the sign of the +/-1 vote sum across token hashes.
+  * Near-duplicate documents land within a small Hamming distance, which the
+  * dedup operator exploits by banding the 64 bits into 16-bit keys.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.simhash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.simhash64($c);")
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -175,47 +235,18 @@ case class SimHash64(child: Expression)
   * overflow on affine permutations by using splitmix64 mixing.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
   override def dataType: DataType = ArrayType(LongType)
 
-  private lazy val seeds: Array[Long] = {
-    val out = new Array[Long](k)
-    var j = 0
-    while (j < k) { out(j) = MinHashSignature.splitmix64(0x9e3779b97f4a7c15L * (j + 1)); j += 1 }
-    out
-  }
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.minhashSig(v.asInstanceOf[ArrayData], k)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val out = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val h = arr.getLong(i)
-        var j = 0
-        while (j < k) {
-          val mixed = MinHashSignature.splitmix64(h ^ seeds(j))
-          if (mixed < out(j)) out(j) = mixed
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.minhashSig($c, $k);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-object MinHashSignature {
-  /** splitmix64 finalizer (public-domain construction). */
-  def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
 }
 
 /** shingle_hashes(str, n) — distinct hashed character n-grams, one pass.
@@ -228,42 +259,20 @@ object MinHashSignature {
   * (intersect/union, minhash_sig) are order-insensitive.
   */
 case class ShingleHashes(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def prettyName: String = "shingle_hashes"
   override def dataType: DataType = ArrayType(LongType)
 
-  override def nullSafeEval(str: Any, nAny: Any): Any = {
-    val bytes = str.asInstanceOf[UTF8String].getBytes
-    val n = nAny.asInstanceOf[Number].intValue()
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    if (bytes.length <= n) {
-      seen.add(ShingleHashes.fnv1a64(bytes, 0, bytes.length))
-    } else {
-      var i = 0
-      while (i + n <= bytes.length) {
-        seen.add(ShingleHashes.fnv1a64(bytes, i, n))
-        i += 1
-      }
-    }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+  override def nullSafeEval(str: Any, nAny: Any): Any =
+    SketchKernels.shingleHashes(str.asInstanceOf[UTF8String],
+      nAny.asInstanceOf[Number].intValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchKernels.shingleHashes($a, (int) $b);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
-}
-
-object ShingleHashes {
-  def fnv1a64(bytes: Array[Byte], off: Int, len: Int): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = off
-    val end = off + len
-    while (i < end) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-    h
-  }
 }
 
 /** SQL registration so queries can use these via `expr("cosine_sim(a,b)")`. */
