@@ -73,6 +73,34 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Deterministic train/test split — hash-based assignment is the only
+    // split that is reproducible, cluster-order-independent, and stable
+    // under re-partitioning at 100 TB (never use rand()). The md5-prefix
+    // threshold is engine-portable, so the split itself is oracle-checked.
+    "t05_train_test_split" -> { (s, dir) =>
+      val bucket = substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2)
+      t(s, dir, "documents")
+        .withColumn("split", when(bucket < "cd", "train").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("lang", "split")
+    },
+
+    // Stratified sampling by language (training-data rebalancing):
+    // deterministic via the same hash-bucket device, one rate per stratum.
+    "t06_stratified_sample" -> { (s, dir) =>
+      // per-stratum keep rate via hash-prefix threshold: 'cc'~80%,
+      // '66'~40%, '33'~20% of the uniform md5 space
+      val prefix = substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2)
+      val threshold = when(col("lang") === "en", "cc")
+        .when(col("lang") === "zh", "66").otherwise("33")
+      t(s, dir, "documents")
+        .filter(prefix < threshold)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"))
+        .orderBy("lang")
+    },
+
     "t04_fingerprint" -> { (s, dir) =>
       val nc = norm(col("text"))
       t(s, dir, "documents")
@@ -126,6 +154,24 @@ object TextOps {
             AS bpe_tokens,
           CAST(LENGTH(text) AS INT) AS n_chars
         FROM documents ORDER BY doc_id""",
+
+      "t05_train_test_split" -> """
+        SELECT lang,
+          CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+               THEN 'train' ELSE 'test' END AS split,
+          COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id
+        FROM documents
+        GROUP BY lang, split
+        ORDER BY lang, split""",
+
+      "t06_stratified_sample" -> """
+        SELECT lang, COUNT(*) AS n_sampled, CAST(MIN(doc_id) AS BIGINT) AS min_id
+        FROM documents
+        WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <
+              (CASE WHEN lang = 'en' THEN 'cc'
+                    WHEN lang = 'zh' THEN '66' ELSE '33' END)
+        GROUP BY lang
+        ORDER BY lang""",
 
       "t04_fingerprint" -> s"""
         SELECT doc_id,
