@@ -90,5 +90,20 @@ object GlareCompat {
     f("to_string")(es => Cast(es.head, StringType))
     f("to_binary")(es => Cast(es.head, BinaryType))
     f("to_date")(es => Cast(es.head, DateType))
+
+    // generate_series(start, stop[, step]) — inclusive-stop table function
+    // (reference functions/table/builtin/series.rs:19). Registered as a
+    // real Spark TVF resolving to a Range logical node.
+    val tvfReg = spark.sessionState.tableFunctionRegistry
+    tvfReg.createOrReplaceTempFunction("generate_series", { es: Seq[Expression] =>
+      def longOf(e: Expression): Long =
+        e.eval().asInstanceOf[Number].longValue()
+      val start = longOf(es(0))
+      val stop = longOf(es(1))
+      val step = if (es.length > 2) longOf(es(2)) else 1L
+      // Range is exclusive of end; generate_series is inclusive
+      val end = if (step > 0) stop + 1 else stop - 1
+      org.apache.spark.sql.catalyst.plans.logical.Range(start, end, step, None)
+    }, "built-in")
   }
 }
