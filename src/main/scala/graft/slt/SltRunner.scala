@@ -72,7 +72,9 @@ object SltRunner {
 
     def prepare(sql0: String): String = {
       var sql = sql0
-      // dialect shims: TEXT type alias, anonymous-VALUES column naming
+      // dialect shims: TEXT type alias, anonymous-VALUES column naming.
+      // (A '::' cast rewrite was tried and reverted: net-negative on the
+      // corpus — simple-operand regexes misfire inside larger expressions.)
       sql = sql.replaceAll("(?i)\\bTEXT\\b", "STRING")
       sql = sql.replaceAll("(?i)\\bcolumn(\\d+)\\b", "col$1")
       val createRe = """(?is)^\s*CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+(\w+)""".r
