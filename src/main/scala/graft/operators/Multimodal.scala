@@ -26,6 +26,8 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     // Expression-level binary ops: payload synthesis, length, hash, slice
     // ("thumbnail" stub) — oracle-checked against DuckDB BLOB functions.
+    // The binary thumbnail slice is hex-encoded for the driver harness
+    // (pandas cannot hash bytearray cells).
     "m01_binary_payload" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -33,7 +35,7 @@ object Multimodal {
         .select(col("doc_id"),
           length(col("payload")).as("byte_len"),
           md5(col("payload")).as("payload_md5"),
-          substring(col("payload"), 1, 8).as("thumb"))
+          hex(substring(col("payload"), 1, 8)).as("thumb"))
         .orderBy("doc_id")
     },
 
@@ -55,8 +57,12 @@ object Multimodal {
             Array.tabulate(4)(f => if (bytes.length > f) bytes(f) & 0xff else 0))
         }
       }.toDF()
+        // frames serialized to JSON and the mean rounded: the byte sum is an
+        // exact integer in double arithmetic, so round(…, 6) is
+        // deterministic across engines and the row is harness-hashable.
         .select(col("doc_id"), col("byte_len"),
-          col("mean_byte"), col("frames"))
+          round(col("mean_byte"), 6).as("mean_byte"),
+          to_json(col("frames")).as("frames"))
         .orderBy("doc_id")
     })
 
@@ -65,6 +71,20 @@ object Multimodal {
       SELECT doc_id,
         CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
         MD5(text) AS payload_md5,
-        ENCODE(SUBSTRING(text, 1, 8)) AS thumb
+        HEX(ENCODE(SUBSTRING(text, 1, 8))) AS thumb
+      FROM documents ORDER BY doc_id""",
+
+    // The fixture text is pure ASCII (verified: octet_length(encode(text)) =
+    // length(text) for every row), so byte values equal code points and the
+    // decode-stub features are exactly reproducible in SQL.
+    "m02_decode_features" -> """
+      SELECT doc_id,
+        CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
+        ROUND(LIST_AVG(LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1),
+          i -> UNICODE(SUBSTRING(text, CAST(i AS INT), 1)))), 6) AS mean_byte,
+        CAST(TO_JSON(LIST_TRANSFORM(RANGE(1, 5),
+          f -> CASE WHEN LENGTH(text) >= f
+                    THEN UNICODE(SUBSTRING(text, CAST(f AS INT), 1))
+                    ELSE 0 END)) AS VARCHAR) AS frames
       FROM documents ORDER BY doc_id""")
 }

@@ -82,22 +82,30 @@ object Aggregates {
         .orderBy("s_nationkey")
     },
 
+    // supp_keys serialized to JSON text so the driver harness can hash it
+    // (pandas cannot factorize ndarray cells).
     "q44_collect_array" -> { (s, dir) =>
       t(s, dir, "supplier")
         .groupBy(col("s_nationkey"))
-        .agg(sort_array(collect_list(col("s_suppkey"))).as("supp_keys"),
+        .agg(to_json(sort_array(collect_list(col("s_suppkey")))).as("supp_keys"),
           count(lit(1)).as("n"))
         .orderBy("s_nationkey")
     },
 
+    // The array-percentile result is surfaced as two scalar columns
+    // (driver-harness hashability); values rounded to 6dp for cross-engine
+    // float determinism.
     "q45_percentiles" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("percentile(l_quantity, 0.5)").as("median_qty"),
-          expr("percentile(l_quantity, 0.25)").as("q1_qty"),
-          expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr_qty"),
-          median(col("l_quantity")).as("median_fn"))
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("q1_qty"),
+          round(element_at(expr("percentile(l_quantity, array(0.25, 0.75))"), 1), 6)
+            .as("iqr_lo"),
+          round(element_at(expr("percentile(l_quantity, array(0.25, 0.75))"), 2), 6)
+            .as("iqr_hi"),
+          round(median(col("l_quantity")), 6).as("median_fn"))
         .orderBy("l_returnflag")
     },
 
@@ -174,16 +182,19 @@ object Aggregates {
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
 
     "q44_collect_array" -> """
-      SELECT s_nationkey, LIST(s_suppkey ORDER BY s_suppkey) AS supp_keys,
+      SELECT s_nationkey,
+             CAST(TO_JSON(LIST(s_suppkey ORDER BY s_suppkey)) AS VARCHAR)
+               AS supp_keys,
              COUNT(*) AS n
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
 
     "q45_percentiles" -> """
       SELECT l_returnflag,
-        QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
-        QUANTILE_CONT(l_quantity, 0.25) AS q1_qty,
-        QUANTILE_CONT(l_quantity, [0.25, 0.75]) AS iqr_qty,
-        QUANTILE_CONT(l_quantity, 0.5) AS median_fn
+        ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_qty,
+        ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS q1_qty,
+        ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS iqr_lo,
+        ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS iqr_hi,
+        ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_fn
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q46_count_if" -> """

@@ -150,6 +150,9 @@ object Funcs {
         .orderBy("c_custkey")
     },
 
+    // The slice result is serialized to a decimal-formatted CSV string:
+    // the driver harness cannot hash ndarray cells, and fixed-scale decimal
+    // strings are bit-identical across engines (raw float JSON is not).
     "q56_list_funcs" -> { (s, dir) =>
       t(s, dir, "embeddings")
         .filter(col("vec_id") <= 100)
@@ -157,7 +160,9 @@ object Funcs {
           col("vec_id"),
           element_at(col("embedding"), 1).as("e1"),
           size(col("embedding")).as("n"),
-          slice(col("embedding"), 2, 3).as("sl"),
+          concat_ws(",", transform(slice(col("embedding"), 2, 3),
+            x => round(x.cast(DoubleType), 4).cast(DecimalType(12, 4))
+              .cast(StringType))).as("sl"),
           element_at(reverse(col("embedding")), 1).as("e_last"),
           array_max(col("embedding")).as("emax"),
           array_min(col("embedding")).as("emin"))
@@ -179,15 +184,22 @@ object Funcs {
         .orderBy("vec_id", "pos")
     },
 
+    // The struct is built with named_struct and read back with getField,
+    // then rendered to a deterministic text form for the driver harness
+    // (pandas cannot hash dict cells; JSON float formatting differs across
+    // engines, so fields are concatenated with explicit string casts).
     "q59_struct_funcs" -> { (s, dir) =>
       t(s, dir, "customer")
         .filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          named_struct(lit("key"), col("c_custkey"), lit("bal"), col("c_acctbal"))
+            .as("stx"))
         .select(
           col("c_custkey"),
-          named_struct(lit("key"), col("c_custkey"), lit("bal"), col("c_acctbal"))
-            .as("st"),
-          named_struct(lit("key"), col("c_custkey"), lit("bal"), col("c_acctbal"))
-            .getField("bal").as("bal2"))
+          concat(lit("{key:"), col("stx").getField("key").cast(StringType),
+            lit(",bal:"), col("stx").getField("bal").cast(StringType),
+            lit("}")).as("st"),
+          col("stx").getField("bal").as("bal2"))
         .orderBy("c_custkey")
     },
 
@@ -313,7 +325,9 @@ object Funcs {
       SELECT vec_id,
         embedding[1] AS e1,
         CAST(LEN(embedding) AS INT) AS n,
-        embedding[2:4] AS sl,
+        ARRAY_TO_STRING(LIST_TRANSFORM(embedding[2:4],
+          x -> CAST(CAST(ROUND(CAST(x AS DOUBLE), 4) AS DECIMAL(12,4))
+                 AS VARCHAR)), ',') AS sl,
         embedding[LEN(embedding)] AS e_last,
         LIST_MAX(embedding) AS emax,
         LIST_MIN(embedding) AS emin
@@ -331,7 +345,10 @@ object Funcs {
 
     "q59_struct_funcs" -> """
       SELECT c_custkey,
-        {'key': c_custkey, 'bal': c_acctbal} AS st,
+        '{key:' || CAST(STRUCT_EXTRACT({'key': c_custkey, 'bal': c_acctbal},
+            'key') AS VARCHAR) ||
+        ',bal:' || CAST(STRUCT_EXTRACT({'key': c_custkey, 'bal': c_acctbal},
+            'bal') AS VARCHAR) || '}' AS st,
         STRUCT_EXTRACT({'key': c_custkey, 'bal': c_acctbal}, 'bal') AS bal2
       FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",
 
