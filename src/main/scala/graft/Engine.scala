@@ -39,7 +39,12 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // driver-fixtures are small files; keep splits reasonable locally
       .config("spark.sql.files.maxPartitionBytes", "128m")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // 8 MB: dimension tables always broadcast; fact tables (lineitem is
+      // ~10 MB at sf0.1, ~10 GB at sf100) never do — a 64 MB threshold made
+      // the fact table a broadcast build side at small sf, which is the
+      // wrong plan shape to scale up. AQE still broadcasts runtime-small
+      // intermediates.
+      .config("spark.sql.autoBroadcastJoinThreshold", (8L << 20).toString)
 
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",

@@ -60,8 +60,55 @@ object GlareCompat {
     // string (string/strpos.rs, trim.rs, case.rs, ...)
     f("strpos")(es => StringLocate(es(1), es(0), Literal(1)))
     f("byte_length")(es => OctetLength(es.head))
-    // nested types (list/list_extract.rs — 1-based, struct_funcs.rs)
-    f("list_extract")(es => ElementAt(es(0), es(1)))
+    f("ends_with")(es => EndsWith(es(0), es(1)))
+    f("starts_with")(es => StartsWith(es(0), es(1)))
+    f("suffix")(es => EndsWith(es(0), es(1)))
+    f("prefix")(es => StartsWith(es(0), es(1)))
+    // Postgres negative-length semantics for left/right (string/case.rs
+    // family): right(s,-n) drops the first n chars, left(s,-n) the last n.
+    f("right") { es =>
+      val (s, n) = (es(0), Cast(es(1), IntegerType))
+      If(LessThan(n, Literal(0)),
+        Substring(s, Add(UnaryMinus(n), Literal(1)), Literal(Int.MaxValue)),
+        If(EqualTo(n, Literal(0)), Literal(""),
+          Substring(s, UnaryMinus(n), Literal(Int.MaxValue))))
+    }
+    f("left") { es =>
+      val (s, n) = (es(0), Cast(es(1), IntegerType))
+      If(LessThan(n, Literal(0)),
+        Substring(s, Literal(1),
+          Greatest(Seq(Add(Length(s), n), Literal(0)))),
+        Substring(s, Literal(1), n))
+    }
+    // function-form operators (arith/add.rs … binary/shl.rs, boolean.rs,
+    // is.rs, negate.rs — GlareDB exposes every operator as a function; and/
+    // or are variadic)
+    f("add")(es => Add(es(0), es(1)))
+    f("sub")(es => Subtract(es(0), es(1)))
+    f("mul")(es => Multiply(es(0), es(1)))
+    f("div")(es => Divide(es(0), es(1)))
+    f("rem")(es => Remainder(es(0), es(1)))
+    f("negate")(es => UnaryMinus(es.head))
+    f("and")(es => es.reduceLeft(And))
+    f("or")(es => es.reduceLeft(Or))
+    f("not")(es => Not(es.head))
+    f("bitand")(es => BitwiseAnd(es(0), es(1)))
+    f("bitor")(es => BitwiseOr(es(0), es(1)))
+    f("xor")(es => BitwiseXor(es(0), es(1)))
+    f("bitnot")(es => BitwiseNot(es.head))
+    f("shl")(es => ShiftLeft(es(0), es(1)))
+    f("shr")(es => ShiftRight(es(0), es(1)))
+    f("is_true")(es => EqualNullSafe(es.head, Literal(true)))
+    f("is_false")(es => EqualNullSafe(es.head, Literal(false)))
+    f("is_not_true")(es => Not(EqualNullSafe(es.head, Literal(true))))
+    f("is_not_false")(es => Not(EqualNullSafe(es.head, Literal(false))))
+    f("is_null")(es => IsNull(es.head))
+    f("is_not_null")(es => IsNotNull(es.head))
+    f("is_distinct_from")(es => Not(EqualNullSafe(es(0), es(1))))
+    f("is_not_distinct_from")(es => EqualNullSafe(es(0), es(1)))
+    // nested types (list/list_extract.rs — 1-based, out-of-bounds → NULL,
+    // struct_funcs.rs)
+    f("list_extract")(es => ElementAt(es(0), es(1), None, failOnError = false))
     f("list_value")(es => CreateArray(es))
     f("struct_extract")(es => UnresolvedExtractValue(es(0), es(1)))
     // datetime (datetime/epoch.rs:16,34)
@@ -96,14 +143,187 @@ object GlareCompat {
     // real Spark TVF resolving to a Range logical node.
     val tvfReg = spark.sessionState.tableFunctionRegistry
     tvfReg.createOrReplaceTempFunction("generate_series", { es: Seq[Expression] =>
-      def longOf(e: Expression): Long =
+      if (es.length < 2 || es.length > 3)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_2300",
+          messageParameters = Map("message" ->
+            s"generate_series expects 2 or 3 arguments, got ${es.length}"))
+      def longOf(e: Expression): Long = {
+        if (!e.foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_2300",
+            messageParameters = Map("message" ->
+              "generate_series arguments must be constant"))
         e.eval().asInstanceOf[Number].longValue()
+      }
       val start = longOf(es(0))
       val stop = longOf(es(1))
       val step = if (es.length > 2) longOf(es(2)) else 1L
+      if (step == 0)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_2300",
+          messageParameters = Map("message" -> "generate_series step must not be zero"))
       // Range is exclusive of end; generate_series is inclusive
       val end = if (step > 0) stop + 1 else stop - 1
       org.apache.spark.sql.catalyst.plans.logical.Range(start, end, step, None)
     }, "built-in")
+
+    registerTableFunctions(spark, tvfReg)
+  }
+
+  // -- system/file table functions (reference functions/table/builtin/) ------
+
+  /** Base dir for relative paths in SLT corpus files (the reference harness
+    * resolves them against its repo's slt/ dir). */
+  private def sltBase: java.nio.file.Path =
+    java.nio.file.Paths.get(sys.props.getOrElse("graft.slt.base", "/root/reference/slt"))
+
+  /** Expand a possibly-glob path into (display, absolute) pairs, sorted.
+    * Display paths keep the caller's relative prefix (`../testdata/x/a.txt`)
+    * like the reference's `_filename`/glob output. */
+  private def expandPath(pattern: String, filesOnly: Boolean = true)
+      : Seq[(String, java.nio.file.Path)] = {
+    import java.nio.file._
+    val hasGlob = pattern.exists("*?[{".contains(_))
+    if (!hasGlob) {
+      val p = sltBase.resolve(pattern).normalize()
+      if (!Files.exists(p))
+        throw new java.io.FileNotFoundException(s"$pattern: No such file or directory")
+      Seq(pattern -> p)
+    } else {
+      // deepest static prefix dir, then walk + match the remainder
+      val parts = pattern.split("/").toSeq
+      val static = parts.takeWhile(!_.exists("*?[{".contains(_)))
+      val staticStr = static.mkString("/")
+      val dir = (if (staticStr.isEmpty) sltBase
+                 else sltBase.resolve(staticStr)).normalize()
+      if (!Files.isDirectory(dir)) return Nil
+      val rest = parts.drop(static.length).mkString("/")
+      val recursive = rest.contains("**")
+      val matcher = dir.getFileSystem.getPathMatcher("glob:" + rest)
+      val maxDepth = if (recursive) 64 else rest.count(_ == '/') + 1
+      val out = Seq.newBuilder[(String, java.nio.file.Path)]
+      val stream = Files.walk(dir, maxDepth)
+      try {
+        stream.forEach { p =>
+          if ((Files.isRegularFile(p) || (!filesOnly && p != dir)) &&
+            matcher.matches(dir.relativize(p))) {
+            val rel = dir.relativize(p).toString
+            val display = if (staticStr.isEmpty) rel else s"$staticStr/$rel"
+            out += (display -> p)
+          }
+        }
+      } finally stream.close()
+      out.result().sortBy(_._1)
+    }
+  }
+
+  private def utf8Rows(rows: Seq[Seq[Any]]): Seq[org.apache.spark.sql.catalyst.InternalRow] =
+    rows.map(r => org.apache.spark.sql.catalyst.InternalRow.fromSeq(r.map {
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case x => x
+    }))
+
+  private def localRel(cols: Seq[(String, DataType)], rows: Seq[Seq[Any]]) =
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      cols.map { case (n, t) => AttributeReference(n, t, nullable = true)() },
+      utf8Rows(rows))
+
+  /** System-catalog and file TVFs, resolvable from plain `spark.sql` text
+    * (reference `functions/table/builtin/`: glob.rs, read_text.rs,
+    * system/list_tables… — evaluated eagerly at analysis time, which is the
+    * same binding point the reference uses).
+    */
+  private def registerTableFunctions(
+      spark: SparkSession,
+      tvfReg: org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def tf(name: String)(b: Seq[Expression] => LogicalPlan): Unit =
+      tvfReg.createOrReplaceTempFunction(name, b, "built-in")
+    def evalString(e: Expression): String =
+      e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => String.valueOf(other)
+      }
+
+    tf("glob") { es =>
+      // recursive ** yields files only (reference glob.slt counts 27 files);
+      // single-level patterns list directories too
+      val pat = evalString(es.head)
+      val files = expandPath(pat, filesOnly = pat.contains("**"))
+      localRel(Seq("filename" -> StringType), files.map(f => Seq(f._1)))
+    }
+
+    // read_text(path | glob | [paths]) → one row per file, column `content`,
+    // metadata columns _filename/_rowid via a DSv2 table (TextV2)
+    tf("read_text") { es =>
+      val paths: Seq[(String, java.nio.file.Path)] = es.head.dataType match {
+        case _: ArrayType =>
+          val arr = es.head.eval()
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until arr.numElements()).flatMap(i =>
+            expandPath(arr.getUTF8String(i).toString))
+        case _ => expandPath(evalString(es.head))
+      }
+      val table = new graft.sources.textv2.TextTable(
+        paths.map(_._1), paths.map(_._2.toString))
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        .create(table, None, None,
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            java.util.Collections.emptyMap()))
+    }
+
+    // unnest(list) as a table function (table/builtin/unnest.rs)
+    tf("unnest") { es =>
+      val e = es.head
+      e.dataType match {
+        case _: ArrayType =>
+          Project(
+            Seq(Alias(org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute("col"), "unnest")()),
+            Generate(Explode(e), Nil, outer = false, None, Nil, OneRowRelation()))
+        case _ => // unnest(NULL) → empty relation with a null-typed column
+          localRel(Seq("unnest" -> NullType), Nil)
+      }
+    }
+
+    tf("list_databases") { _ =>
+      localRel(Seq("database_name" -> StringType, "access_mode" -> StringType),
+        Seq(Seq("temp", "ReadWrite"), Seq("system", "ReadOnly"),
+          Seq("memory", "ReadWrite")))
+    }
+
+    tf("list_tables") { _ =>
+      val rows = spark.sessionState.catalog.listTables("default")
+        .map(t => Seq(t.table))
+      localRel(Seq("table_name" -> StringType), rows)
+    }
+
+    tf("list_views") { _ =>
+      val cat = spark.sessionState.catalog
+      val temp = cat.getTempViewNames().map(n => Seq(n))
+      localRel(Seq("view_name" -> StringType), temp)
+    }
+
+    tf("list_functions") { _ =>
+      val aggNames = Set("count", "sum", "avg", "min", "max", "stddev",
+        "stddev_pop", "stddev_samp", "var_pop", "var_samp", "variance",
+        "corr", "covar_pop", "covar_samp", "first", "last", "string_agg",
+        "bit_and", "bit_or", "bit_xor", "bool_and", "bool_or",
+        "approx_count_distinct", "percentile", "median", "collect_list",
+        "collect_set", "regr_count", "regr_avgx", "regr_avgy", "regr_r2",
+        "regr_slope", "regr_intercept", "regr_sxx", "regr_syy", "regr_sxy")
+      val aliasOf = Map("ceiling" -> "ceil", "char_length" -> "length",
+        "character_length" -> "length", "lcase" -> "lower",
+        "ucase" -> "upper", "pow" -> "power", "sign" -> "signum")
+      val names = spark.sessionState.functionRegistry.listFunction()
+        .map(_.funcName).distinct.sorted
+      val rows = names.map { n =>
+        val typ = if (aggNames.contains(n)) "aggregate" else "scalar"
+        Seq(n, typ, aliasOf.get(n).orNull)
+      }
+      localRel(Seq("function_name" -> StringType, "function_type" -> StringType,
+        "alias_of" -> StringType), rows)
+    }
   }
 }

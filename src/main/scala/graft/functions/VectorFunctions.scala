@@ -187,6 +187,74 @@ object SketchKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** md5 hex (lowercase, Spark `md5()`-compatible) of the space-joined,
+    * byte-lexicographically sorted tokens of a space-separated string.
+    * One pass, no per-token UTF8String/array allocations beyond the slice
+    * table — replaces split -> array_sort -> concat_ws -> md5 (which
+    * builds and sorts a fresh array of UTF8Strings per row).
+    */
+  def sortedFingerprint(str: UTF8String): UTF8String = {
+    val bytes = str.getBytes
+    // token slice table: start offsets of each token (split on 0x20)
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val lens = new Array[Int](nTok)
+    var tok = 0; var s = 0; i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        starts(tok) = s; lens(tok) = i - s; tok += 1; s = i + 1
+      }
+      i += 1
+    }
+    // sort token indices by unsigned byte order (= UTF-8 binary collation,
+    // identical to Spark array_sort and DuckDB LIST_SORT on varchar)
+    val idx = new Array[Integer](nTok)
+    i = 0; while (i < nTok) { idx(i) = i; i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(x: Integer, y: Integer): Int = {
+        val (sx, lx, sy, ly) = (starts(x), lens(x), starts(y), lens(y))
+        val n = math.min(lx, ly)
+        var j = 0
+        while (j < n) {
+          val c = (bytes(sx + j) & 0xff) - (bytes(sy + j) & 0xff)
+          if (c != 0) return c
+          j += 1
+        }
+        lx - ly
+      }
+    })
+    // join with single spaces (same total length as the input)
+    val joined = new Array[Byte](bytes.length)
+    var p = 0
+    i = 0
+    while (i < nTok) {
+      if (i > 0) { joined(p) = ' '.toByte; p += 1 }
+      System.arraycopy(bytes, starts(idx(i)), joined, p, lens(idx(i)))
+      p += lens(idx(i))
+      i += 1
+    }
+    val md = md5Local.get()
+    md.reset()
+    val digest = md.digest(joined)
+    val hex = new Array[Byte](32)
+    i = 0
+    while (i < 16) {
+      hex(i * 2) = hexDigits((digest(i) >> 4) & 0xf).toByte
+      hex(i * 2 + 1) = hexDigits(digest(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
   def shingleHashes(str: UTF8String, n: Int): ArrayData = {
     val bytes = str.getBytes
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -275,16 +343,41 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** sorted_fingerprint(text) — md5 of the sorted-token form of a normalized
+  * document (word-order-insensitive fingerprint). Single JVM kernel pass;
+  * see SketchKernels.sortedFingerprint for the exact byte contract.
+  */
+case class SortedFingerprint(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "sorted_fingerprint"
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.sortedFingerprint(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.sortedFingerprint($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** SQL registration so queries can use these via `expr("cosine_sim(a,b)")`. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // SQL callers may pass array<double>/array<decimal> literals; the
+    // kernels read float arrays, so coerce at the boundary (no-op when the
+    // input is already array<float>).
+    def farr(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
     reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSimilarity(es(0), es(1)), "built-in")
+      es => CosineSimilarity(farr(es(0)), farr(es(1))), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
-      es => DotProduct(es(0), es(1)), "built-in")
+      es => DotProduct(farr(es(0)), farr(es(1))), "built-in")
     reg.createOrReplaceTempFunction("l2_distance",
-      es => L2Distance(es(0), es(1)), "built-in")
+      es => L2Distance(farr(es(0)), farr(es(1))), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
@@ -292,5 +385,7 @@ object GraftFunctions {
         es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes",
       es => ShingleHashes(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sorted_fingerprint",
+      es => SortedFingerprint(es.head), "built-in")
   }
 }

@@ -101,12 +101,17 @@ object TextOps {
         .orderBy("lang")
     },
 
+    // sorted_fp via the native kernel (one JVM pass: slice, sort by byte
+    // order, join, md5) — replaces split->array_sort->concat_ws->md5 which
+    // allocated and sorted a fresh UTF8String array per document (was 26%
+    // of the whole sf0.1 bench).
     "t04_fingerprint" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val nc = norm(col("text"))
       t(s, dir, "documents")
         .select(col("doc_id"),
           md5(nc.cast(BinaryType)).as("fp"),
-          md5(concat_ws(" ", array_sort(split(nc, " "))).cast(BinaryType))
+          expr("sorted_fingerprint(regexp_replace(lower(trim(text)), '\\\\s+', ' '))")
             .as("sorted_fp"))
         .orderBy("doc_id")
     })

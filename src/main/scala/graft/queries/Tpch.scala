@@ -37,21 +37,22 @@ object Tpch {
   private val disc = s"${sql.dmoney("l_extendedprice")} * (${sql.one} - ${sql.drate("l_discount")})"
   private def sumd(e: String) = sql.sumd(e)
 
-  /** Schema-completion CTEs — dialect-common SQL, prepended to every query.
-    * Unreferenced CTEs are bound but not executed by either engine.
+  /** Schema-completion CTEs — dialect-common SQL, prepended to a query when
+    * referenced (selective inclusion keeps per-query binder work small).
     */
-  private val schemaCtes: String = """
-    ps_seq AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
-    s_cnt AS (SELECT COUNT(*) AS s_count FROM supplier),
-    partsupp AS (
+  private val cteDefs: Seq[(String, String)] = Seq(
+    "partsupp" -> """partsupp AS (
       SELECT p_partkey AS ps_partkey,
              (p_partkey - 1 + i * CAST(FLOOR(s_count / 4) AS BIGINT)) % s_count + 1
                AS ps_suppkey,
              CAST((p_partkey * 7 + i * 13) % 9999 + 1 AS INT) AS ps_availqty,
              ROUND(CAST((p_partkey * 31 + i * 17) % 100000 AS DOUBLE) / 100.0 + 1.0, 2)
                AS ps_supplycost
-      FROM part CROSS JOIN ps_seq CROSS JOIN s_cnt),
-    part_x AS (
+      FROM part
+      CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2
+                  UNION ALL SELECT 3) ps_seq
+      CROSS JOIN (SELECT COUNT(*) AS s_count FROM supplier) s_cnt)""",
+    "part_x" -> """part_x AS (
       SELECT part.*,
              'Manufacturer#' || CAST(p_partkey % 5 + 1 AS STRING) AS p_mfgr,
              (CASE p_partkey % 5 WHEN 0 THEN 'SM' WHEN 1 THEN 'LG' WHEN 2 THEN 'MED'
@@ -60,8 +61,8 @@ object Tpch {
              (CASE p_partkey % 8 WHEN 0 THEN 'CASE' WHEN 1 THEN 'BOX' WHEN 2 THEN 'BAG'
                                  WHEN 3 THEN 'JAR' WHEN 4 THEN 'PKG' WHEN 5 THEN 'PACK'
                                  WHEN 6 THEN 'CAN' ELSE 'DRUM' END) AS p_container
-      FROM part),
-    supplier_x AS (
+      FROM part)""",
+    "supplier_x" -> """supplier_x AS (
       SELECT supplier.*,
              'Address_' || CAST(s_suppkey AS STRING) AS s_address,
              CAST(10 + s_nationkey AS STRING) || '-' ||
@@ -69,22 +70,22 @@ object Tpch {
              CASE WHEN s_suppkey % 13 = 0
                   THEN 'slow Customer service Complaints logged'
                   ELSE 'dependable supplier' END AS s_comment
-      FROM supplier),
-    customer_x AS (
+      FROM supplier)""",
+    "customer_x" -> """customer_x AS (
       SELECT customer.*,
              'Address_' || CAST(c_custkey AS STRING) AS c_address,
              CAST(10 + c_nationkey AS STRING) || '-' ||
                LPAD(CAST(c_custkey % 10000000 AS STRING), 7, '0') AS c_phone,
              'customer profile ' || CAST(c_custkey % 7 AS STRING) AS c_comment
-      FROM customer),
-    orders_x AS (
+      FROM customer)""",
+    "orders_x" -> """orders_x AS (
       SELECT orders.*, 0 AS o_shippriority,
              'Clerk#' || LPAD(CAST(o_orderkey % 1000 + 1 AS STRING), 9, '0') AS o_clerk,
              CASE WHEN o_orderkey % 11 = 0
                   THEN 'pending special packages requests'
                   ELSE 'routine order' END AS o_comment
-      FROM orders),
-    lineitem_x AS (
+      FROM orders)""",
+    "lineitem_x" -> """lineitem_x AS (
       SELECT lineitem.*,
              l_shipdate + INTERVAL 1 DAY * ((l_orderkey * 3 + l_linenumber * 7) % 61 - 30)
                AS l_commitdate,
@@ -97,15 +98,19 @@ object Tpch {
              CASE (l_orderkey + l_linenumber) % 4
                WHEN 0 THEN 'DELIVER IN PERSON' WHEN 1 THEN 'COLLECT COD'
                WHEN 2 THEN 'NONE' ELSE 'TAKE BACK RETURN' END AS l_shipinstruct
-      FROM lineitem)"""
+      FROM lineitem)""")
 
-  /** Prepend the schema CTEs; merges with a query's own WITH clause. */
+  /** Prepend the schema CTEs the query references; merges with a query's
+    * own WITH clause. */
   private def wrap(q: String): String = {
     val t = q.trim
+    val needed = cteDefs.filter { case (name, _) => t.contains(name) }
+    if (needed.isEmpty) return t
+    val block = needed.map(_._2).mkString(",\n    ")
     if (t.toUpperCase.startsWith("WITH "))
-      s"WITH $schemaCtes,\n${t.drop(5)}"
+      s"WITH $block,\n${t.drop(5)}"
     else
-      s"WITH $schemaCtes\n$t"
+      s"WITH $block\n$t"
   }
 
   private val texts: Map[String, String] = Map(

@@ -33,16 +33,29 @@ object SltRunner {
     case true => "true"
     case false => "false"
     case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
-    case f: Float => fmt(f.toDouble)
+    case f: Float =>
+      // shortest float repr (2.2f is "2.2", not the widened 2.200000047…)
+      if (f.isPosInfinity) "inf"
+      else if (f.isNegInfinity) "-inf"
+      else if (f == math.floor(f) && math.abs(f) < 1e15) f.toLong.toString
+      else f.toString
     case d: Double =>
-      if (d == math.floor(d) && !d.isInfinite && math.abs(d) < 1e15)
-        d.toLong.toString
+      if (d.isPosInfinity) "inf"
+      else if (d.isNegInfinity) "-inf"
+      else if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString
       else d.toString
+    case ts: java.sql.Timestamp =>
+      // GlareDB displays session-zone timestamps with a UTC suffix and no
+      // trailing .0 (session TZ is UTC here)
+      ts.toString.stripSuffix(".0") + " UTC"
+    case seq: scala.collection.Seq[_] =>
+      seq.map(x => fmt(if (x == null) null else x)).mkString("[", ", ", "]")
     case x => x.toString
   }
 
   private def cellsEqual(got: String, exp: String): Boolean = {
     if (got == exp) return true
+    if (exp == "(empty)" && got.isEmpty) return true // harness empty marker
     (got.toDoubleOption, exp.toDoubleOption) match {
       case (Some(g), Some(e)) =>
         math.abs(g - e) <= 1e-9 * math.max(1.0, math.max(math.abs(g), math.abs(e)))
@@ -55,8 +68,122 @@ object SltRunner {
       g.length == e.length && g.zip(e).forall { case (a, b) => cellsEqual(a, b) }
     }
 
+  /** Split an expected-result line into `ncols` cells. The reference
+    * harness separates columns with 2+ spaces; single spaces are part of
+    * the cell value (`cat dog house  false`). */
+  private def splitCells(line: String, ncols: Int): Seq[String] = {
+    if (ncols == 1) return Seq(line.trim)
+    if (ncols < 1) return line.trim.split("\\s+").toSeq
+    val cells = line.trim.split("\\s{2,}").toSeq
+    if (cells.length == ncols) cells
+    else line.trim.split("\\s+").toSeq // legacy single-space separation
+  }
+
+  /** Spark → GlareDB type display names (reference `DataType::fmt`, shown
+    * by DESCRIBE records: `slt/tpchbench/describe.slt`). */
+  private def glareTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case NullType => "Null"
+      case ByteType => "Int8"
+      case ShortType => "Int16"
+      case IntegerType => "Int32"
+      case LongType => "Int64"
+      case FloatType => "Float32"
+      case DoubleType => "Float64"
+      case StringType => "Utf8"
+      case BooleanType => "Boolean"
+      case DateType => "Date32"
+      case BinaryType => "Binary"
+      case d: DecimalType =>
+        if (d.precision <= 18) s"Decimal64(${d.precision},${d.scale})"
+        else s"Decimal128(${d.precision},${d.scale})"
+      case _: TimestampType => "Timestamp(µs)"
+      case _: TimestampNTZType => "Timestamp(µs)"
+      case _: DayTimeIntervalType | _: YearMonthIntervalType |
+           _: CalendarIntervalType => "Interval"
+      case ArrayType(e, _) => s"List(${glareTypeName(e)})"
+      case other => other.simpleString
+    }
+  }
+
+  /** GlareDB column display name from a Spark schema field name: plain
+    * identifiers pass through, `fn(args)` shows the function name, anything
+    * else (literals, arithmetic, CAST of non-columns) is `?column?`. */
+  private def glareColName(name: String): String = {
+    val ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+    val fn = "^(\\w+)\\(.*\\)$".r
+    name match {
+      case ident() => name
+      case fn(head) if head.toUpperCase != "CAST" && head.toUpperCase != "TRY_CAST" =>
+        head.toLowerCase
+      case _ => "?column?"
+    }
+  }
+
+  /** Expand `DESCRIBE <target>` into an inline VALUES relation computed
+    * from the analyzed schema — handles DESCRIBE as a statement, in FROM,
+    * and nested (`DESCRIBE (DESCRIBE SELECT …)`), which Spark's own
+    * 3-column DESCRIBE output cannot. */
+  private def expandDescribe(spark: SparkSession, sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    val re = "(?i)\\bDESCRIBE\\b".r
+    var m = re.findAllMatchIn(sql).toSeq.lastOption
+    while (m.isDefined && guard < 10) {
+      val start = m.get.start
+      // operand: from after DESCRIBE to the ')' closing the enclosing group
+      // (exclusive) or end of string
+      var depth = 0
+      var j = m.get.end
+      var end = sql.length
+      var done = false
+      while (j < sql.length && !done) {
+        sql(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth < 0) { end = j; done = true }
+          case '\'' => // skip string literal
+            j += 1
+            while (j < sql.length && sql(j) != '\'') j += 1
+          case _ =>
+        }
+        j += 1
+      }
+      val operand = sql.substring(m.get.end, end).trim.stripSuffix(";").trim
+      val inner =
+        if (operand.isEmpty) "SELECT 1"
+        else if (operand.startsWith("(") || operand.toUpperCase.startsWith("SELECT")
+          || operand.toUpperCase.startsWith("WITH")
+          || operand.toUpperCase.startsWith("VALUES"))
+          if (operand.startsWith("(")) s"SELECT * FROM $operand" else operand
+        else s"SELECT * FROM $operand"
+      val schema = spark.sql(inner).schema
+      val rows = schema.fields.map { fld =>
+        val n = glareColName(fld.name).replace("'", "''")
+        s"('$n', '${glareTypeName(fld.dataType)}')"
+      }.mkString(", ")
+      val values =
+        s"(VALUES $rows) AS describe_result(column_name, datatype)"
+      // as a top-level statement it must be a full query, not a relation
+      val replacement =
+        if (start == 0 || sql.substring(0, start).trim.isEmpty)
+          s"SELECT * FROM $values"
+        else values
+      sql = sql.substring(0, start) + replacement + sql.substring(end)
+      guard += 1
+      m = re.findAllMatchIn(sql).toSeq.lastOption
+    }
+    sql
+  }
+
   def runFile(spark: SparkSession, path: String): FileResult = {
-    val lines = Source.fromFile(path).getLines().toVector
+    // explicit UTF-8 with replacement: corpus files contain multi-byte
+    // text (emoji) and the JVM default charset may be ASCII
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toVector
+    // GlareDB/Postgres string literals are raw (no backslash escapes)
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     var i = 0
     var ok = 0; var failed = 0; var relaxed = 0
     val failures = mutable.ListBuffer.empty[String]
@@ -71,12 +198,11 @@ object SltRunner {
     }
 
     def prepare(sql0: String): String = {
-      var sql = sql0
-      // dialect shims: TEXT type alias, anonymous-VALUES column naming.
-      // (A '::' cast rewrite was tried and reverted: net-negative on the
-      // corpus — simple-operand regexes misfire inside larger expressions.)
-      sql = sql.replaceAll("(?i)\\bTEXT\\b", "STRING")
-      sql = sql.replaceAll("(?i)\\bcolumn(\\d+)\\b", "col$1")
+      // token-level GlareDB→Spark dialect rewrite (::casts, [list] literals,
+      // type names, columnN) — never touches string literals (see Dialect)
+      var sql = Dialect.rewrite(sql0)
+      if (sql.toUpperCase.contains("DESCRIBE"))
+        sql = try expandDescribe(spark, sql) catch { case _: Exception => sql }
       val createRe = """(?is)^\s*CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+(\w+)""".r
       createRe.findFirstMatchIn(sql).foreach { m =>
         val name = m.group(1)
@@ -117,6 +243,9 @@ object SltRunner {
           }
         } else if (line.startsWith("query")) {
           val rowsort = line.contains("rowsort")
+          // column count from the type string (`query TTI …` → 3)
+          val ncols = line.split("\\s+").lift(1)
+            .filter(_.matches("[TIRB?]+")).map(_.length).getOrElse(-1)
           i += 1
           val sql = prepare(readSqlUntil(l => l.trim == "----"))
           i += 1 // skip ----
@@ -124,7 +253,7 @@ object SltRunner {
           while (i < lines.length && lines(i).trim.nonEmpty) {
             expLines += lines(i); i += 1
           }
-          val expected0 = expLines.map(_.trim.split("\\s+").toSeq).toList
+          val expected0 = expLines.map(splitCells(_, ncols)).toList
           try {
             val got0 = spark.sql(sql).collect()
               .map(r => (0 until r.length).map(j =>
