@@ -120,9 +120,12 @@ object GlareCompat {
     f("isfinite")(es =>
       Not(Or(IsNaN(dbl(es.head)),
         Or(EqualTo(dbl(es.head), inf), EqualTo(dbl(es.head), ninf)))))
-    // spark-compat extension funcs (glaredb_ext_spark csc.rs)
-    f("csc")(es => Divide(Literal(1.0), Sin(dbl(es.head))))
-    f("cot")(es => Divide(Cos(dbl(es.head)), Sin(dbl(es.head))))
+    // spark-compat extension funcs (glaredb_ext_spark csc.rs). LEGACY eval
+    // mode: 1/sin(0) is +inf like the reference, not an ANSI error.
+    f("csc")(es => Divide(Literal(1.0), Sin(dbl(es.head)), EvalMode.LEGACY))
+    f("cot")(es => Divide(Cos(dbl(es.head)), Sin(dbl(es.head)), EvalMode.LEGACY))
+    // sign(NaN) is 0 in the reference (numeric/sign.rs)
+    f("sign")(es => If(IsNaN(dbl(es.head)), Literal(0.0), Signum(dbl(es.head))))
     // gcd/lcm (numeric/gcd.rs, lcm.rs)
     f("gcd")(es => Gcd(es(0), es(1)))
     f("lcm")(es => Lcm(es(0), es(1)))
@@ -287,16 +290,18 @@ object GlareCompat {
       }
     }
 
+    // the reference session exposes exactly two databases: temp + system
+    // (slt/standard/join/system_join.slt counts 2)
     tf("list_databases") { _ =>
       localRel(Seq("database_name" -> StringType, "access_mode" -> StringType),
-        Seq(Seq("temp", "ReadWrite"), Seq("system", "ReadOnly"),
-          Seq("memory", "ReadWrite")))
+        Seq(Seq("temp", "ReadWrite"), Seq("system", "ReadOnly")))
     }
 
     tf("list_tables") { _ =>
       val rows = spark.sessionState.catalog.listTables("default")
-        .map(t => Seq(t.table))
-      localRel(Seq("table_name" -> StringType), rows)
+        .map(t => Seq(t.table, "temp"))
+      localRel(Seq("table_name" -> StringType,
+        "database_name" -> StringType), rows)
     }
 
     tf("list_views") { _ =>

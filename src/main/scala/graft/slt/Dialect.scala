@@ -290,11 +290,68 @@ object Dialect {
             if (k >= 0 && out(k) == Punct(",")) out.remove(k)
             out += Punct(")")
           } else out += t
+        case Op("#") => out += Op("^") // GlareDB xor operator
         case _ => out += t
       }
       if (!t.isInstanceOf[Ws]) lastSig = t
     }
     out.toVector
+  }
+
+  /** Postfix index brackets are 1-based in the reference (list_extract
+    * semantics); Spark's `a[i]` is 0-based — rewrite `expr[i]` to
+    * `element_at(expr, i)` (slices `a[i:j]` are left untouched). */
+  private def rewriteIndexing(ts0: Vector[Tok]): Vector[Tok] = {
+    // find a postfix '[' (previous significant token ends a primary)
+    var ts = ts0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 50) {
+      changed = false
+      guard += 1
+      var i = 0
+      while (i < ts.length && !changed) {
+        if (ts(i) == Punct("[")) {
+          val p = prevSig(ts, i)
+          val postfix = p >= 0 && (ts(p) match {
+            case Ident(name) => !keywords.contains(name.toUpperCase)
+            case QIdent(_) | Punct(")") | Punct("]") | Str(_) => true
+            case _ => false
+          })
+          if (postfix) {
+            // matching ']' and no ':' at depth 1 (slice)
+            var depth = 0
+            var j = i
+            var close = -1
+            var hasColon = false
+            while (j < ts.length && close < 0) {
+              ts(j) match {
+                case Punct("[") => depth += 1
+                case Punct("]") => depth -= 1; if (depth == 0) close = j
+                case Op(o) if depth == 1 && o.contains(":") => hasColon = true
+                case _ =>
+              }
+              j += 1
+            }
+            if (close > 0 && !hasColon) {
+              val start = operandStart(ts, p)
+              val out = Vector.newBuilder[Tok]
+              out ++= ts.slice(0, start)
+              out += Ident("element_at"); out += Punct("(")
+              out ++= ts.slice(start, p + 1)
+              out += Punct(",")
+              out ++= ts.slice(i + 1, close)
+              out += Punct(")")
+              out ++= ts.slice(close + 1, ts.length)
+              ts = out.result()
+              changed = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    ts
   }
 
   /** `EXTRACT('day' FROM x)` → `EXTRACT(day FROM x)` (Spark requires a bare
@@ -350,6 +407,41 @@ object Dialect {
     out.result()
   }
 
+  /** Drop GlareDB-isms Spark's parser rejects: the MATERIALIZED CTE
+    * modifier (`WITH x AS MATERIALIZED (…)`) and the `temp.` catalog
+    * qualifier (Spark's v1 session catalog has no nested namespaces; temp
+    * objects live in the single session namespace anyway). */
+  private def dropUnsupportedQualifiers(ts: Vector[Tok]): Vector[Tok] = {
+    val out = mutable.ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < ts.length) {
+      ts(i) match {
+        case Ident(w) if w.toUpperCase == "MATERIALIZED" && {
+          val p = prevSig(ts, i)
+          p >= 0 && (ts(p) match {
+            case Ident(a) => a.toUpperCase == "AS"
+            case _ => false
+          })
+        } =>
+          // drop the token and the whitespace before it
+          while (out.nonEmpty && out.last.isInstanceOf[Ws]) out.remove(out.length - 1)
+          i += 1
+        case Ident(w) if w.toUpperCase == "TEMP" && {
+          val n = nextSig(ts, i)
+          val p = prevSig(ts, i)
+          n < ts.length && ts(n) == Punct(".") &&
+            (p < 0 || (ts(p) match {
+              case Ident(a) => !Set("CREATE", "DROP").contains(a.toUpperCase)
+              case _ => true
+            }))
+        } =>
+          i = nextSig(ts, i) + 1 // skip `temp` and the dot
+        case t => out += t; i += 1
+      }
+    }
+    out.toVector
+  }
+
   /** Identifier-level renames (never inside strings/quoted idents). */
   private def mapIdents(ts: Vector[Tok]): Vector[Tok] = {
     val columnN = "(?i)^column(\\d+)$".r
@@ -396,8 +488,9 @@ object Dialect {
 
   /** Full rewrite pipeline. */
   def rewrite(sql: String): String = {
-    var ts = mapIdents(rewriteTypedLiterals(
-      rewriteExtractField(rewriteListLiterals(tokenize(sql)))))
+    var ts = mapIdents(rewriteTypedLiterals(rewriteExtractField(
+      dropUnsupportedQualifiers(rewriteIndexing(
+        rewriteListLiterals(tokenize(sql)))))))
     var guard = 0
     var more = true
     while (more && guard < 200) {

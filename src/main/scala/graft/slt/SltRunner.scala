@@ -44,6 +44,8 @@ object SltRunner {
       else if (d.isNegInfinity) "-inf"
       else if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString
       else d.toString
+    case b: Array[Byte] =>
+      "\\x" + b.map(x => f"${x & 0xff}%02x").mkString
     case ts: java.sql.Timestamp =>
       // GlareDB displays session-zone timestamps with a UTC suffix and no
       // trailing .0 (session TZ is UTC here)
@@ -113,7 +115,9 @@ object SltRunner {
   private def glareColName(name: String): String = {
     val ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
     val fn = "^(\\w+)\\(.*\\)$".r
+    val anonCol = "^col(\\d+)$".r
     name match {
+      case anonCol(n) => s"column$n" // anonymous VALUES columns
       case ident() => name
       case fn(head) if head.toUpperCase != "CAST" && head.toUpperCase != "TRY_CAST" =>
         head.toLowerCase
@@ -176,6 +180,79 @@ object SltRunner {
     sql
   }
 
+  /** Expand GlareDB's `* EXCLUDE (…)` / `* REPLACE (expr AS col, …)` star
+    * modifiers into an explicit column list (Spark's parser has neither).
+    * The source schema is taken from analyzing `SELECT * FROM <from-part>`
+    * of the star's own (sub)query. */
+  private def expandStarModifiers(spark: SparkSession, sql0: String): String = {
+    val re = "(?is)\\*\\s+(EXCLUDE|REPLACE)\\s*\\(".r
+    var sql = sql0
+    var guard = 0
+    var m = re.findFirstMatchIn(sql)
+    while (m.isDefined && guard < 10) {
+      val mm = m.get
+      // modifier argument list: up to the matching ')'
+      var depth = 1
+      var j = mm.end
+      while (j < sql.length && depth > 0) {
+        sql(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        j += 1
+      }
+      val args = sql.substring(mm.end, j - 1)
+      // FROM part of this star's query: scan forward at depth 0
+      var k = j; depth = 0
+      var fromStart = -1; var fromEnd = sql.length
+      val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+        "UNION", "INTERSECT", "EXCEPT", "WINDOW")
+      val word = "[A-Za-z_]+".r
+      while (k < sql.length && fromEnd == sql.length) {
+        sql(k) match {
+          case '(' => depth += 1; k += 1
+          case ')' =>
+            if (depth == 0) fromEnd = k else { depth -= 1; k += 1 }
+          case '\'' =>
+            k += 1; while (k < sql.length && sql(k) != '\'') k += 1; k += 1
+          case c if c.isLetter && depth == 0 =>
+            val w = word.findPrefixOf(sql.substring(k)).get
+            if (fromStart < 0 && w.toUpperCase == "FROM") fromStart = k + 4
+            else if (fromStart >= 0 && stops.contains(w.toUpperCase)) fromEnd = k
+            k += w.length
+          case _ => k += 1
+        }
+      }
+      if (fromStart < 0) return sql // no FROM — leave untouched
+      val fromPart = sql.substring(fromStart, fromEnd).trim.stripSuffix(";")
+      val schema = spark.sql(s"SELECT * FROM $fromPart").schema
+      val kind = mm.group(1).toUpperCase
+      val cols: Seq[String] =
+        if (kind == "EXCLUDE") {
+          val excluded = args.split(",").map(_.trim.stripPrefix("\"")
+            .stripSuffix("\"").toLowerCase).toSet
+          schema.fieldNames.filterNot(n => excluded.contains(n.toLowerCase))
+            .map(n => s""""$n"""").toSeq
+        } else {
+          // REPLACE (expr AS col, …)
+          val repls = args.split(",(?![^()]*\\))").map(_.trim).map { part =>
+            val asIdx = part.toUpperCase.lastIndexOf(" AS ")
+            val expr = part.substring(0, asIdx).trim
+            val col = part.substring(asIdx + 4).trim
+              .stripPrefix("\"").stripSuffix("\"")
+            col.toLowerCase -> s"""$expr AS "$col""""
+          }.toMap
+          schema.fieldNames.map(n =>
+            repls.getOrElse(n.toLowerCase, s""""$n"""")).toSeq
+        }
+      sql = sql.substring(0, mm.start) + cols.mkString(", ") + sql.substring(j)
+      guard += 1
+      m = re.findFirstMatchIn(sql)
+    }
+    sql
+  }
+
   def runFile(spark: SparkSession, path: String): FileResult = {
     // explicit UTF-8 with replacement: corpus files contain multi-byte
     // text (emoji) and the JVM default charset may be ASCII
@@ -184,10 +261,15 @@ object SltRunner {
       java.nio.charset.StandardCharsets.UTF_8).linesIterator.toVector
     // GlareDB/Postgres string literals are raw (no backslash escapes)
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    // "quoted" identifiers are identifiers (not string literals) and are
+    // case-sensitive, like the reference's Postgres-style parser
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    spark.conf.set("spark.sql.caseSensitive", "true")
     var i = 0
     var ok = 0; var failed = 0; var relaxed = 0
     val failures = mutable.ListBuffer.empty[String]
     val created = mutable.Set.empty[String]
+    val createdViews = mutable.Set.empty[String]
 
     def readSqlUntil(stop: String => Boolean): String = {
       val sb = new StringBuilder
@@ -201,23 +283,40 @@ object SltRunner {
       // token-level GlareDB→Spark dialect rewrite (::casts, [list] literals,
       // type names, columnN) — never touches string literals (see Dialect)
       var sql = Dialect.rewrite(sql0)
+      if (sql.toUpperCase.contains("EXCLUDE") || sql.toUpperCase.contains("REPLACE"))
+        sql = try expandStarModifiers(spark, sql) catch { case _: Exception => sql }
       if (sql.toUpperCase.contains("DESCRIBE"))
         sql = try expandDescribe(spark, sql) catch { case _: Exception => sql }
       val createRe = """(?is)^\s*CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+(\w+)""".r
       createRe.findFirstMatchIn(sql).foreach { m =>
         val name = m.group(1)
-        created += name
-        // purge stale managed locations (warehouse outlives the catalog)
-        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        val f = new java.io.File(wh, name.toLowerCase)
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        // duplicate CREATE within a file must keep erroring (the corpus
+        // asserts it); only the FIRST create of a name clears leftovers
+        if (!created.contains(name)) {
+          created += name
+          // purge stale managed locations (warehouse outlives the catalog)
+          val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+          val f = new java.io.File(wh, name.toLowerCase)
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          if (f.exists()) rm(f)
+          spark.sql(s"DROP TABLE IF EXISTS $name")
         }
-        if (f.exists()) rm(f)
-        spark.sql(s"DROP TABLE IF EXISTS $name")
         sql = createRe.replaceFirstIn(sql, s"CREATE TABLE $name")
-        if (!sql.toUpperCase.contains("USING") && !sql.toUpperCase.contains(" AS "))
+        if (!sql.toUpperCase.contains("USING") &&
+          !"(?is)\\bAS\\b".r.findFirstIn(sql).isDefined)
           sql = sql + " USING parquet"
+      }
+      // temp views leak across corpus files in the shared session: clear on
+      // the first CREATE of each name, drop at file end
+      val viewRe = """(?is)^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?VIEW\s+(\w+)""".r
+      viewRe.findFirstMatchIn(sql).foreach { m =>
+        val name = m.group(1)
+        if (!createdViews.contains(name)) {
+          createdViews += name
+          try spark.sql(s"DROP VIEW IF EXISTS $name") catch { case _: Exception => }
+        }
       }
       sql
     }
@@ -255,9 +354,22 @@ object SltRunner {
           }
           val expected0 = expLines.map(splitCells(_, ncols)).toList
           try {
-            val got0 = spark.sql(sql).collect()
-              .map(r => (0 until r.length).map(j =>
-                fmt(if (r.isNullAt(j)) null else r.get(j)))).toList
+            // GlareDB surfaces the inserted-row count as the result of an
+            // INSERT; Spark's INSERT returns nothing — synthesize the count
+            // from the target table's cardinality delta
+            val insertRe = "(?is)^\\s*INSERT\\s+INTO\\s+([\\w.\"]+)".r
+            val got0 = insertRe.findFirstMatchIn(sql) match {
+              case Some(tm) =>
+                val tbl = tm.group(1)
+                val before = spark.table(tbl).count()
+                spark.sql(sql).collect()
+                val after = spark.table(tbl).count()
+                List(Seq((after - before).toString))
+              case None =>
+                spark.sql(sql).collect()
+                  .map(r => (0 until r.length).map(j =>
+                    fmt(if (r.isNullAt(j)) null else r.get(j)))).toList
+            }
             val (got, expected) =
               if (rowsort)
                 (got0.sortBy(_.mkString("")), expected0.sortBy(_.mkString("")))
@@ -278,6 +390,9 @@ object SltRunner {
       }
     } finally {
       created.foreach(n => try spark.sql(s"DROP TABLE IF EXISTS $n") catch {
+        case _: Exception =>
+      })
+      createdViews.foreach(n => try spark.sql(s"DROP VIEW IF EXISTS $n") catch {
         case _: Exception =>
       })
     }

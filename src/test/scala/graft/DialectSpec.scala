@@ -36,13 +36,16 @@ class DialectSpec extends AnyFunSuite {
     assert(rw("SELECT [[1,2],[3,4]]") == "SELECT array(array(1,2),array(3,4))")
   }
 
-  test("postfix brackets are indexing, not literals") {
-    assert(rw("SELECT a[2] FROM t") == "SELECT a[2] FROM t")
-    assert(rw("SELECT f(x)[1] FROM t") == "SELECT f(x)[1] FROM t")
+  test("postfix brackets are 1-based indexing (element_at), not literals") {
+    assert(rw("SELECT a[2] FROM t") == "SELECT element_at(a,2) FROM t")
+    assert(rw("SELECT f(x)[1] FROM t") == "SELECT element_at(f(x),1) FROM t")
+    // slices keep bracket syntax
+    assert(rw("SELECT a[2:3] FROM t") == "SELECT a[2:3] FROM t")
   }
 
   test("cast of an indexed element") {
-    assert(rw("SELECT a[2]::TEXT FROM t") == "SELECT CAST(a[2] AS STRING) FROM t")
+    assert(rw("SELECT a[2]::TEXT FROM t") ==
+      "SELECT CAST(element_at(a,2) AS STRING) FROM t")
   }
 
   test("type names map in DDL column definitions but not column refs") {
