@@ -174,7 +174,99 @@ object Similarity {
         .orderBy("probe_id", "rnk")
     })
 
+  // ---- oracle SQL ----------------------------------------------------------
+  // The hyperplanes are deterministic Scala constants, so the DuckDB oracle
+  // embeds the SAME plane weights as literal lists and replays the exact
+  // double arithmetic (sequential sums over 64 elements are deterministic in
+  // both engines; sims/distances are rounded to 6 dp in both outputs to
+  // absorb the kernel's 1e-12 denominator epsilon).
+
+  private def planesSql: String =
+    (0 until 4).map { p =>
+      val w = plane(p, 64).mkString("[", ", ", "]")
+      s"($p, $w)"
+    }.mkString("planes(pid, w) AS (VALUES ", ", ", ")")
+
+  /** DuckDB fragment: cosine_sim(a, b) clone of the codegen kernel. */
+  private def sqlCos(a: String, b: String): String = s"""
+    (SELECT SUM(CAST($a[g.i] AS DOUBLE) * CAST($b[g.i] AS DOUBLE)) FROM g) /
+    (SQRT((SELECT SUM(CAST($a[g.i] AS DOUBLE) * CAST($a[g.i] AS DOUBLE)) FROM g)) *
+     SQRT((SELECT SUM(CAST($b[g.i] AS DOUBLE) * CAST($b[g.i] AS DOUBLE)) FROM g))
+     + 1e-12)"""
+
+  private val gSeries = "g AS (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i)"
+
+  private val sqlBuckets = s"""
+    bucketed AS (
+      SELECT vec_id, embedding,
+        CAST(SUM(CASE WHEN proj > 0 THEN 1 << pid ELSE 0 END) AS INT) AS bkt
+      FROM (
+        SELECT e.vec_id, e.embedding, p.pid,
+          (SELECT SUM(CAST(e.embedding[g.i] AS DOUBLE) * p.w[g.i]) FROM g) AS proj
+        FROM embeddings e CROSS JOIN planes p) proj_t
+      GROUP BY vec_id, embedding)"""
+
   val oracles: Map[String, String] = Map(
+    "n01_knn_cosine" -> s"""
+      WITH $gSeries,
+      pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+          ${sqlCos("p.embedding", "c.embedding")} AS sim
+        FROM embeddings p CROSS JOIN embeddings c
+        WHERE p.vec_id < 10),
+      ranked AS (
+        SELECT probe_id, neighbor_id, sim,
+          CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rnk
+        FROM pairs)
+      SELECT probe_id, neighbor_id, rnk, ROUND(sim, 6) AS sim
+      FROM ranked WHERE rnk <= 5
+      ORDER BY probe_id, rnk""",
+
+    "n04_l2_nearest" -> s"""
+      WITH $gSeries,
+      pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+          SQRT((SELECT SUM(POWER(CAST(p.embedding[g.i] AS DOUBLE) -
+                                 CAST(c.embedding[g.i] AS DOUBLE), 2)) FROM g))
+            AS dist
+        FROM embeddings p CROSS JOIN embeddings c
+        WHERE p.vec_id < 5 AND p.vec_id <> c.vec_id),
+      ranked AS (
+        SELECT probe_id, neighbor_id, dist,
+          CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rnk
+        FROM pairs)
+      SELECT probe_id, neighbor_id, rnk, ROUND(dist, 6) AS dist
+      FROM ranked WHERE rnk <= 3
+      ORDER BY probe_id, rnk""",
+
+    "n03_knn_lsh" -> s"""
+      WITH $gSeries, $planesSql, $sqlBuckets,
+      pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+          ${sqlCos("p.embedding", "c.embedding")} AS sim
+        FROM bucketed p JOIN bucketed c ON p.bkt = c.bkt
+        WHERE p.vec_id < 10),
+      ranked AS (
+        SELECT probe_id, neighbor_id, sim,
+          CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rnk
+        FROM pairs)
+      SELECT probe_id, neighbor_id, rnk, ROUND(sim, 6) AS sim
+      FROM ranked WHERE rnk <= 5
+      ORDER BY probe_id, rnk""",
+
+    "d06_embedding_neardup" -> s"""
+      WITH $gSeries, $planesSql, $sqlBuckets,
+      pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+          ${sqlCos("a.embedding", "b.embedding")} AS sim
+        FROM bucketed a JOIN bucketed b
+          ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+      SELECT id1, id2, ROUND(sim, 6) AS sim FROM pairs
+      ORDER BY sim DESC, id1, id2 LIMIT 100""",
+
     "n02_knn_dot_int" -> """
       WITH q AS (
         SELECT vec_id,
