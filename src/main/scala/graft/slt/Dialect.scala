@@ -248,7 +248,13 @@ object Dialect {
         // parameterized type: map only the head name
         mapTypeName(ts(tn).text) match {
           case m if m.contains("(") => m // head mapped to parameterized → keep ours
-          case m => m + render(ts.slice(tn + 1, typeEnd + 1))
+          case m if m.equalsIgnoreCase(ts(tn).text) =>
+            m + render(ts.slice(tn + 1, typeEnd + 1))
+          case _ =>
+            // head maps to a non-parameterized name (VARCHAR→STRING):
+            // STRING(10) is invalid SQL, but Spark 4 accepts VARCHAR(10)
+            // natively — keep the original head with its args.
+            render(ts.slice(tn, typeEnd + 1))
         }
       }
     val out = Vector.newBuilder[Tok]
@@ -328,7 +334,9 @@ object Dialect {
               ts(j) match {
                 case Punct("[") => depth += 1
                 case Punct("]") => depth -= 1; if (depth == 0) close = j
-                case Op(o) if depth == 1 && o.contains(":") => hasColon = true
+                // bare ':' only — a '::' cast inside the index (a[i::INT])
+                // is not a slice
+                case Op(":") if depth == 1 => hasColon = true
                 case _ =>
               }
               j += 1
@@ -474,7 +482,30 @@ object Dialect {
     val p = prevSig(ts, i)
     if (p < 0) return false
     ts(p) match {
-      case Ident(w) if w.toUpperCase == "AS" => true
+      case Ident(w) if w.toUpperCase == "AS" =>
+        // Only a type position when this AS is the tail of an open
+        // CAST(... AS T) — a select-list alias that happens to collide
+        // with a type name (SELECT 1 AS text) must NOT be renamed.
+        var depth = 0; var j = p - 1; var inCast = false; var done = false
+        while (j >= 0 && !done) {
+          ts(j) match {
+            case Punct(")") => depth += 1
+            case Punct("(") =>
+              if (depth == 0) {
+                val q = prevSig(ts, j)
+                inCast = q >= 0 && (ts(q) match {
+                  case Ident(n) =>
+                    val u = n.toUpperCase
+                    u == "CAST" || u == "TRY_CAST"
+                  case _ => false
+                })
+                done = true
+              } else depth -= 1
+            case _ =>
+          }
+          j -= 1
+        }
+        inCast
       case Ident(_) | QIdent(_) =>
         // ident ident — second ident in a column def (a TEXT) or a DDL type
         val hasCreate = ts.take(i).exists {

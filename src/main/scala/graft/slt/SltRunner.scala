@@ -360,7 +360,9 @@ object SltRunner {
             val insertRe = "(?is)^\\s*INSERT\\s+INTO\\s+([\\w.\"]+)".r
             val got0 = insertRe.findFirstMatchIn(sql) match {
               case Some(tm) =>
-                val tbl = tm.group(1)
+                // the captured identifier may carry double quotes, which
+                // spark.table() does not strip
+                val tbl = tm.group(1).replace("\"", "")
                 val before = spark.table(tbl).count()
                 spark.sql(sql).collect()
                 val after = spark.table(tbl).count()

@@ -84,7 +84,9 @@ object Introspection {
       t(s, dir, "lineitem")
       val df = s.sql(
         "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag")
-      val nRows = df.collect().length.toLong // executes THIS QueryExecution
+      // Execute THIS QueryExecution without materializing rows on the
+      // driver (a wide profiled query would otherwise OOM the driver).
+      val nRows = df.queryExecution.toRdd.count()
       val finalPlan = df.queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           a.executedPlan

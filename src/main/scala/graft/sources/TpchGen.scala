@@ -127,5 +127,26 @@ object TpchGen {
         .orderBy("c_mktsegment")
     })
 
-  val oracles: Map[String, String] = Map()
+  /** The generators are pure functions of (seed constants, sf): their
+    * outputs are fixed values, so the oracle is the expected literal result
+    * (recorded once; any change to the hash-mixing or distributions is a
+    * contract break this catches). */
+  val oracles: Map[String, String] = Map(
+    "g01_tpch_gen_lineitem" -> """
+      SELECT * FROM (VALUES
+        ('A', CAST(2005 AS BIGINT), CAST(50446.0 AS DOUBLE)),
+        ('N', CAST(2091 AS BIGINT), CAST(53035.0 AS DOUBLE)),
+        ('R', CAST(1995 AS BIGINT), CAST(50800.0 AS DOUBLE)))
+        AS t(l_returnflag, n, sum_qty)
+      ORDER BY l_returnflag""",
+
+    "g02_tpch_gen_join" -> """
+      SELECT * FROM (VALUES
+        ('AUTOMOBILE', CAST(265 AS BIGINT), CAST(69295416.21 AS DOUBLE)),
+        ('BUILDING',   CAST(314 AS BIGINT), CAST(82708189.03 AS DOUBLE)),
+        ('FURNITURE',  CAST(278 AS BIGINT), CAST(68518304.54 AS DOUBLE)),
+        ('HOUSEHOLD',  CAST(276 AS BIGINT), CAST(65487143.43 AS DOUBLE)),
+        ('MACHINERY',  CAST(367 AS BIGINT), CAST(94179303.58 AS DOUBLE)))
+        AS t(c_mktsegment, n_orders, total)
+      ORDER BY c_mktsegment""")
 }

@@ -20,11 +20,11 @@ object Streaming {
   case class SessionState(sessions: List[(Long, Long, Long, Long)])
   case class SessionOut(
       user_id: Long, session_id: Int, n_events: Long,
-      t_start: Long, t_end: Long)
+      t_start: Long, t_end: Long, version: Long)
 
   /** Streaming file sources need a directory: stage the events parquet
     * into a per-sf temp dir under target/. */
-  private def stageDir(dir: String): String = {
+  private[graft] def stageDir(dir: String): String = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     val d = new java.io.File(s"target/tmp_stream/$tag")
     d.mkdirs()
@@ -87,58 +87,72 @@ object Streaming {
     // with the batch lag-gap sessionization — the oracle is the same SQL
     // as e01_sessionize (minus the value sum, which the typed path skips).
     "st03_stream_sessionize" -> { (s, dir) =>
-      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      import s.implicits._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val sinkName = "st03_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val gapUs = 30L * 60 * 1000 * 1000
-
-      def assign(
-          user: Long, events: Iterator[Ev],
-          state: GroupState[List[(Long, Long)]]): Iterator[SessionOut] = {
-        val prior = state.getOption.getOrElse(Nil)
-        val all = (prior ++ events.map(e => (e.ts / 1000, e.event_id)).toList)
-          .sortBy(identity)
-        state.update(all)
-        var sid = 0; var prev = Long.MinValue
-        val out = scala.collection.mutable.Map
-          .empty[Int, (Long, Long, Long)] // sid -> (n, start, end)
-        all.foreach { case (tsUs, _) =>
-          if (prev == Long.MinValue || tsUs - prev > gapUs) sid += 1
-          val (n, st, en) = out.getOrElse(sid, (0L, tsUs, tsUs))
-          out(sid) = (n + 1, math.min(st, tsUs), math.max(en, tsUs))
-          prev = tsUs
-        }
-        out.toSeq.sortBy(_._1).iterator.map { case (id, (n, st, en)) =>
-          SessionOut(user, id, n, st, en)
-        }
-      }
-
-      val q = s.readStream.schema(schema).parquet(stageDir(dir))
-        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-        .as[Ev]
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState(
-          OutputMode.Update, GroupStateTimeout.NoTimeout)(assign)
-        .writeStream.outputMode("update").format("memory").queryName(sinkName)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      // update-mode sink may hold multiple versions per key: keep the last
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"), col("session_id"))
-        .orderBy(col("version").desc)
-      s.table(sinkName)
-        .withColumn("version", monotonically_increasing_id())
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("session_id"), col("n_events"),
-          col("t_start"), col("t_end"))
-        .orderBy("user_id", "session_id")
+      sessionizeStream(s, stageDir(dir), Map.empty)
     })
+
+  /** Stateful sessionization over a staged events directory. The state
+    * function emits an explicit per-user `version` (state-update count), so
+    * the update-mode sink — which retains every emitted version of a key —
+    * can be reduced to the latest state by keep-max-version, regardless of
+    * how many micro-batches the source was split into. (A sink-side
+    * `monotonically_increasing_id()` is NOT a valid version: it encodes
+    * partition id, not arrival order.) */
+  private[graft] def sessionizeStream(
+      s: org.apache.spark.sql.SparkSession, staged: String,
+      readerOpts: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val sinkName = "st03_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val gapUs = 30L * 60 * 1000 * 1000
+
+    def assign(
+        user: Long, events: Iterator[Ev],
+        state: GroupState[(Long, List[(Long, Long)])]): Iterator[SessionOut] = {
+      val (priorVer, prior) = state.getOption.getOrElse((0L, Nil))
+      val ver = priorVer + 1
+      val all = (prior ++ events.map(e => (e.ts / 1000, e.event_id)).toList)
+        .sortBy(identity)
+      state.update((ver, all))
+      var sid = 0; var prev = Long.MinValue
+      val out = scala.collection.mutable.Map
+        .empty[Int, (Long, Long, Long)] // sid -> (n, start, end)
+      all.foreach { case (tsUs, _) =>
+        if (prev == Long.MinValue || tsUs - prev > gapUs) sid += 1
+        val (n, st, en) = out.getOrElse(sid, (0L, tsUs, tsUs))
+        out(sid) = (n + 1, math.min(st, tsUs), math.max(en, tsUs))
+        prev = tsUs
+      }
+      out.toSeq.sortBy(_._1).iterator.map { case (id, (n, st, en)) =>
+        SessionOut(user, id, n, st, en, ver)
+      }
+    }
+
+    val q = s.readStream.schema(schema).options(readerOpts).parquet(staged)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(assign)
+      .writeStream.outputMode("update").format("memory").queryName(sinkName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // update-mode sink holds every emitted version of a user's sessions;
+    // only the user's LATEST state version is current (an earlier version's
+    // session split may not even exist anymore once a bridging event merges
+    // two sessions) — keep all rows of the max version per user, drop rest
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    s.table(sinkName)
+      .withColumn("maxv", max(col("version")).over(w))
+      .filter(col("version") === col("maxv"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("t_start"), col("t_end"))
+      .orderBy("user_id", "session_id")
+  }
 
   private val evSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),

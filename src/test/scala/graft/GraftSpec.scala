@@ -109,7 +109,7 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     val planted = pairs.count(r =>
       r.getAs[Long]("id2") - r.getAs[Long]("id1") == 100000)
-    // banding (4 bands of 4) catches nearly all >0.9-jaccard pairs
+    // banding (8 bands of 3) catches nearly all >0.9-jaccard pairs
     assert(planted >= 40, s"only $planted of 50 planted dups found")
     pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
   }
@@ -159,18 +159,12 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n1 == 5 && n2 == 5)
   }
 
-  test("IVF KNN: probes find themselves; sims bounded by brute force") {
-    val brute = SparkEntry.queries("n01_knn_cosine")(spark, dir)
-      .filter(col("rnk") === 1)
-      .collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("sim")).toMap
-    val ivf = SparkEntry.queries("n05_knn_ivf")(spark, dir)
-      .filter(col("rnk") === 1).collect()
-    assert(ivf.nonEmpty)
-    ivf.foreach { r =>
-      val p = r.getAs[Long]("probe_id")
-      assert(r.getAs[Long]("neighbor_id") == p) // own cell contains self
-      assert(r.getAs[Double]("sim") <= brute(p) + 1e-12)
-    }
+  test("IVF KNN quality contract: all probes self-retrieve, mean recall >= 0.5") {
+    val r = SparkEntry.queries("n05_knn_ivf")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_probes") == 10L)
+    assert(r(0).getAs[Long]("n_self_found") == 10L)
+    assert(r(0).getAs[Boolean]("mean_recall_ok"))
   }
 
   test("plan regression: q01 pushes the shipdate filter into the scan") {
@@ -234,6 +228,35 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("c_mktsegment").collect()
     assert(salted.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("st03 sessionize: multi-micro-batch stream matches single-batch result") {
+    // Split the events fixture into two parquet files and force one file
+    // per trigger: the stateful sessionizer must emit versioned updates
+    // whose keep-max-version reduction equals the single-batch answer —
+    // including the case where a batch-2 event bridges (merges) two
+    // sessions that batch 1 had emitted separately.
+    val src = spark.read.parquet(s"$dir/events.parquet")
+    val staged = new java.io.File("target/tmp_stream/two_batch_test")
+    staged.mkdirs()
+    // deterministic halves with interleaved event times per user (ts order
+    // differs from file order, so batch 2 genuinely rewrites batch-1 state)
+    def half(rem: Int): Unit = {
+      val tmp = new java.io.File(staged.getParentFile, s"two_batch_stage$rem")
+      src.filter(col("event_id") % 2 === rem).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(staged, s"half$rem.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    half(0); half(1)
+    val multi = graft.streaming.Streaming.sessionizeStream(
+      spark, staged.getAbsolutePath, Map("maxFilesPerTrigger" -> "1")).collect()
+    val single = graft.streaming.Streaming.sessionizeStream(
+      spark, graft.streaming.Streaming.stageDir(dir), Map.empty).collect()
+    assert(multi.nonEmpty)
+    assert(multi.map(_.toString).toSeq == single.map(_.toString).toSeq)
   }
 
   test("simhash64 is deterministic and order-sensitive only via token multiset") {
