@@ -15,7 +15,8 @@ object SparkEntry {
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Tpch.queries ++
+    graft.queries.Tpcds.queries ++
+      graft.queries.Tpch.queries ++
       graft.queries.Relational.queries ++
       graft.queries.Windows.queries ++
       graft.queries.Aggregates.queries ++
@@ -38,7 +39,8 @@ object SparkEntry {
       graft.streaming.Streaming.joinQueries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Tpch.oracles ++
+    graft.queries.Tpcds.oracles ++
+      graft.queries.Tpch.oracles ++
       graft.queries.Relational.oracles ++
       graft.queries.Windows.oracles ++
       graft.queries.Aggregates.oracles ++

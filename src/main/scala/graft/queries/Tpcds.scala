@@ -1,0 +1,1183 @@
+package graft.queries
+
+import graft.QueryDsl._
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** TPC-DS queries, matching the reference's own golden suite
+  * (reference: `slt/tpcds/q01.slt` … `q99.slt`, `describe_files.slt`).
+  *
+  * The driver fixtures are TPC-H-shaped, so a fixture-synthesis CTE layer
+  * derives the TPC-DS star schema deterministically from them with pure
+  * integer/date arithmetic — the SAME dialect-common SQL text builds the
+  * tables in Spark (Catalyst) and in DuckDB (oracle), so both engines see
+  * identical inputs without materializing anything:
+  *
+  *  - `date_dim`: one row per day 1995-01-01..2001-12-31 (2557 days — the
+  *    fixture's l_shipdate/o_orderdate span), generated from a
+  *    nation×nation×region row-number sequence. 1995-01-01 was a Sunday, so
+  *    d_dow = rn % 7 needs no engine-specific weekday function.
+  *  - `store_sales`: one row per lineitem, joined to date_dim on the ship
+  *    date. Surrogate keys map l_* keys into the dimension keyspaces by
+  *    multiplicative hashing; money columns are integer-derived cents
+  *    (`CAST(k AS DOUBLE)/100`) so values are exactly-2dp and aggregate
+  *    bit-identically under the QueryDsl decimal-sum policy.
+  *  - `store_returns`: ~30% subset of store_sales (hash-selected), returned
+  *    1..60 days later — ss⋈sr ticket joins and day-diff buckets work.
+  *  - `catalog_sales` / `web_sales`: disjoint channel copies of the
+  *    lineitem stream (different hash seeds for keys/money).
+  *  - dimensions (`item` from part, `store` 12 rows, `customer` /
+  *    `customer_address` from a sequence sized by COUNT(orders)/10 — the
+  *    fixture generator's exact customer:orders ratio — plus
+  *    `customer_demographics` 70 rows, `household_demographics` 20 rows,
+  *    `promotion` 5, `reason` 10). `customer` is ALSO a TPC-H base-table
+  *    name: DuckDB forbids a CTE named `customer` from referencing the base
+  *    table anywhere in the same WITH clause (circular-reference check), so
+  *    these CTEs never touch base `customer` and take counts from `orders`.
+  *
+  * Every query keeps the reference shape; deviations (applied identically
+  * on both sides, as in Tpch.scala):
+  *  - filter constants adapted to the fixture vocabulary and 1995–2001
+  *    date range (e.g. manufact ids are 1..5, manager ids 1..20);
+  *  - money aggregates use the exact-decimal-sum policy (sql.sumd /
+  *    sql.dmoney) and AVG(money) becomes exact-sum / COUNT;
+  *  - LIMIT queries get a unique tiebreak column appended to ORDER BY;
+  *  - every output column is aliased (the driver compares by column name).
+  */
+object Tpcds {
+
+  private def sumd(e: String) = sql.sumd(e)
+  private def dmoney(e: String) = sql.dmoney(e)
+  /** exact average of a money double: decimal sum / count, as double */
+  private def avgd(e: String) = s"${sql.sumd(sql.dmoney(e))} / COUNT(*)"
+
+  /** Fixture-synthesis CTEs. Order matters: later defs may reference
+    * earlier ones; `wrap` includes the transitive closure in this order. */
+  private[queries] val cteDefs: Seq[(String, String)] = Seq(
+    // 0..3124 — enough for 2557 days
+    "dd_seq" -> """dd_seq AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY a.n_nationkey, b.n_nationkey,
+                                         r.r_regionkey) - 1 AS rn
+      FROM nation a CROSS JOIN nation b CROSS JOIN region r)""",
+
+    "date_dim" -> """date_dim AS (
+      SELECT CAST(2450000 + rn AS INT) AS d_date_sk,
+             'D' || LPAD(CAST(rn AS STRING), 7, '0') AS d_date_id,
+             dd AS d_date,
+             CAST((EXTRACT(YEAR FROM dd) - 1990) * 12
+                  + EXTRACT(MONTH FROM dd) - 1 AS INT) AS d_month_seq,
+             CAST(FLOOR(rn / 7) + 260 AS INT) AS d_week_seq,
+             CAST(EXTRACT(YEAR FROM dd) AS INT) AS d_year,
+             CAST(rn % 7 AS INT) AS d_dow,
+             CAST(EXTRACT(MONTH FROM dd) AS INT) AS d_moy,
+             CAST(EXTRACT(DAY FROM dd) AS INT) AS d_dom,
+             CAST(FLOOR((EXTRACT(MONTH FROM dd) - 1) / 3) + 1 AS INT) AS d_qoy,
+             CASE CAST(rn % 7 AS INT)
+               WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+               WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
+               WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS d_day_name,
+             CAST(EXTRACT(YEAR FROM dd) AS STRING) || 'Q' ||
+               CAST(CAST(FLOOR((EXTRACT(MONTH FROM dd) - 1) / 3) + 1 AS INT)
+                    AS STRING) AS d_quarter_name,
+             CASE WHEN rn % 7 IN (0, 6) THEN 'Y' ELSE 'N' END AS d_weekend
+      FROM (SELECT rn, DATE '1995-01-01' + CAST(rn AS INT) AS dd
+            FROM dd_seq WHERE rn < 2557) days)""",
+
+    // 0..15624 — covers the sf0.1 customer count (15000)
+    "cust_seq" -> """cust_seq AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY a.n_nationkey, b.n_nationkey,
+                                         c.n_nationkey) - 1 AS rn
+      FROM nation a CROSS JOIN nation b CROSS JOIN nation c)""",
+
+    // fixture generator invariant: |customer| = |orders| / 10 at every sf
+    "ccnt" -> """ccnt AS (
+      SELECT CAST(FLOOR(COUNT(*) / 10) AS BIGINT) AS c_cnt FROM orders)""",
+
+    "customer" -> """customer AS (
+      SELECT CAST(rn + 1 AS INT) AS c_customer_sk,
+             'CUST_' || LPAD(CAST(rn + 1 AS STRING), 10, '0') AS c_customer_id,
+             CAST(rn + 1 AS INT) AS c_current_addr_sk,
+             CAST(rn % 70 + 1 AS INT) AS c_current_cdemo_sk,
+             CAST(rn % 20 + 1 AS INT) AS c_current_hdemo_sk,
+             CASE CAST(rn % 4 AS INT) WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
+               WHEN 2 THEN 'Dr.' ELSE 'Ms.' END AS c_salutation,
+             'First_' || CAST(rn % 499 AS STRING) AS c_first_name,
+             'Last_' || CAST(rn % 997 AS STRING) AS c_last_name,
+             CASE WHEN rn % 3 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
+             CAST(1930 + rn % 62 AS INT) AS c_birth_year,
+             CAST(rn % 12 + 1 AS INT) AS c_birth_month,
+             CAST(rn % 28 + 1 AS INT) AS c_birth_day,
+             CASE CAST(rn % 6 AS INT) WHEN 0 THEN 'UNITED STATES'
+               WHEN 1 THEN 'CANADA' WHEN 2 THEN 'GERMANY' WHEN 3 THEN 'JAPAN'
+               WHEN 4 THEN 'BRAZIL' ELSE 'FRANCE' END AS c_birth_country,
+             'c' || CAST(rn AS STRING) || '@example.com' AS c_email_address
+      FROM cust_seq CROSS JOIN ccnt WHERE rn < c_cnt)""",
+
+    "customer_address" -> """customer_address AS (
+      SELECT CAST(rn + 1 AS INT) AS ca_address_sk,
+             'ADDR_' || LPAD(CAST(rn + 1 AS STRING), 10, '0') AS ca_address_id,
+             CAST((rn * 7 + 3) % 999 + 1 AS STRING) AS ca_street_number,
+             CASE CAST(rn % 5 AS INT) WHEN 0 THEN 'Main' WHEN 1 THEN 'Oak'
+               WHEN 2 THEN 'Elm' WHEN 3 THEN 'Park' ELSE 'Lake' END
+               AS ca_street_name,
+             CASE CAST(rn % 3 AS INT) WHEN 0 THEN 'St' WHEN 1 THEN 'Ave'
+               ELSE 'Blvd' END AS ca_street_type,
+             'Suite ' || CAST(rn % 100 AS STRING) AS ca_suite_number,
+             CASE CAST(rn % 15 AS INT) WHEN 0 THEN 'Centerville'
+               WHEN 1 THEN 'Fairview' WHEN 2 THEN 'Oak Grove'
+               WHEN 3 THEN 'Riverside' WHEN 4 THEN 'Salem'
+               WHEN 5 THEN 'Springfield' WHEN 6 THEN 'Franklin'
+               WHEN 7 THEN 'Greenville' WHEN 8 THEN 'Bridgeport'
+               WHEN 9 THEN 'Clinton' WHEN 10 THEN 'Georgetown'
+               WHEN 11 THEN 'Marion' WHEN 12 THEN 'Ashland'
+               WHEN 13 THEN 'Midway' ELSE 'Unionville' END AS ca_city,
+             CASE CAST(rn % 8 AS INT) WHEN 0 THEN 'Williamson County'
+               WHEN 1 THEN 'Walker County' WHEN 2 THEN 'Ziebach County'
+               WHEN 3 THEN 'Luce County' WHEN 4 THEN 'Richland County'
+               WHEN 5 THEN 'Barrow County' WHEN 6 THEN 'Fairfield County'
+               ELSE 'Dauphin County' END AS ca_county,
+             CASE CAST(rn % 20 AS INT) WHEN 0 THEN 'TX' WHEN 1 THEN 'OH'
+               WHEN 2 THEN 'OR' WHEN 3 THEN 'NM' WHEN 4 THEN 'KY'
+               WHEN 5 THEN 'VA' WHEN 6 THEN 'MS' WHEN 7 THEN 'CA'
+               WHEN 8 THEN 'WA' WHEN 9 THEN 'GA' WHEN 10 THEN 'TN'
+               WHEN 11 THEN 'NY' WHEN 12 THEN 'NE' WHEN 13 THEN 'IA'
+               WHEN 14 THEN 'KS' WHEN 15 THEN 'MN' WHEN 16 THEN 'MO'
+               WHEN 17 THEN 'IL' WHEN 18 THEN 'IN' ELSE 'MI' END AS ca_state,
+             LPAD(CAST((10000 + rn * 373) % 100000 AS STRING), 5, '0')
+               AS ca_zip,
+             'United States' AS ca_country,
+             CAST(CASE WHEN rn % 2 = 0 THEN -5 ELSE -6 END AS DOUBLE)
+               AS ca_gmt_offset,
+             CASE CAST(rn % 3 AS INT) WHEN 0 THEN 'apartment'
+               WHEN 1 THEN 'condo' ELSE 'single family' END AS ca_location_type
+      FROM cust_seq CROSS JOIN ccnt WHERE rn < c_cnt)""",
+
+    "customer_demographics" -> """customer_demographics AS (
+      SELECT CAST(rn + 1 AS INT) AS cd_demo_sk,
+             CASE WHEN rn % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+             CASE CAST(FLOOR(rn / 2) % 5 AS INT) WHEN 0 THEN 'M' WHEN 1 THEN 'S'
+               WHEN 2 THEN 'D' WHEN 3 THEN 'W' ELSE 'U' END AS cd_marital_status,
+             CASE CAST(FLOOR(rn / 10) % 7 AS INT) WHEN 0 THEN 'Primary'
+               WHEN 1 THEN 'Secondary' WHEN 2 THEN 'College'
+               WHEN 3 THEN '2 yr Degree' WHEN 4 THEN '4 yr Degree'
+               WHEN 5 THEN 'Advanced Degree' ELSE 'Unknown' END
+               AS cd_education_status,
+             CAST((rn * 500) % 10000 + 500 AS INT) AS cd_purchase_estimate,
+             CASE CAST(rn % 4 AS INT) WHEN 0 THEN 'Low Risk' WHEN 1 THEN 'Good'
+               WHEN 2 THEN 'High Risk' ELSE 'Unknown' END AS cd_credit_rating,
+             CAST(rn % 7 AS INT) AS cd_dep_count,
+             CAST(rn % 5 AS INT) AS cd_dep_employed_count,
+             CAST(rn % 3 AS INT) AS cd_dep_college_count
+      FROM dd_seq WHERE rn < 70)""",
+
+    "household_demographics" -> """household_demographics AS (
+      SELECT CAST(rn + 1 AS INT) AS hd_demo_sk,
+             CAST(rn % 20 + 1 AS INT) AS hd_income_band_sk,
+             CASE CAST(rn % 6 AS INT) WHEN 0 THEN '>10000'
+               WHEN 1 THEN '5001-10000' WHEN 2 THEN '1001-5000'
+               WHEN 3 THEN '501-1000' WHEN 4 THEN '0-500' ELSE 'Unknown' END
+               AS hd_buy_potential,
+             CAST(rn % 10 AS INT) AS hd_dep_count,
+             CAST(rn % 5 AS INT) AS hd_vehicle_count
+      FROM dd_seq WHERE rn < 20)""",
+
+    "promotion" -> """promotion AS (
+      SELECT CAST(r_regionkey + 1 AS INT) AS p_promo_sk,
+             'PROMO_' || CAST(r_regionkey + 1 AS STRING) AS p_promo_id,
+             CASE WHEN r_regionkey % 2 = 0 THEN 'N' ELSE 'Y' END
+               AS p_channel_dmail,
+             CASE WHEN r_regionkey % 3 = 0 THEN 'N' ELSE 'Y' END
+               AS p_channel_email,
+             CASE WHEN r_regionkey % 2 = 1 THEN 'N' ELSE 'Y' END
+               AS p_channel_tv,
+             CASE WHEN r_regionkey % 5 < 3 THEN 'N' ELSE 'Y' END
+               AS p_channel_event,
+             'promo_name_' || CAST(r_regionkey AS STRING) AS p_promo_name
+      FROM region)""",
+
+    "reason" -> """reason AS (
+      SELECT CAST(rn + 1 AS INT) AS r_reason_sk,
+             'REASON_' || CAST(rn + 1 AS STRING) AS r_reason_id,
+             'reason ' || CAST(rn + 1 AS STRING) AS r_reason_desc
+      FROM dd_seq WHERE rn < 10)""",
+
+    "item" -> """item AS (
+      SELECT CAST(p_partkey AS INT) AS i_item_sk,
+             'ITEM_' || LPAD(CAST(p_partkey AS STRING), 9, '0') AS i_item_id,
+             p_name AS i_item_desc,
+             CAST((p_partkey * 37) % 9900 + 99 AS DOUBLE) / 100
+               AS i_current_price,
+             CAST((p_partkey * 53) % 5000 + 50 AS DOUBLE) / 100
+               AS i_wholesale_cost,
+             CAST(p_partkey % 11 + 1 AS INT) AS i_brand_id,
+             'Brand#' || CAST(p_partkey % 11 + 1 AS STRING) AS i_brand,
+             CAST(p_partkey % 7 + 1 AS INT) AS i_class_id,
+             CASE CAST(p_partkey % 7 AS INT) WHEN 0 THEN 'accessories'
+               WHEN 1 THEN 'basketball' WHEN 2 THEN 'computers'
+               WHEN 3 THEN 'dresses' WHEN 4 THEN 'earings'
+               WHEN 5 THEN 'fiction' ELSE 'guns' END AS i_class,
+             CAST(p_partkey % 10 + 1 AS INT) AS i_category_id,
+             CASE CAST(p_partkey % 10 AS INT) WHEN 0 THEN 'Sports'
+               WHEN 1 THEN 'Books' WHEN 2 THEN 'Home' WHEN 3 THEN 'Electronics'
+               WHEN 4 THEN 'Jewelry' WHEN 5 THEN 'Women' WHEN 6 THEN 'Men'
+               WHEN 7 THEN 'Children' WHEN 8 THEN 'Shoes' ELSE 'Music' END
+               AS i_category,
+             CAST(p_partkey % 5 + 1 AS INT) AS i_manufact_id,
+             'Manufacturer#' || CAST(p_partkey % 5 + 1 AS STRING) AS i_manufact,
+             CAST(p_partkey % 20 + 1 AS INT) AS i_manager_id,
+             p_type AS i_product_name
+      FROM part)""",
+
+    "store" -> """store AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS s_store_sk,
+             'STORE_' || LPAD(CAST(n_nationkey + 1 AS STRING), 4, '0')
+               AS s_store_id,
+             'Store_' || CAST(n_nationkey + 1 AS STRING) AS s_store_name,
+             CAST((n_nationkey * 37) % 100 + 200 AS INT) AS s_number_employees,
+             CAST((n_nationkey * 7919) % 9000000 + 1000000 AS INT)
+               AS s_floor_space,
+             '8AM-10PM' AS s_hours,
+             'Manager_' || CAST(n_nationkey % 7 + 1 AS STRING) AS s_manager,
+             CAST(n_nationkey % 5 + 1 AS INT) AS s_market_id,
+             'Company_1' AS s_company_name,
+             CAST(1 AS INT) AS s_company_id,
+             CAST((n_nationkey * 11) % 900 + 1 AS STRING) AS s_street_number,
+             CASE CAST(n_nationkey % 5 AS INT) WHEN 0 THEN 'Main' WHEN 1 THEN 'Oak'
+               WHEN 2 THEN 'Elm' WHEN 3 THEN 'Park' ELSE 'Lake' END
+               AS s_street_name,
+             'St' AS s_street_type, 'Suite 1' AS s_suite_number,
+             CASE CAST(n_nationkey % 6 AS INT) WHEN 0 THEN 'Centerville'
+               WHEN 1 THEN 'Fairview' WHEN 2 THEN 'Oak Grove'
+               WHEN 3 THEN 'Riverside' WHEN 4 THEN 'Salem'
+               ELSE 'Springfield' END AS s_city,
+             CASE CAST(n_nationkey % 4 AS INT) WHEN 0 THEN 'Williamson County'
+               WHEN 1 THEN 'Walker County' WHEN 2 THEN 'Ziebach County'
+               ELSE 'Luce County' END AS s_county,
+             CASE CAST(n_nationkey % 5 AS INT) WHEN 0 THEN 'TN' WHEN 1 THEN 'CA'
+               WHEN 2 THEN 'NY' WHEN 3 THEN 'TX' ELSE 'WA' END AS s_state,
+             LPAD(CAST((10000 + n_nationkey * 731) % 100000 AS STRING), 5, '0')
+               AS s_zip,
+             'United States' AS s_country,
+             CAST(-5 AS DOUBLE) AS s_gmt_offset,
+             CAST(n_nationkey % 10 AS DOUBLE) / 100 AS s_tax_precentage
+      FROM nation WHERE n_nationkey < 12)""",
+
+    // one store_sales row per lineitem; all surrogate keys and money values
+    // derive from (l_orderkey, l_linenumber, l_partkey, l_suppkey) by
+    // multiplicative hashing — deterministic, dialect-common, no NULLs.
+    // Money = integer cents / 100: exactly-2dp doubles in both engines.
+    "store_sales" -> """store_sales AS (
+      SELECT d.d_date_sk AS ss_sold_date_sk,
+             CAST(l_partkey AS INT) AS ss_item_sk,
+             CAST((l_orderkey * 7919 + l_linenumber * 104729) % c_cnt + 1
+               AS INT) AS ss_customer_sk,
+             CAST((l_orderkey * 13 + l_linenumber * 7) % 70 + 1 AS INT)
+               AS ss_cdemo_sk,
+             CAST((l_orderkey * 17 + l_linenumber * 3) % 20 + 1 AS INT)
+               AS ss_hdemo_sk,
+             CAST((l_orderkey * 6271 + l_linenumber * 9973 + 7) % c_cnt + 1
+               AS INT) AS ss_addr_sk,
+             CAST(l_suppkey % 12 + 1 AS INT) AS ss_store_sk,
+             CAST((l_orderkey + l_linenumber) % 5 + 1 AS INT) AS ss_promo_sk,
+             l_orderkey AS ss_ticket_number,
+             CAST(l_quantity AS INT) AS ss_quantity,
+             CAST((l_orderkey * 23 + l_linenumber * 31 + l_partkey * 7)
+               % 10000 + 100 AS DOUBLE) / 100 AS ss_wholesale_cost,
+             CAST((l_orderkey * 29 + l_linenumber * 37 + l_partkey * 11)
+               % 20000 + 100 AS DOUBLE) / 100 AS ss_list_price,
+             CAST((l_orderkey * 41 + l_linenumber * 43 + l_partkey * 13)
+               % 19900 + 100 AS DOUBLE) / 100 AS ss_sales_price,
+             CAST((l_orderkey * 47 + l_linenumber * 53 + l_partkey * 17)
+               % 5000 AS DOUBLE) / 100 AS ss_ext_discount_amt,
+             CAST((l_orderkey * 59 + l_linenumber * 61 + l_partkey * 19)
+               % 1000000 + 100 AS DOUBLE) / 100 AS ss_ext_sales_price,
+             CAST((l_orderkey * 67 + l_linenumber * 71 + l_partkey * 23)
+               % 900000 + 100 AS DOUBLE) / 100 AS ss_ext_wholesale_cost,
+             CAST((l_orderkey * 73 + l_linenumber * 79 + l_partkey * 29)
+               % 1100000 + 200 AS DOUBLE) / 100 AS ss_ext_list_price,
+             CAST((l_orderkey * 83 + l_linenumber * 89 + l_partkey * 31)
+               % 90000 AS DOUBLE) / 100 AS ss_ext_tax,
+             CAST((l_orderkey * 97 + l_linenumber * 101 + l_partkey * 37)
+               % 30000 AS DOUBLE) / 100 AS ss_coupon_amt,
+             CAST((l_orderkey * 103 + l_linenumber * 107 + l_partkey * 41)
+               % 1000000 + 100 AS DOUBLE) / 100 AS ss_net_paid,
+             CAST((l_orderkey * 109 + l_linenumber * 113 + l_partkey * 43)
+               % 1100000 + 100 AS DOUBLE) / 100 AS ss_net_paid_inc_tax,
+             CAST((l_orderkey * 127 + l_linenumber * 131 + l_partkey * 47)
+               % 60000 - 30000 AS DOUBLE) / 100 AS ss_net_profit
+      FROM lineitem
+      CROSS JOIN ccnt
+      JOIN date_dim d ON d.d_date = CAST(l_shipdate AS DATE))""",
+
+    // ~30% of sales return 1..60 days later (capped at the calendar end)
+    "store_returns" -> """store_returns AS (
+      SELECT CAST(LEAST(ss_sold_date_sk
+               + CAST((ss_ticket_number * 7 + ss_item_sk) % 60 + 1 AS INT),
+               2452556) AS INT) AS sr_returned_date_sk,
+             ss_item_sk AS sr_item_sk,
+             ss_customer_sk AS sr_customer_sk,
+             ss_cdemo_sk AS sr_cdemo_sk,
+             ss_hdemo_sk AS sr_hdemo_sk,
+             ss_addr_sk AS sr_addr_sk,
+             ss_store_sk AS sr_store_sk,
+             CAST((ss_ticket_number * 3 + ss_item_sk) % 10 + 1 AS INT)
+               AS sr_reason_sk,
+             ss_ticket_number AS sr_ticket_number,
+             CAST(FLOOR(ss_quantity / 2) + 1 AS INT) AS sr_return_quantity,
+             CAST(CAST(ss_ticket_number * 11 + ss_item_sk * 5 AS BIGINT)
+               % 50000 + 100 AS DOUBLE) / 100 AS sr_return_amt,
+             CAST(CAST(ss_ticket_number * 19 + ss_item_sk * 3 AS BIGINT)
+               % 4000 AS DOUBLE) / 100 AS sr_return_tax,
+             CAST(CAST(ss_ticket_number * 11 + ss_item_sk * 5 AS BIGINT)
+               % 50000 + 100 AS DOUBLE) / 100
+               + CAST(CAST(ss_ticket_number * 19 + ss_item_sk * 3 AS BIGINT)
+               % 4000 AS DOUBLE) / 100 AS sr_return_amt_inc_tax,
+             CAST(CAST(ss_ticket_number * 29 + ss_item_sk * 7 AS BIGINT)
+               % 10000 AS DOUBLE) / 100 AS sr_fee,
+             CAST(CAST(ss_ticket_number * 31 + ss_item_sk * 11 AS BIGINT)
+               % 20000 AS DOUBLE) / 100 AS sr_return_ship_cost,
+             CAST(CAST(ss_ticket_number * 37 + ss_item_sk * 13 AS BIGINT)
+               % 40000 AS DOUBLE) / 100 AS sr_refunded_cash,
+             CAST(CAST(ss_ticket_number * 41 + ss_item_sk * 17 AS BIGINT)
+               % 30000 + 50 AS DOUBLE) / 100 AS sr_net_loss
+      FROM store_sales
+      WHERE (ss_ticket_number * 5 + ss_item_sk) % 10 < 3)""",
+
+    // catalog channel: same lineitem stream, different hash seeds
+    "catalog_sales" -> """catalog_sales AS (
+      SELECT d.d_date_sk AS cs_sold_date_sk,
+             CAST(d.d_date_sk + CAST((l_orderkey + l_partkey) % 30 + 2 AS INT)
+               AS INT) AS cs_ship_date_sk,
+             CAST((l_orderkey * 7919 + l_linenumber * 104729) % c_cnt + 1
+               AS INT) AS cs_bill_customer_sk,
+             CAST((l_orderkey * 151 + l_linenumber * 7) % 70 + 1 AS INT)
+               AS cs_bill_cdemo_sk,
+             CAST((l_orderkey * 157 + l_linenumber * 3) % 20 + 1 AS INT)
+               AS cs_bill_hdemo_sk,
+             CAST((l_orderkey * 7919 + l_linenumber * 104729) % c_cnt + 1
+               AS INT) AS cs_bill_addr_sk,
+             CAST((l_orderkey * 163 + l_linenumber * 104729) % c_cnt + 1
+               AS INT) AS cs_ship_customer_sk,
+             CAST((l_orderkey * 167 + l_linenumber * 104729) % c_cnt + 1
+               AS INT) AS cs_ship_addr_sk,
+             CAST(l_partkey AS INT) AS cs_item_sk,
+             CAST((l_orderkey + l_linenumber) % 5 + 1 AS INT) AS cs_promo_sk,
+             l_orderkey * 10 + l_linenumber AS cs_order_number,
+             CAST(l_quantity AS INT) AS cs_quantity,
+             CAST((l_orderkey * 173 + l_linenumber * 31 + l_partkey * 7)
+               % 10000 + 100 AS DOUBLE) / 100 AS cs_wholesale_cost,
+             CAST((l_orderkey * 179 + l_linenumber * 37 + l_partkey * 11)
+               % 20000 + 100 AS DOUBLE) / 100 AS cs_list_price,
+             CAST((l_orderkey * 181 + l_linenumber * 43 + l_partkey * 13)
+               % 19900 + 100 AS DOUBLE) / 100 AS cs_sales_price,
+             CAST((l_orderkey * 191 + l_linenumber * 61 + l_partkey * 19)
+               % 1000000 + 100 AS DOUBLE) / 100 AS cs_ext_sales_price,
+             CAST((l_orderkey * 193 + l_linenumber * 71 + l_partkey * 23)
+               % 900000 + 100 AS DOUBLE) / 100 AS cs_ext_wholesale_cost,
+             CAST((l_orderkey * 197 + l_linenumber * 79 + l_partkey * 29)
+               % 1100000 + 200 AS DOUBLE) / 100 AS cs_ext_list_price,
+             CAST((l_orderkey * 199 + l_linenumber * 101 + l_partkey * 37)
+               % 30000 AS DOUBLE) / 100 AS cs_coupon_amt,
+             CAST((l_orderkey * 211 + l_linenumber * 107 + l_partkey * 41)
+               % 1000000 + 100 AS DOUBLE) / 100 AS cs_net_paid,
+             CAST((l_orderkey * 223 + l_linenumber * 131 + l_partkey * 47)
+               % 60000 - 30000 AS DOUBLE) / 100 AS cs_net_profit
+      FROM lineitem
+      CROSS JOIN ccnt
+      JOIN date_dim d ON d.d_date = CAST(l_shipdate AS DATE))""",
+
+    // web channel: disjoint slice (every third order), own hash seeds
+    "web_sales" -> """web_sales AS (
+      SELECT d.d_date_sk AS ws_sold_date_sk,
+             CAST(l_partkey AS INT) AS ws_item_sk,
+             CAST((l_orderkey * 7919 + l_linenumber * 104729) % c_cnt + 1
+               AS INT) AS ws_bill_customer_sk,
+             CAST((l_orderkey * 227 + l_linenumber * 104729) % c_cnt + 1
+               AS INT) AS ws_ship_customer_sk,
+             CAST((l_orderkey * 229 + l_linenumber * 104729) % c_cnt + 1
+               AS INT) AS ws_bill_addr_sk,
+             l_orderkey * 10 + l_linenumber AS ws_order_number,
+             CAST((l_orderkey + l_linenumber) % 5 + 1 AS INT) AS ws_promo_sk,
+             CAST(l_quantity AS INT) AS ws_quantity,
+             CAST((l_orderkey * 233 + l_linenumber * 43 + l_partkey * 13)
+               % 19900 + 100 AS DOUBLE) / 100 AS ws_sales_price,
+             CAST((l_orderkey * 239 + l_linenumber * 61 + l_partkey * 19)
+               % 1000000 + 100 AS DOUBLE) / 100 AS ws_ext_sales_price,
+             CAST((l_orderkey * 241 + l_linenumber * 107 + l_partkey * 41)
+               % 1000000 + 100 AS DOUBLE) / 100 AS ws_net_paid,
+             CAST((l_orderkey * 251 + l_linenumber * 131 + l_partkey * 47)
+               % 60000 - 30000 AS DOUBLE) / 100 AS ws_net_profit
+      FROM lineitem
+      CROSS JOIN ccnt
+      JOIN date_dim d ON d.d_date = CAST(l_shipdate AS DATE)
+      WHERE l_orderkey % 3 = 0)""")
+
+  /** Prepend the transitive closure of fixture CTEs the query references,
+    * in definition order; merge with the query's own WITH clause. */
+  private[queries] def wrap(q: String): String = {
+    val t = q.trim
+    val byName = cteDefs.toMap
+    var included = cteDefs.collect {
+      case (name, _) if t.contains(name) => name
+    }.toSet
+    var grew = true
+    while (grew) {
+      val next = included ++ cteDefs.collect {
+        case (name, _) if included.exists(i => byName(i).contains(name)) => name
+      }
+      grew = next.size != included.size
+      included = next
+    }
+    if (included.isEmpty) return t
+    val block = cteDefs.filter(d => included(d._1)).map(_._2).mkString(",\n    ")
+    if (t.toUpperCase.startsWith("WITH "))
+      s"WITH $block,\n${t.drop(5)}"
+    else
+      s"WITH $block\n$t"
+  }
+
+  private val texts: Map[String, String] = Map(
+    // Q1: customers returning more than 1.2x their store's average
+    // (correlated scalar avg over a CTE, used twice).
+    "tpcds_q01" -> s"""
+      WITH customer_total_return AS
+        (SELECT sr_customer_sk AS ctr_customer_sk,
+                sr_store_sk AS ctr_store_sk,
+                SUM(CAST(sr_return_amt AS DECIMAL(12,4))) AS ctr_total_return
+         FROM store_returns, date_dim
+         WHERE sr_returned_date_sk = d_date_sk AND d_year = 2000
+         GROUP BY sr_customer_sk, sr_store_sk)
+      SELECT c_customer_id
+      FROM customer_total_return ctr1, store, customer
+      WHERE ctr1.ctr_total_return >
+          (SELECT ${sumd("ctr_total_return")} / COUNT(*) * 1.2
+           FROM customer_total_return ctr2
+           WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+        AND s_store_sk = ctr1.ctr_store_sk
+        AND s_state = 'TN'
+        AND ctr1.ctr_customer_sk = c_customer_sk
+      ORDER BY c_customer_id
+      LIMIT 100""",
+
+    // Q3: brand revenue for a manufacturer in November (ref: i_manufact_id
+    // 128 -> 3, fixture manufact ids are 1..5).
+    "tpcds_q03" -> s"""
+      SELECT dt.d_year AS d_year,
+             item.i_brand_id AS brand_id,
+             item.i_brand AS brand,
+             ${sumd(dmoney("ss_ext_sales_price"))} AS sum_agg
+      FROM date_dim dt, store_sales, item
+      WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+        AND store_sales.ss_item_sk = item.i_item_sk
+        AND item.i_manufact_id = 3
+        AND dt.d_moy = 11
+      GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+      ORDER BY d_year, sum_agg DESC, brand_id
+      LIMIT 100""",
+
+    // Q6: states whose customers buy items priced >1.2x category average
+    // (two scalar subqueries, one correlated).
+    "tpcds_q06" -> s"""
+      SELECT a.ca_state AS state, COUNT(*) AS cnt
+      FROM customer_address a, customer c, store_sales s, date_dim d, item i
+      WHERE a.ca_address_sk = c.c_current_addr_sk
+        AND c.c_customer_sk = s.ss_customer_sk
+        AND s.ss_sold_date_sk = d.d_date_sk
+        AND s.ss_item_sk = i.i_item_sk
+        AND d.d_month_seq =
+          (SELECT DISTINCT (d_month_seq) FROM date_dim
+           WHERE d_year = 2001 AND d_moy = 1)
+        AND i.i_current_price > 1.2 *
+          (SELECT ${sumd(dmoney("j.i_current_price"))} / COUNT(*) FROM item j
+           WHERE j.i_category = i.i_category)
+      GROUP BY a.ca_state
+      HAVING COUNT(*) >= 10
+      ORDER BY cnt NULLS FIRST, a.ca_state NULLS FIRST
+      LIMIT 100""",
+
+    // Q7: demographic/promotion item averages.
+    "tpcds_q07" -> s"""
+      SELECT i_item_id,
+             ${avgd("ss_quantity")} AS agg1,
+             ${avgd("ss_list_price")} AS agg2,
+             ${avgd("ss_coupon_amt")} AS agg3,
+             ${avgd("ss_sales_price")} AS agg4
+      FROM store_sales, customer_demographics, date_dim, item, promotion
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_item_sk = i_item_sk
+        AND ss_cdemo_sk = cd_demo_sk
+        AND ss_promo_sk = p_promo_sk
+        AND cd_gender = 'M'
+        AND cd_marital_status = 'S'
+        AND cd_education_status = 'College'
+        AND (p_channel_email = 'N' OR p_channel_event = 'N')
+        AND d_year = 2000
+      GROUP BY i_item_id
+      ORDER BY i_item_id
+      LIMIT 100""",
+
+    // Q9: five quantity-band CASE buckets over scalar subqueries (ref
+    // thresholds scaled to SF-relative COUNT(*) fractions; quantity bands
+    // adapted to the fixture's 1..50 range).
+    "tpcds_q09" -> s"""
+      SELECT CASE WHEN (SELECT COUNT(*) FROM store_sales
+                        WHERE ss_quantity BETWEEN 1 AND 10) >
+                  (SELECT COUNT(*) / 5 FROM store_sales)
+                  THEN (SELECT ${avgd("ss_ext_discount_amt")}
+                        FROM store_sales WHERE ss_quantity BETWEEN 1 AND 10)
+                  ELSE (SELECT ${avgd("ss_net_paid")}
+                        FROM store_sales WHERE ss_quantity BETWEEN 1 AND 10)
+             END AS bucket1,
+             CASE WHEN (SELECT COUNT(*) FROM store_sales
+                        WHERE ss_quantity BETWEEN 11 AND 20) >
+                  (SELECT COUNT(*) / 5 FROM store_sales)
+                  THEN (SELECT ${avgd("ss_ext_discount_amt")}
+                        FROM store_sales WHERE ss_quantity BETWEEN 11 AND 20)
+                  ELSE (SELECT ${avgd("ss_net_paid")}
+                        FROM store_sales WHERE ss_quantity BETWEEN 11 AND 20)
+             END AS bucket2,
+             CASE WHEN (SELECT COUNT(*) FROM store_sales
+                        WHERE ss_quantity BETWEEN 21 AND 30) >
+                  (SELECT COUNT(*) / 5 FROM store_sales)
+                  THEN (SELECT ${avgd("ss_ext_discount_amt")}
+                        FROM store_sales WHERE ss_quantity BETWEEN 21 AND 30)
+                  ELSE (SELECT ${avgd("ss_net_paid")}
+                        FROM store_sales WHERE ss_quantity BETWEEN 21 AND 30)
+             END AS bucket3,
+             CASE WHEN (SELECT COUNT(*) FROM store_sales
+                        WHERE ss_quantity BETWEEN 31 AND 40) >
+                  (SELECT COUNT(*) / 5 FROM store_sales)
+                  THEN (SELECT ${avgd("ss_ext_discount_amt")}
+                        FROM store_sales WHERE ss_quantity BETWEEN 31 AND 40)
+                  ELSE (SELECT ${avgd("ss_net_paid")}
+                        FROM store_sales WHERE ss_quantity BETWEEN 31 AND 40)
+             END AS bucket4,
+             CASE WHEN (SELECT COUNT(*) FROM store_sales
+                        WHERE ss_quantity BETWEEN 41 AND 50) >
+                  (SELECT COUNT(*) / 5 FROM store_sales)
+                  THEN (SELECT ${avgd("ss_ext_discount_amt")}
+                        FROM store_sales WHERE ss_quantity BETWEEN 41 AND 50)
+                  ELSE (SELECT ${avgd("ss_net_paid")}
+                        FROM store_sales WHERE ss_quantity BETWEEN 41 AND 50)
+             END AS bucket5
+      FROM reason WHERE r_reason_sk = 1""",
+
+    // Q13: OR-of-ANDs demographic/address bands.
+    "tpcds_q13" -> s"""
+      SELECT ${avgd("ss_quantity")} AS avg1,
+             ${avgd("ss_ext_sales_price")} AS avg2,
+             ${avgd("ss_ext_wholesale_cost")} AS avg3,
+             ${sumd(dmoney("ss_ext_wholesale_cost"))} AS sum_wc
+      FROM store_sales, store, customer_demographics,
+           household_demographics, customer_address, date_dim
+      WHERE s_store_sk = ss_store_sk
+        AND ss_sold_date_sk = d_date_sk AND d_year = 2001
+        AND ((ss_hdemo_sk = hd_demo_sk
+              AND cd_demo_sk = ss_cdemo_sk
+              AND cd_marital_status = 'M'
+              AND cd_education_status = 'Advanced Degree'
+              AND ss_sales_price BETWEEN 100.00 AND 150.00
+              AND hd_dep_count = 3)
+             OR (ss_hdemo_sk = hd_demo_sk
+                 AND cd_demo_sk = ss_cdemo_sk
+                 AND cd_marital_status = 'S'
+                 AND cd_education_status = 'College'
+                 AND ss_sales_price BETWEEN 50.00 AND 100.00
+                 AND hd_dep_count = 1)
+             OR (ss_hdemo_sk = hd_demo_sk
+                 AND cd_demo_sk = ss_cdemo_sk
+                 AND cd_marital_status = 'W'
+                 AND cd_education_status = '2 yr Degree'
+                 AND ss_sales_price BETWEEN 150.00 AND 200.00
+                 AND hd_dep_count = 1))
+        AND ((ss_addr_sk = ca_address_sk
+              AND ca_country = 'United States'
+              AND ca_state IN ('TX', 'OH', 'TX')
+              AND ss_net_profit BETWEEN 100 AND 200)
+             OR (ss_addr_sk = ca_address_sk
+                 AND ca_country = 'United States'
+                 AND ca_state IN ('OR', 'NM', 'KY')
+                 AND ss_net_profit BETWEEN 150 AND 300)
+             OR (ss_addr_sk = ca_address_sk
+                 AND ca_country = 'United States'
+                 AND ca_state IN ('VA', 'TX', 'MS')
+                 AND ss_net_profit BETWEEN 50 AND 250))""",
+
+    // Q15: catalog zip revenue in a quarter.
+    "tpcds_q15" -> s"""
+      SELECT ca_zip, ${sumd(dmoney("cs_sales_price"))} AS sum_sales
+      FROM catalog_sales, customer, customer_address, date_dim
+      WHERE cs_bill_customer_sk = c_customer_sk
+        AND c_current_addr_sk = ca_address_sk
+        AND (SUBSTRING(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
+                                         '86475', '85392', '85460', '80348',
+                                         '81792')
+             OR ca_state IN ('CA', 'WA', 'GA')
+             OR cs_sales_price > 500)
+        AND cs_sold_date_sk = d_date_sk
+        AND d_qoy = 2 AND d_year = 2001
+      GROUP BY ca_zip
+      ORDER BY ca_zip NULLS FIRST
+      LIMIT 100""",
+
+    // Q19: brand revenue where customer and store zips differ (ref manager
+    // id 8 kept — fixture manager ids are 1..20).
+    "tpcds_q19" -> s"""
+      SELECT i_brand_id AS brand_id, i_brand AS brand,
+             i_manufact_id, i_manufact,
+             ${sumd(dmoney("ss_ext_sales_price"))} AS ext_price
+      FROM date_dim, store_sales, item, customer, customer_address, store
+      WHERE d_date_sk = ss_sold_date_sk
+        AND ss_item_sk = i_item_sk
+        AND i_manager_id = 8
+        AND d_moy = 11 AND d_year = 1998
+        AND ss_customer_sk = c_customer_sk
+        AND c_current_addr_sk = ca_address_sk
+        AND SUBSTRING(ca_zip, 1, 5) <> SUBSTRING(s_zip, 1, 5)
+        AND ss_store_sk = s_store_sk
+      GROUP BY i_brand, i_brand_id, i_manufact_id, i_manufact
+      ORDER BY ext_price DESC, i_brand, i_brand_id, i_manufact_id, i_manufact
+      LIMIT 100""",
+
+    // Q25: store/returns/catalog profit triangle over three date roles.
+    "tpcds_q25" -> s"""
+      SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+             ${sumd(dmoney("ss_net_profit"))} AS store_sales_profit,
+             ${sumd(dmoney("sr_net_loss"))} AS store_returns_loss,
+             ${sumd(dmoney("cs_net_profit"))} AS catalog_sales_profit
+      FROM store_sales, store_returns, catalog_sales,
+           date_dim d1, date_dim d2, date_dim d3, store, item
+      WHERE d1.d_moy = 4 AND d1.d_year = 2001
+        AND d1.d_date_sk = ss_sold_date_sk
+        AND i_item_sk = ss_item_sk
+        AND s_store_sk = ss_store_sk
+        AND ss_customer_sk = sr_customer_sk
+        AND ss_item_sk = sr_item_sk
+        AND ss_ticket_number = sr_ticket_number
+        AND sr_returned_date_sk = d2.d_date_sk
+        AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 2001
+        AND sr_customer_sk = cs_bill_customer_sk
+        AND sr_item_sk = cs_item_sk
+        AND cs_sold_date_sk = d3.d_date_sk
+        AND d3.d_moy BETWEEN 4 AND 10 AND d3.d_year = 2001
+      GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+      ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+      LIMIT 100""",
+
+    // Q26: catalog demographic/promotion item averages.
+    "tpcds_q26" -> s"""
+      SELECT i_item_id,
+             ${avgd("cs_quantity")} AS agg1,
+             ${avgd("cs_list_price")} AS agg2,
+             ${avgd("cs_coupon_amt")} AS agg3,
+             ${avgd("cs_sales_price")} AS agg4
+      FROM catalog_sales, customer_demographics, date_dim, item, promotion
+      WHERE cs_sold_date_sk = d_date_sk
+        AND cs_item_sk = i_item_sk
+        AND cs_bill_cdemo_sk = cd_demo_sk
+        AND cs_promo_sk = p_promo_sk
+        AND cd_gender = 'M'
+        AND cd_marital_status = 'S'
+        AND cd_education_status = 'College'
+        AND (p_channel_email = 'N' OR p_channel_event = 'N')
+        AND d_year = 2000
+      GROUP BY i_item_id
+      ORDER BY i_item_id
+      LIMIT 100""",
+
+    // Q27: ROLLUP over state/item with demographic filter.
+    "tpcds_q27" -> s"""
+      SELECT i_item_id, s_state,
+             ${avgd("ss_quantity")} AS agg1,
+             ${avgd("ss_list_price")} AS agg2,
+             ${avgd("ss_coupon_amt")} AS agg3,
+             ${avgd("ss_sales_price")} AS agg4
+      FROM store_sales, customer_demographics, date_dim, store, item
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_item_sk = i_item_sk
+        AND ss_store_sk = s_store_sk
+        AND ss_cdemo_sk = cd_demo_sk
+        AND cd_gender = 'M'
+        AND cd_marital_status = 'S'
+        AND cd_education_status = 'College'
+        AND d_year = 2000
+        AND s_state IN ('TN', 'CA', 'NY', 'TX', 'WA', 'TN')
+      GROUP BY ROLLUP (i_item_id, s_state)
+      ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+      LIMIT 100""",
+
+    // Q42: category revenue for a month/year.
+    "tpcds_q42" -> s"""
+      SELECT dt.d_year AS d_year, item.i_category_id AS i_category_id,
+             item.i_category AS i_category,
+             ${sumd(dmoney("ss_ext_sales_price"))} AS sum_sales
+      FROM date_dim dt, store_sales, item
+      WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+        AND store_sales.ss_item_sk = item.i_item_sk
+        AND item.i_manager_id = 1
+        AND dt.d_moy = 11 AND dt.d_year = 2000
+      GROUP BY dt.d_year, item.i_category_id, item.i_category
+      ORDER BY sum_sales DESC, d_year, i_category_id, i_category
+      LIMIT 100""",
+
+    // Q52: brand revenue for a month/year.
+    "tpcds_q52" -> s"""
+      SELECT dt.d_year AS d_year, item.i_brand_id AS brand_id,
+             item.i_brand AS brand,
+             ${sumd(dmoney("ss_ext_sales_price"))} AS ext_price
+      FROM date_dim dt, store_sales, item
+      WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+        AND store_sales.ss_item_sk = item.i_item_sk
+        AND item.i_manager_id = 1
+        AND dt.d_moy = 11 AND dt.d_year = 2000
+      GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+      ORDER BY dt.d_year, ext_price DESC, brand_id
+      LIMIT 100""",
+
+    // Q36: gross margin hierarchy (the reference text's explicit
+    // UNION-rollup + RANK over lochierarchy). Re-aggregation of the
+    // `results` level re-applies the decimal-sum policy so the double sums
+    // stay order-independent.
+    "tpcds_q36" -> s"""
+      WITH results AS
+        (SELECT ${sumd(dmoney("ss_net_profit"))} AS ss_net_profit,
+                ${sumd(dmoney("ss_ext_sales_price"))} AS ss_ext_sales_price,
+                ${sumd(dmoney("ss_net_profit"))} /
+                  ${sumd(dmoney("ss_ext_sales_price"))} AS gross_margin,
+                i_category, i_class,
+                0 AS g_category, 0 AS g_class
+         FROM store_sales, date_dim d1, item, store
+         WHERE d1.d_year = 2001
+           AND d1.d_date_sk = ss_sold_date_sk
+           AND i_item_sk = ss_item_sk
+           AND s_store_sk = ss_store_sk
+           AND s_state = 'TN'
+         GROUP BY i_category, i_class),
+      results_rollup AS
+        (SELECT gross_margin, i_category, i_class,
+                0 AS t_category, 0 AS t_class, 0 AS lochierarchy
+         FROM results
+         UNION SELECT ${sumd(sql.dbig("ss_net_profit"))} /
+                 ${sumd(sql.dbig("ss_ext_sales_price"))} AS gross_margin,
+               i_category, NULL AS i_class,
+               0 AS t_category, 1 AS t_class, 1 AS lochierarchy
+         FROM results GROUP BY i_category
+         UNION SELECT ${sumd(sql.dbig("ss_net_profit"))} /
+                 ${sumd(sql.dbig("ss_ext_sales_price"))} AS gross_margin,
+               NULL AS i_category, NULL AS i_class,
+               1 AS t_category, 1 AS t_class, 2 AS lochierarchy
+         FROM results)
+      SELECT gross_margin, i_category, i_class, lochierarchy,
+             RANK() OVER (PARTITION BY lochierarchy,
+                            CASE WHEN t_class = 0 THEN i_category END
+                          ORDER BY gross_margin ASC) AS rank_within_parent
+      FROM results_rollup
+      ORDER BY lochierarchy DESC NULLS FIRST,
+               CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+               rank_within_parent,
+               i_category NULLS FIRST, i_class NULLS FIRST
+      LIMIT 100""",
+
+    // Q43: weekday sales pivot per store.
+    "tpcds_q43" -> s"""
+      SELECT s_store_name, s_store_id,
+             ${sumd(s"CASE WHEN d_day_name = 'Sunday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS sun_sales,
+             ${sumd(s"CASE WHEN d_day_name = 'Monday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS mon_sales,
+             ${sumd(s"CASE WHEN d_day_name = 'Tuesday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS tue_sales,
+             ${sumd(s"CASE WHEN d_day_name = 'Wednesday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS wed_sales,
+             ${sumd(s"CASE WHEN d_day_name = 'Thursday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS thu_sales,
+             ${sumd(s"CASE WHEN d_day_name = 'Friday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS fri_sales,
+             ${sumd(s"CASE WHEN d_day_name = 'Saturday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS sat_sales
+      FROM date_dim, store_sales, store
+      WHERE d_date_sk = ss_sold_date_sk
+        AND s_store_sk = ss_store_sk
+        AND s_gmt_offset = -5
+        AND d_year = 2000
+      GROUP BY s_store_name, s_store_id
+      ORDER BY s_store_name, s_store_id, sun_sales, mon_sales, tue_sales,
+               wed_sales, thu_sales, fri_sales, sat_sales
+      LIMIT 100""",
+
+    // Q46: weekend coupon/profit per ticket for customers buying outside
+    // their home city.
+    "tpcds_q46" -> s"""
+      SELECT c_last_name, c_first_name, ca_city, bought_city,
+             ss_ticket_number, amt, profit
+      FROM
+        (SELECT ss_ticket_number, ss_customer_sk,
+                ca_city AS bought_city,
+                ${sumd(dmoney("ss_coupon_amt"))} AS amt,
+                ${sumd(dmoney("ss_net_profit"))} AS profit
+         FROM store_sales, date_dim, store, household_demographics,
+              customer_address
+         WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+           AND store_sales.ss_store_sk = store.s_store_sk
+           AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+           AND (household_demographics.hd_dep_count = 4
+                OR household_demographics.hd_vehicle_count = 3)
+           AND date_dim.d_dow IN (6, 0)
+           AND date_dim.d_year IN (1999, 1999+1, 1999+2)
+           AND store.s_city IN ('Fairview', 'Midway')
+         GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+        customer, customer_address current_addr
+      WHERE ss_customer_sk = c_customer_sk
+        AND customer.c_current_addr_sk = current_addr.ca_address_sk
+        AND current_addr.ca_city <> bought_city
+      ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
+               ca_city NULLS FIRST, bought_city NULLS FIRST,
+               ss_ticket_number NULLS FIRST,
+               amt NULLS FIRST, profit NULLS FIRST
+      LIMIT 100""",
+
+    // Q48: quantity total across demographic/address OR-bands.
+    "tpcds_q48" -> """
+      SELECT CAST(SUM(ss_quantity) AS BIGINT) AS sum_qty
+      FROM store_sales, store, customer_demographics, customer_address,
+           date_dim
+      WHERE s_store_sk = ss_store_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND d_year = 2000
+        AND ((cd_demo_sk = ss_cdemo_sk
+              AND cd_marital_status = 'M'
+              AND cd_education_status = '4 yr Degree'
+              AND ss_sales_price BETWEEN 100.00 AND 150.00)
+             OR (cd_demo_sk = ss_cdemo_sk
+                 AND cd_marital_status = 'D'
+                 AND cd_education_status = '2 yr Degree'
+                 AND ss_sales_price BETWEEN 50.00 AND 100.00)
+             OR (cd_demo_sk = ss_cdemo_sk
+                 AND cd_marital_status = 'S'
+                 AND cd_education_status = 'College'
+                 AND ss_sales_price BETWEEN 150.00 AND 200.00))
+        AND ((ss_addr_sk = ca_address_sk
+              AND ca_country = 'United States'
+              AND ca_state IN ('CO', 'OH', 'TX')
+              AND ss_net_profit BETWEEN 0 AND 2000)
+             OR (ss_addr_sk = ca_address_sk
+                 AND ca_country = 'United States'
+                 AND ca_state IN ('OR', 'MN', 'KY')
+                 AND ss_net_profit BETWEEN 150 AND 3000)
+             OR (ss_addr_sk = ca_address_sk
+                 AND ca_country = 'United States'
+                 AND ca_state IN ('VA', 'CA', 'MS')
+                 AND ss_net_profit BETWEEN 50 AND 25000))""",
+
+    // Q50: return-lag day buckets per store (quoted "30 days"-style output
+    // names replaced with plain identifiers — Spark has no double-quoted
+    // identifiers outside ANSI_QUOTES).
+    "tpcds_q50" -> """
+      SELECT s_store_name, s_company_id, s_street_number, s_street_name,
+             s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
+             CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30)
+               THEN 1 ELSE 0 END) AS BIGINT) AS d30_days,
+             CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30)
+               AND (sr_returned_date_sk - ss_sold_date_sk <= 60)
+               THEN 1 ELSE 0 END) AS BIGINT) AS d31_60_days,
+             CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60)
+               AND (sr_returned_date_sk - ss_sold_date_sk <= 90)
+               THEN 1 ELSE 0 END) AS BIGINT) AS d61_90_days,
+             CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90)
+               AND (sr_returned_date_sk - ss_sold_date_sk <= 120)
+               THEN 1 ELSE 0 END) AS BIGINT) AS d91_120_days,
+             CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120)
+               THEN 1 ELSE 0 END) AS BIGINT) AS d_over_120_days
+      FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+      WHERE d2.d_year = 2001
+        AND d2.d_moy = 8
+        AND ss_ticket_number = sr_ticket_number
+        AND ss_item_sk = sr_item_sk
+        AND ss_sold_date_sk = d1.d_date_sk
+        AND sr_returned_date_sk = d2.d_date_sk
+        AND ss_customer_sk = sr_customer_sk
+        AND ss_store_sk = s_store_sk
+      GROUP BY s_store_name, s_company_id, s_street_number, s_street_name,
+               s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+      ORDER BY s_store_name, s_company_id, s_street_number, s_street_name,
+               s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+      LIMIT 100""",
+
+    // Q59: week-over-week weekday sales ratios, one year apart (ref month
+    // seqs 1212.. -> fixture 1998 = seq 96..).
+    "tpcds_q59" -> s"""
+      WITH wss AS
+        (SELECT d_week_seq, ss_store_sk,
+                ${sumd(s"CASE WHEN d_day_name = 'Sunday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS sun_sales,
+                ${sumd(s"CASE WHEN d_day_name = 'Monday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS mon_sales,
+                ${sumd(s"CASE WHEN d_day_name = 'Tuesday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS tue_sales,
+                ${sumd(s"CASE WHEN d_day_name = 'Wednesday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS wed_sales,
+                ${sumd(s"CASE WHEN d_day_name = 'Thursday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS thu_sales,
+                ${sumd(s"CASE WHEN d_day_name = 'Friday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS fri_sales,
+                ${sumd(s"CASE WHEN d_day_name = 'Saturday' THEN ${dmoney("ss_sales_price")} ELSE NULL END")} AS sat_sales
+         FROM store_sales, date_dim
+         WHERE d_date_sk = ss_sold_date_sk
+         GROUP BY d_week_seq, ss_store_sk)
+      SELECT s_store_name1, s_store_id1, d_week_seq1,
+             sun_sales1 / sun_sales2 AS sun_sales_ratio,
+             mon_sales1 / mon_sales2 AS mon_sales_ratio,
+             tue_sales1 / tue_sales2 AS tue_sales_ratio,
+             wed_sales1 / wed_sales2 AS wed_sales_ratio,
+             thu_sales1 / thu_sales2 AS thu_sales_ratio,
+             fri_sales1 / fri_sales2 AS fri_sales_ratio,
+             sat_sales1 / sat_sales2 AS sat_sales_ratio
+      FROM
+        (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
+                s_store_id AS s_store_id1, sun_sales AS sun_sales1,
+                mon_sales AS mon_sales1, tue_sales AS tue_sales1,
+                wed_sales AS wed_sales1, thu_sales AS thu_sales1,
+                fri_sales AS fri_sales1, sat_sales AS sat_sales1
+         FROM wss, store, date_dim d
+         WHERE d.d_week_seq = wss.d_week_seq
+           AND ss_store_sk = s_store_sk
+           AND d_month_seq BETWEEN 96 AND 96 + 11) y,
+        (SELECT s_store_name AS s_store_name2, wss.d_week_seq AS d_week_seq2,
+                s_store_id AS s_store_id2, sun_sales AS sun_sales2,
+                mon_sales AS mon_sales2, tue_sales AS tue_sales2,
+                wed_sales AS wed_sales2, thu_sales AS thu_sales2,
+                fri_sales AS fri_sales2, sat_sales AS sat_sales2
+         FROM wss, store, date_dim d
+         WHERE d.d_week_seq = wss.d_week_seq
+           AND ss_store_sk = s_store_sk
+           AND d_month_seq BETWEEN 96 + 12 AND 96 + 23) x
+      WHERE s_store_id1 = s_store_id2
+        AND d_week_seq1 = d_week_seq2 - 52
+      ORDER BY s_store_name1 NULLS FIRST, s_store_id1 NULLS FIRST,
+               d_week_seq1 NULLS FIRST
+      LIMIT 100""",
+
+    // Q61: promoted vs total sales ratio (ref decimal-division ratio
+    // computed in double — promotions/total are already exact-sum doubles).
+    "tpcds_q61" -> s"""
+      SELECT promotions, total,
+             promotions / total * 100 AS pct
+      FROM
+        (SELECT ${sumd(dmoney("ss_ext_sales_price"))} AS promotions
+         FROM store_sales, store, promotion, date_dim, customer,
+              customer_address, item
+         WHERE ss_sold_date_sk = d_date_sk
+           AND ss_store_sk = s_store_sk
+           AND ss_promo_sk = p_promo_sk
+           AND ss_customer_sk = c_customer_sk
+           AND ca_address_sk = c_current_addr_sk
+           AND ss_item_sk = i_item_sk
+           AND ca_gmt_offset = -5
+           AND i_category = 'Jewelry'
+           AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y'
+                OR p_channel_tv = 'Y')
+           AND s_gmt_offset = -5
+           AND d_year = 1998
+           AND d_moy = 11) promotional_sales,
+        (SELECT ${sumd(dmoney("ss_ext_sales_price"))} AS total
+         FROM store_sales, store, date_dim, customer, customer_address, item
+         WHERE ss_sold_date_sk = d_date_sk
+           AND ss_store_sk = s_store_sk
+           AND ss_customer_sk = c_customer_sk
+           AND ca_address_sk = c_current_addr_sk
+           AND ss_item_sk = i_item_sk
+           AND ca_gmt_offset = -5
+           AND i_category = 'Jewelry'
+           AND s_gmt_offset = -5
+           AND d_year = 1998
+           AND d_moy = 11) all_sales
+      ORDER BY promotions, total
+      LIMIT 100""",
+
+    // Q65: items selling at <=10% of their store's average item revenue
+    // (ref month seq 1176.. -> fixture 1998 = 96..).
+    "tpcds_q65" -> s"""
+      SELECT s_store_name, i_item_desc, sc.revenue, i_current_price,
+             i_wholesale_cost, i_brand
+      FROM store, item,
+        (SELECT ss_store_sk,
+                ${sumd(sql.dbig("revenue"))} / COUNT(*) AS ave
+         FROM
+           (SELECT ss_store_sk, ss_item_sk,
+                   ${sumd(dmoney("ss_sales_price"))} AS revenue
+            FROM store_sales, date_dim
+            WHERE ss_sold_date_sk = d_date_sk
+              AND d_month_seq BETWEEN 96 AND 96 + 11
+            GROUP BY ss_store_sk, ss_item_sk) sa
+         GROUP BY ss_store_sk) sb,
+        (SELECT ss_store_sk, ss_item_sk,
+                ${sumd(dmoney("ss_sales_price"))} AS revenue
+         FROM store_sales, date_dim
+         WHERE ss_sold_date_sk = d_date_sk
+           AND d_month_seq BETWEEN 96 AND 96 + 11
+         GROUP BY ss_store_sk, ss_item_sk) sc
+      WHERE sb.ss_store_sk = sc.ss_store_sk
+        AND sc.revenue <= 0.1 * sb.ave
+        AND s_store_sk = sc.ss_store_sk
+        AND i_item_sk = sc.ss_item_sk
+      ORDER BY s_store_name NULLS FIRST, i_item_desc NULLS FIRST,
+               sc.ss_item_sk
+      LIMIT 100""",
+
+    // Q68: month-start tickets in selected cities bought outside home city.
+    "tpcds_q68" -> s"""
+      SELECT c_last_name, c_first_name, ca_city, bought_city,
+             ss_ticket_number, extended_price, extended_tax, list_price
+      FROM
+        (SELECT ss_ticket_number, ss_customer_sk,
+                ca_city AS bought_city,
+                ${sumd(dmoney("ss_ext_sales_price"))} AS extended_price,
+                ${sumd(dmoney("ss_ext_list_price"))} AS list_price,
+                ${sumd(dmoney("ss_ext_tax"))} AS extended_tax
+         FROM store_sales, date_dim, store, household_demographics,
+              customer_address
+         WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+           AND store_sales.ss_store_sk = store.s_store_sk
+           AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+           AND date_dim.d_dom BETWEEN 1 AND 2
+           AND (household_demographics.hd_dep_count = 4
+                OR household_demographics.hd_vehicle_count = 3)
+           AND date_dim.d_year IN (1999, 1999+1, 1999+2)
+           AND store.s_city IN ('Fairview', 'Midway')
+         GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+        customer, customer_address current_addr
+      WHERE ss_customer_sk = c_customer_sk
+        AND customer.c_current_addr_sk = current_addr.ca_address_sk
+        AND current_addr.ca_city <> bought_city
+      ORDER BY c_last_name NULLS FIRST, ss_ticket_number NULLS FIRST,
+               bought_city NULLS FIRST, extended_price NULLS FIRST
+      LIMIT 100""",
+
+    // Q73: ticket line-count bands for high-potential households (ref
+    // counties adapted; decimal ratio computed in double).
+    "tpcds_q73" -> """
+      SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+             ss_ticket_number, cnt
+      FROM
+        (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+         FROM store_sales, date_dim, store, household_demographics
+         WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+           AND store_sales.ss_store_sk = store.s_store_sk
+           AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND date_dim.d_dom BETWEEN 1 AND 2
+           AND (household_demographics.hd_buy_potential = 'Unknown'
+                OR household_demographics.hd_buy_potential = '>10000')
+           AND household_demographics.hd_vehicle_count > 0
+           AND CASE WHEN household_demographics.hd_vehicle_count > 0
+                 THEN CAST(household_demographics.hd_dep_count AS DOUBLE) /
+                      household_demographics.hd_vehicle_count
+                 ELSE NULL END > 1
+           AND date_dim.d_year IN (1999, 1999+1, 1999+2)
+           AND store.s_county IN ('Orange County', 'Bronx County',
+                                  'Franklin Parish', 'Williamson County')
+         GROUP BY ss_ticket_number, ss_customer_sk) dj,
+        customer
+      WHERE ss_customer_sk = c_customer_sk
+        AND cnt BETWEEN 1 AND 5
+      ORDER BY cnt DESC, c_last_name ASC""",
+
+    // Q79: Monday coupon/profit per ticket at mid-size stores.
+    "tpcds_q79" -> s"""
+      SELECT c_last_name, c_first_name,
+             SUBSTRING(s_city, 1, 30) AS s_city, ss_ticket_number,
+             amt, profit
+      FROM
+        (SELECT ss_ticket_number, ss_customer_sk, store.s_city,
+                ${sumd(dmoney("ss_coupon_amt"))} AS amt,
+                ${sumd(dmoney("ss_net_profit"))} AS profit
+         FROM store_sales, date_dim, store, household_demographics
+         WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+           AND store_sales.ss_store_sk = store.s_store_sk
+           AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND (household_demographics.hd_dep_count = 6
+                OR household_demographics.hd_vehicle_count > 2)
+           AND date_dim.d_dow = 1
+           AND date_dim.d_year IN (1999, 1999+1, 1999+2)
+           AND store.s_number_employees BETWEEN 200 AND 295
+         GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk,
+                  store.s_city) ms,
+        customer
+      WHERE ss_customer_sk = c_customer_sk
+      ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
+               SUBSTRING(s_city, 1, 30) NULLS FIRST, profit NULLS FIRST,
+               ss_ticket_number, amt NULLS FIRST
+      LIMIT 100""",
+
+    // Q89: monthly sales deviation from the item/store average (the
+    // reference's nested avg(sum()) OVER window is computed in two layers
+    // with a decimal window sum so double addition stays order-free; class
+    // lists adapted to the fixture vocabulary).
+    "tpcds_q89" -> s"""
+      SELECT * FROM
+        (SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+                d_moy, sum_sales,
+                CAST(SUM(CAST(sum_sales AS DECIMAL(24,4))) OVER
+                       (PARTITION BY i_category, i_brand, s_store_name,
+                                     s_company_name) AS DOUBLE) /
+                  COUNT(*) OVER (PARTITION BY i_category, i_brand,
+                                 s_store_name, s_company_name)
+                  AS avg_monthly_sales
+         FROM
+           (SELECT i_category, i_class, i_brand, s_store_name,
+                   s_company_name, d_moy,
+                   ${sumd(dmoney("ss_sales_price"))} AS sum_sales
+            FROM item, store_sales, date_dim, store
+            WHERE ss_item_sk = i_item_sk
+              AND ss_sold_date_sk = d_date_sk
+              AND ss_store_sk = s_store_sk
+              AND d_year = 1999
+              AND ((i_category IN ('Books', 'Electronics', 'Sports')
+                    AND i_class IN ('computers', 'fiction', 'basketball'))
+                   OR (i_category IN ('Men', 'Jewelry', 'Women')
+                       AND i_class IN ('accessories', 'earings', 'dresses')))
+            GROUP BY i_category, i_class, i_brand, s_store_name,
+                     s_company_name, d_moy) base) tmp1
+      WHERE CASE WHEN (avg_monthly_sales <> 0)
+              THEN (ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales)
+              ELSE NULL END > 0.1
+      ORDER BY sum_sales - avg_monthly_sales, s_store_name,
+               1, 2, 3, 5, 6, 7, 8
+      LIMIT 100""",
+
+    // Q98: item revenue and share of class revenue over a 30-day window
+    // (nested window sum in two layers, decimal-exact).
+    "tpcds_q98" -> s"""
+      SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+             itemrevenue,
+             itemrevenue * 100.0 /
+               CAST(SUM(CAST(itemrevenue AS DECIMAL(24,4))) OVER
+                      (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+      FROM
+        (SELECT i_item_id, i_item_desc, i_category, i_class,
+                i_current_price,
+                ${sumd(dmoney("ss_ext_sales_price"))} AS itemrevenue
+         FROM store_sales, item, date_dim
+         WHERE ss_item_sk = i_item_sk
+           AND i_category IN ('Sports', 'Books', 'Home')
+           AND ss_sold_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('1999-02-22' AS DATE)
+                          AND CAST('1999-03-24' AS DATE)
+         GROUP BY i_item_id, i_item_desc, i_category, i_class,
+                  i_current_price) base
+      ORDER BY i_category NULLS FIRST, i_class NULLS FIRST,
+               i_item_id NULLS FIRST, i_item_desc NULLS FIRST,
+               revenueratio NULLS FIRST""",
+
+    // Q55: brand revenue for a manager/month (ref manager 28 -> 18).
+    "tpcds_q55" -> s"""
+      SELECT i_brand_id AS brand_id, i_brand AS brand,
+             ${sumd(dmoney("ss_ext_sales_price"))} AS ext_price
+      FROM date_dim, store_sales, item
+      WHERE d_date_sk = ss_sold_date_sk
+        AND ss_item_sk = i_item_sk
+        AND i_manager_id = 18
+        AND d_moy = 11 AND d_year = 1999
+      GROUP BY i_brand, i_brand_id
+      ORDER BY ext_price DESC, brand_id
+      LIMIT 100""")
+
+  private def run(text: String): Q = { (s: SparkSession, dir: String) =>
+    Seq("region", "nation", "supplier", "part", "orders", "lineitem")
+      .foreach(Engine.table(s, dir, _))
+    s.sql(wrap(text))
+  }
+
+  val queries: Map[String, Q] =
+    texts.map { case (name, text) => name -> run(text) }
+
+  val oracles: Map[String, String] = texts.map { case (n, t) => n -> wrap(t) }
+}

@@ -21,7 +21,9 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
   // nothing in the 200-part/10-supplier sf0.001 fixtures; they are non-empty
   // at the driver's sf0.01 correctness gate.
   private val emptyOkAtTinySf = Set(
-    "tpch_q02", "tpch_q07", "tpch_q11", "tpch_q20", "tpch_q21")
+    "tpch_q02", "tpch_q07", "tpch_q11", "tpch_q20", "tpch_q21",
+    // q06 HAVING count>=10, q19 selective manager+zip filter
+    "tpcds_q06", "tpcds_q19")
 
   test("every catalog query executes and returns rows at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
