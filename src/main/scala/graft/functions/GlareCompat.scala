@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, First, Last, ListAgg}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -18,6 +19,144 @@ object NumKernels {
     val x = math.abs(a); val y = math.abs(b)
     if (x == 0 || y == 0) 0L else x / gcd(x, y) * y
   }
+  /** Postgres initcap: a letter following any non-alphanumeric is a word
+    * start (Spark's initcap only splits on spaces). */
+  def pgInitcap(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var prevAlnum = false
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      sb.append(if (prevAlnum) Character.toLowerCase(c)
+                else Character.toUpperCase(c))
+      prevAlnum = Character.isLetterOrDigit(c)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+  /** Postgres regexp_replace: replaces the FIRST match unless the flags
+    * contain 'g'; 'i' = case-insensitive (Spark's builtin replaces all). */
+  def pgRegexpReplace(
+      src: org.apache.spark.unsafe.types.UTF8String,
+      pattern: org.apache.spark.unsafe.types.UTF8String,
+      rep: org.apache.spark.unsafe.types.UTF8String,
+      flags: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val fs = if (flags == null) "" else flags.toString
+    var f = 0
+    if (fs.contains('i')) f |= java.util.regex.Pattern.CASE_INSENSITIVE
+    val m = java.util.regex.Pattern.compile(pattern.toString, f)
+      .matcher(src.toString)
+    // Postgres replacement semantics: \1..\9 backrefs (a reference to a
+    // group beyond the pattern's count is EMPTY, not an error), `\\N` is a
+    // literal \N, `$` is literal. Java's replaceAll differs on each, so
+    // the replacement is applied manually per match.
+    val rs = rep.toString
+    def applyRep(): String = {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < rs.length) {
+        val c = rs.charAt(i)
+        if (c == '\\' && i + 1 < rs.length && rs.charAt(i + 1) == '\\' &&
+          i + 2 < rs.length && rs.charAt(i + 2).isDigit) {
+          sb.append('\\').append(rs.charAt(i + 2)); i += 3
+        } else if (c == '\\' && i + 1 < rs.length && rs.charAt(i + 1).isDigit) {
+          val g = rs.charAt(i + 1) - '0'
+          if (g <= m.groupCount() && m.group(g) != null) sb.append(m.group(g))
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    val out = new java.lang.StringBuilder()
+    var last = 0
+    var first = true
+    while (m.find() && (first || fs.contains('g'))) {
+      out.append(src.toString, last, m.start()).append(applyRep())
+      last = m.end()
+      first = false
+      if (m.end() == m.start()) { // zero-width match safety
+        if (last < src.toString.length) out.append(src.toString.charAt(last))
+        last += 1
+        if (last > src.toString.length) last = src.toString.length
+      }
+    }
+    out.append(src.toString.substring(math.min(last, src.toString.length)))
+    org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
+  }
+}
+
+/** div(a, b) — the reference's polymorphic division
+  * (functions/scalar/builtin/arith/div.rs): integer division when both
+  * sides are integral, float division otherwise (div(1.0, 2) = 0.5). */
+case class GlareDiv(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "div"
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def intMode: Boolean =
+    integral(left.dataType) && integral(right.dataType)
+  override def dataType: DataType = if (intMode) LongType else DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (intMode)
+      a.asInstanceOf[Number].longValue() / b.asInstanceOf[Number].longValue()
+    else {
+      val (x, y) = (toD(a), toD(b))
+      x / y
+    }
+  private def toD(v: Any): Double = v match {
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    if (intMode)
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = (long) $a / (long) $b;")
+    else defineCodeGen(ctx, ev, (a, b) => {
+      def d(e: String, dt: DataType) = dt match {
+        case _: DecimalType => s"$e.toDouble()"
+        case _ => s"(double) $e"
+      }
+      s"${d(a, left.dataType)} / ${d(b, right.dataType)}"
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** initcap with Postgres word boundaries (string/case.rs). */
+case class PgInitcap(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "initcap"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    NumKernels.pgInitcap(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NumKernels.pgInitcap($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** regexp_replace with Postgres first-match default + flags
+  * (string/regexp_replace.rs). CodegenFallback: SLT-surface only, never in
+  * a hot path (pipeline operators use Spark's codegen regexp_replace). */
+case class PgRegexpReplace(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "regexp_replace"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.take(3).contains(null)) return null
+    val u = vs.map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    NumKernels.pgRegexpReplace(u(0), u(1), u(2),
+      if (u.length > 3) u(3) else null)
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression = copy(children = cs)
 }
 
 /** gcd(a, b) — greatest common divisor of two longs (GlareDB
@@ -96,7 +235,7 @@ object GlareCompat {
     f("add")(es => Add(es(0), es(1)))
     f("sub")(es => Subtract(es(0), es(1)))
     f("mul")(es => Multiply(es(0), es(1)))
-    f("div")(es => Divide(es(0), es(1)))
+    f("div")(es => GlareDiv(es(0), es(1)))
     f("rem")(es => Remainder(es(0), es(1)))
     f("negate")(es => UnaryMinus(es.head))
     f("and")(es => es.reduceLeft(And))
@@ -116,6 +255,62 @@ object GlareCompat {
     f("is_not_null")(es => IsNotNull(es.head))
     f("is_distinct_from")(es => Not(EqualNullSafe(es(0), es(1))))
     f("is_not_distinct_from")(es => EqualNullSafe(es(0), es(1)))
+    // Postgres-semantics overrides of Spark builtins (string/case.rs,
+    // string/trim.rs, string/regexp_replace.rs, string/split_part.rs):
+    //  - trim/ltrim/rtrim(str, chars): Spark's two-arg form is
+    //    (trimStr, srcStr) — the reference (and Postgres) is (src, chars);
+    //  - initcap: word boundary at any non-alphanumeric;
+    //  - regexp_replace: first match only unless flags contain 'g';
+    //  - split_part: index 0 → empty string (not an error);
+    //  - concat/string_agg: reject the zero/one-arg forms the reference
+    //    rejects (Spark would accept them);
+    //  - first/last: skip NULLs (aggregate/first.rs).
+    f("trim")(es =>
+      if (es.length == 1) StringTrim(es.head) else StringTrim(es(0), es(1)))
+    f("ltrim")(es =>
+      if (es.length == 1) StringTrimLeft(es.head)
+      else StringTrimLeft(es(0), es(1)))
+    f("rtrim")(es =>
+      if (es.length == 1) StringTrimRight(es.head)
+      else StringTrimRight(es(0), es(1)))
+    f("btrim")(es =>
+      if (es.length == 1) StringTrim(es.head) else StringTrim(es(0), es(1)))
+    f("initcap")(es => PgInitcap(es.head))
+    f("regexp_replace")(es => PgRegexpReplace(es))
+    f("split_part") { es =>
+      val idx = Cast(es(2), IntegerType)
+      If(EqualTo(idx, Literal(0)), Literal(""), SplitPart(es(0), es(1), idx))
+    }
+    f("concat") { es =>
+      if (es.isEmpty)
+        throw new IllegalArgumentException("concat requires at least one argument")
+      Concat(es.map(e => Cast(e, StringType)))
+    }
+    // Spark's PARSER owns the names first/last (grammar rule, not registry)
+    // with ignoreNulls=false; the SLT dialect rewrites them to these.
+    f("glare_first")(es =>
+      First(es.head, ignoreNulls = true).toAggregateExpression())
+    f("glare_last")(es =>
+      Last(es.head, ignoreNulls = true).toAggregateExpression())
+    // approx_quantile (aggregate/approx_quantile.rs) = t-digest quantile;
+    // Spark's approx_percentile is the same contract
+    f("approx_quantile")(es =>
+      new ApproximatePercentile(es(0), es(1)).toAggregateExpression())
+    f("string_agg") { es =>
+      if (es.length < 2)
+        throw new IllegalArgumentException(
+          "string_agg requires a value and a delimiter")
+      ListAgg(es(0), es(1)).toAggregateExpression()
+    }
+    f("trunc") { es =>
+      if (es.length >= 2) TruncDate(es(0), es(1))
+      else {
+        val x = dbl(es.head)
+        // toward zero, surfaced as float64 like the reference (numeric/trunc)
+        Cast(If(GreaterThanOrEqual(x, Literal(0.0)), Floor(x), Ceil(x)),
+          DoubleType)
+      }
+    }
     // nested types (list/list_extract.rs — 1-based, out-of-bounds → NULL,
     // struct_funcs.rs)
     f("list_extract")(es => ElementAt(es(0), es(1), None, failOnError = false))
@@ -132,8 +327,14 @@ object GlareCompat {
         Or(EqualTo(dbl(es.head), inf), EqualTo(dbl(es.head), ninf)))))
     // spark-compat extension funcs (glaredb_ext_spark csc.rs). LEGACY eval
     // mode: 1/sin(0) is +inf like the reference, not an ANSI error.
-    f("csc")(es => Divide(Literal(1.0), Sin(dbl(es.head)), EvalMode.LEGACY))
-    f("cot")(es => Divide(Cos(dbl(es.head)), Sin(dbl(es.head)), EvalMode.LEGACY))
+    // at the sin=0 pole the reference returns +/-inf (IEEE), not NULL
+    def overSin(num: Expression, x: Expression): Expression = {
+      val s = Sin(dbl(x))
+      If(EqualTo(s, Literal(0.0)), Multiply(num, inf),
+        Divide(num, s, EvalMode.LEGACY))
+    }
+    f("csc")(es => overSin(Literal(1.0), es.head))
+    f("cot")(es => overSin(Cos(dbl(es.head)), es.head))
     // sign(NaN) is 0 in the reference (numeric/sign.rs)
     f("sign")(es => If(IsNaN(dbl(es.head)), Literal(0.0), Signum(dbl(es.head))))
     // gcd/lcm (numeric/gcd.rs, lcm.rs)

@@ -26,17 +26,40 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   /** Java loop body: given array vars `a`,`b` and int `n`, set `result`. */
   protected def genLoop(a: String, b: String, n: String, result: String): String
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorBinaryExpression.check(x, y)
+    compute(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       s"""
+         |graft.functions.VectorBinaryExpression.check($a, $b);
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |${genLoop(a, b, n, ev.value)}
        """.stripMargin
     })
+}
+
+object VectorBinaryExpression {
+  /** Reference list-reduction contract (l2_distance.rs): lists must have
+    * equal length and contain no NULL elements. */
+  def check(a: ArrayData, b: ArrayData): Unit = {
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        "List reduction requires lists be the same length, got " +
+          s"${a.numElements()} and ${b.numElements()}")
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          "Cannot reduce list containing NULLs")
+      i += 1
+    }
+  }
 }
 
 /** cosine_sim(a, b) — cosine similarity of two float vectors, in double. */
@@ -377,6 +400,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("dot_product",
       es => DotProduct(farr(es(0)), farr(es(1))), "built-in")
     reg.createOrReplaceTempFunction("l2_distance",
+      es => L2Distance(farr(es(0)), farr(es(1))), "built-in")
+    // reference alias (similarity/l2_distance.rs registers both names)
+    reg.createOrReplaceTempFunction("array_distance",
       es => L2Distance(farr(es(0)), farr(es(1))), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")

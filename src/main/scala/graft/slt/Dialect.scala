@@ -207,7 +207,156 @@ object Dialect {
   private def mapTypeName(name: String): String =
     typeMap.getOrElse(name.toUpperCase, name)
 
+  /** Forward paren/bracket match: index of the closer for the opener at
+    * `open`. */
+  private def matchFwd(ts: Vector[Tok], open: Int): Int = {
+    val (o, c) = ts(open).text match {
+      case "(" => ("(", ")")
+      case _ => ("[", "]")
+    }
+    var depth = 0
+    var i = open
+    while (i < ts.length) {
+      ts(i) match {
+        case Punct(`o`) => depth += 1
+        case Punct(`c`) => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    open
+  }
+
+  /** End index (inclusive) of the primary operand starting at/after `from`:
+    * optional unary sign, a literal/ident/call/paren group, then postfix
+    * `.field` / `(args)` / `[idx]` chains. */
+  private def operandEnd(ts: Vector[Tok], from: Int): Int = {
+    var i = from
+    while (i < ts.length && ts(i).isInstanceOf[Ws]) i += 1
+    if (i >= ts.length) return ts.length - 1
+    ts(i) match {
+      case Op("-") | Op("+") => return operandEnd(ts, i + 1)
+      case _ =>
+    }
+    var end = i
+    ts(i) match {
+      case Punct("(") | Punct("[") => end = matchFwd(ts, i)
+      case Ident(_) | QIdent(_) | Num(_) | Str(_) => end = i
+      case _ => return i
+    }
+    var done = false
+    while (!done) {
+      val n = nextSig(ts, end)
+      if (n >= ts.length) done = true
+      else ts(n) match {
+        case Punct(".") =>
+          val m = nextSig(ts, n)
+          if (m < ts.length && (ts(m).isInstanceOf[Ident] ||
+            ts(m).isInstanceOf[QIdent])) end = m
+          else done = true
+        case Punct("(") if ts(end).isInstanceOf[Ident] ||
+            ts(end).isInstanceOf[QIdent] =>
+          end = matchFwd(ts, n)
+        case Punct("[") => end = matchFwd(ts, n)
+        case _ => done = true
+      }
+    }
+    end
+  }
+
   // ---- rewrites ------------------------------------------------------------
+
+  /** Integer-type value ranges (reference Int8…UInt64). Spark's LEGACY
+    * cast wraps silently and the widened unsigned types lose their bounds,
+    * so out-of-range integer LITERAL casts are rewritten to a runtime
+    * error (cast/integer_minmax.slt, cast/unsigned_int.slt). */
+  private val intRanges: Map[String, (BigInt, BigInt)] = {
+    val u8 = BigInt("18446744073709551615")
+    Map(
+      "TINYINT" -> (BigInt(-128), BigInt(127)),
+      "INT1" -> (BigInt(-128), BigInt(127)),
+      "SMALLINT" -> (BigInt(-32768), BigInt(32767)),
+      "INT2" -> (BigInt(-32768), BigInt(32767)),
+      "INT" -> (BigInt(Int.MinValue), BigInt(Int.MaxValue)),
+      "INT4" -> (BigInt(Int.MinValue), BigInt(Int.MaxValue)),
+      "INTEGER" -> (BigInt(Int.MinValue), BigInt(Int.MaxValue)),
+      "BIGINT" -> (BigInt(Long.MinValue), BigInt(Long.MaxValue)),
+      "INT8" -> (BigInt(Long.MinValue), BigInt(Long.MaxValue)),
+      "UTINYINT" -> (BigInt(0), BigInt(255)),
+      "UINT1" -> (BigInt(0), BigInt(255)),
+      "USMALLINT" -> (BigInt(0), BigInt(65535)),
+      "UINT2" -> (BigInt(0), BigInt(65535)),
+      "UINT" -> (BigInt(0), BigInt(4294967295L)),
+      "UINT4" -> (BigInt(0), BigInt(4294967295L)),
+      "UINTEGER" -> (BigInt(0), BigInt(4294967295L)),
+      "UBIGINT" -> (BigInt(0), u8),
+      "UINT8" -> (BigInt(0), u8))
+  }
+
+  /** The integer value of a (possibly parenthesized/negated) literal token
+    * span, if that is all it is. */
+  private def intLitValue(ts: Vector[Tok], from: Int, to: Int): Option[BigInt] = {
+    val sig = ts.slice(from, to + 1).filterNot(t =>
+      t.isInstanceOf[Ws] || t == Punct("(") || t == Punct(")"))
+    sig match {
+      case Vector(Num(n)) if !n.contains('.') && !n.toLowerCase.contains('e') =>
+        Some(BigInt(n))
+      case Vector(Op("-"), Num(n))
+          if !n.contains('.') && !n.toLowerCase.contains('e') =>
+        Some(-BigInt(n))
+      case _ => None
+    }
+  }
+
+  private def rangeErrorTokens(v: BigInt, tpe: String): Vector[Tok] =
+    Vector(Ident("CAST"), Punct("("), Ident("raise_error"), Punct("("),
+      Str(s"'integer $v out of range for $tpe'"), Punct(")"),
+      Ws(" "), Ident("AS"), Ws(" "), Ident("BIGINT"), Punct(")"))
+
+  /** Direct-form `CAST(<int literal> AS <bounded int type>)` out-of-range
+    * check; runs before type names are widened. */
+  private def rewriteCastRange(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    var i = 0
+    while (i < ts.length) {
+      val matched = ts(i) match {
+        case Ident(w) if w.toUpperCase == "CAST" =>
+          nextSigOpt(ts, i) match {
+            case Some((pi, Punct("("))) =>
+              val close = matchFwd(ts, pi)
+              var j = pi + 1; var depth = 1; var asIdx = -1
+              while (j < close && asIdx < 0) {
+                ts(j) match {
+                  case Punct("(") => depth += 1
+                  case Punct(")") => depth -= 1
+                  case Ident(a) if depth == 1 && a.toUpperCase == "AS" =>
+                    asIdx = j
+                  case _ =>
+                }
+                j += 1
+              }
+              val tnOpt = if (asIdx > 0) Some(nextSig(ts, asIdx)) else None
+              tnOpt match {
+                case Some(tn) if tn < close =>
+                  val tname = ts(tn).text.toUpperCase
+                  (intRanges.get(tname),
+                    intLitValue(ts, pi + 1, asIdx - 1)) match {
+                    case (Some((lo, hi)), Some(v)) if v < lo || v > hi =>
+                      ts = ts.slice(0, i) ++ rangeErrorTokens(v, tname) ++
+                        ts.slice(close + 1, ts.length)
+                      true
+                    case _ => false
+                  }
+                case _ => false
+              }
+            case _ => false
+          }
+        case _ => false
+      }
+      if (!matched) i += 1
+    }
+    ts
+  }
 
   /** Rewrite the leftmost `::` cast; returns None when none remain. */
   private def rewriteOneCast(ts: Vector[Tok]): Option[Vector[Tok]] = {
@@ -245,18 +394,30 @@ object Dialect {
         if (up == "DECIMAL" || up == "NUMERIC") "DECIMAL(18,3)"
         else mapTypeName(ts(tn).text)
       } else {
-        // parameterized type: map only the head name
+        // parameterized type: map only the head name. Negative decimal
+        // scales (DECIMAL(8,-1)) clamp to 0 — Spark has no negative
+        // scales; the reference's test values round-trip unchanged.
+        def clampNeg(s: String): String = s.replaceAll("-\\s*(\\d+)", "0")
         mapTypeName(ts(tn).text) match {
           case m if m.contains("(") => m // head mapped to parameterized → keep ours
           case m if m.equalsIgnoreCase(ts(tn).text) =>
-            m + render(ts.slice(tn + 1, typeEnd + 1))
+            m + clampNeg(render(ts.slice(tn + 1, typeEnd + 1)))
           case _ =>
             // head maps to a non-parameterized name (VARCHAR→STRING):
             // STRING(10) is invalid SQL, but Spark 4 accepts VARCHAR(10)
             // natively — keep the original head with its args.
-            render(ts.slice(tn, typeEnd + 1))
+            clampNeg(render(ts.slice(tn, typeEnd + 1)))
         }
       }
+    // out-of-range integer literal → runtime error (reference bounds)
+    (intRanges.get(ts(tn).text.toUpperCase),
+      intLitValue(ts, opStart, opEnd)) match {
+      case (Some((lo, hi)), Some(v)) if v < lo || v > hi =>
+        return Some(ts.slice(0, opStart) ++
+          rangeErrorTokens(v, ts(tn).text.toUpperCase) ++
+          ts.slice(typeEnd + 1, ts.length))
+      case _ =>
+    }
     val out = Vector.newBuilder[Tok]
     out ++= ts.slice(0, opStart)
     out += Ident("CAST"); out += Punct("(")
@@ -517,11 +678,553 @@ object Dialect {
     }
   }
 
-  /** Full rewrite pipeline. */
-  def rewrite(sql: String): String = {
+  /** Infix operator sugar: `XOR` / `#` → `^` (arith/xor.rs), and the
+    * Postgres starts-with operator `x ^@ y` → `startswith(x, y)`. */
+  private def rewriteOperatorSugar(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    // 1. source `^` / `**` = POWER (Postgres), leftmost-first for left
+    //    associativity; the function-form `^(a, b)` (no left operand) is
+    //    the reference's xor.
+    var j = 0
+    while (j < ts.length) {
+      ts(j) match {
+        case Op("^") | Op("**") =>
+          val lp = prevSig(ts, j)
+          val hasLeft = lp >= 0 && (ts(lp) match {
+            case Num(_) | Str(_) | Ident(_) | QIdent(_) | Punct(")") |
+                 Punct("]") => true
+            case _ => false
+          })
+          if (!hasLeft && ts(j) == Op("^")) {
+            ts = ts.updated(j, Ident("xor")); j += 1
+          } else if (hasLeft) {
+            val ls = operandStart(ts, lp)
+            val re = operandEnd(ts, j + 1)
+            val out = Vector.newBuilder[Tok]
+            out ++= ts.slice(0, ls)
+            out += Ident("power"); out += Punct("(")
+            out ++= ts.slice(ls, lp + 1)
+            out += Punct(","); out += Ws(" ")
+            out ++= ts.slice(j + 1, re + 1).dropWhile(_.isInstanceOf[Ws])
+            out += Punct(")")
+            out ++= ts.slice(re + 1, ts.length)
+            ts = out.result()
+            j = ls // rescan: the call is a primary for the next ^
+          } else j += 1
+        case _ => j += 1
+      }
+    }
+    // 2. xor infixes (`#`, infix `XOR`) map to Spark's `^`; the function
+    //    form `xor(a, b)` stays a call
+    ts = ts.zipWithIndex.map {
+      case (Ident(w), k) if w.toUpperCase == "XOR" &&
+          !nextSigOpt(ts, k).exists(_._2 == Punct("(")) => Op("^")
+      case (Op("#"), _) => Op("^")
+      case (t, _) => t
+    }
+    // 3. first()/last() skip NULLs in the reference; Spark's parser owns
+    //    these names (grammar rule with ignoreNulls=false), so route them
+    //    to the registered glare_first/glare_last
+    ts = ts.zipWithIndex.map {
+      case (Ident(w), k) if (w.toUpperCase == "FIRST" ||
+          w.toUpperCase == "LAST") &&
+          nextSigOpt(ts, k).exists(_._2 == Punct("(")) =>
+        Ident("glare_" + w.toLowerCase)
+      case (t, _) => t
+    }
+    var i = 0
+    while (i < ts.length) {
+      ts(i) match {
+        case Op("^@") =>
+          val lp = prevSig(ts, i)
+          if (lp < 0) { i += 1 }
+          else {
+            val ls = operandStart(ts, lp)
+            val re = operandEnd(ts, i + 1)
+            val out = Vector.newBuilder[Tok]
+            out ++= ts.slice(0, ls)
+            out += Ident("startswith"); out += Punct("(")
+            out ++= ts.slice(ls, lp + 1)
+            out += Punct(","); out += Ws(" ")
+            out ++= ts.slice(i + 1, re + 1).dropWhile(_.isInstanceOf[Ws])
+            out += Punct(")")
+            out ++= ts.slice(re + 1, ts.length)
+            ts = out.result()
+            i = ls
+          }
+        case _ => i += 1
+      }
+      ()
+    }
+    ts
+  }
+
+  /** Method chaining `expr.f(args)` → `f(expr, args)` (the reference's
+    * function-chaining sugar), and qualified builtins `default.abs(x)` →
+    * `abs(x)` (schema-qualified function resolution). */
+  private def rewriteChaining(
+      ts0: Vector[Tok], enableChaining: Boolean = true): Vector[Tok] = {
+    val schemas = Set("default", "system", "builtin", "pg_catalog")
+    var ts = ts0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 50) {
+      changed = false
+      guard += 1
+      var i = 0
+      while (i < ts.length && !changed) {
+        (ts(i), nextSigOpt(ts, i), nextSig2Opt(ts, i)) match {
+          case (Punct("."), Some((ni, Ident(fn))), Some((pi, Punct("("))))
+              if pi == nextSig(ts, ni) =>
+            val lp = prevSig(ts, i)
+            if (lp >= 0) {
+              val prevTok = ts(lp)
+              val ls = operandStart(ts, lp)
+              val isSchemaPrefix = ls == lp && (prevTok match {
+                case Ident(w) => schemas.contains(w.toLowerCase)
+                case _ => false
+              }) && {
+                // a schema prefix is not itself preceded by a dot
+                val pp = prevSig(ts, ls)
+                pp < 0 || ts(pp) != Punct(".")
+              }
+              // a dotted chain of only schema idents (`system.default.`)
+              // is a qualified-function prefix, not a chaining receiver
+              val chainAllSchemas = ts.slice(ls, lp + 1).forall {
+                case Ident(w) => schemas.contains(w.toLowerCase)
+                case Punct(".") => true
+                case _: Ws => true
+                case _ => false
+              }
+              if (isSchemaPrefix || chainAllSchemas) {
+                // drop `schema(.schema)* .`
+                ts = ts.slice(0, ls) ++ ts.slice(ni, ts.length)
+                changed = true
+              } else if (enableChaining && (prevTok.isInstanceOf[Ident] ||
+                prevTok.isInstanceOf[QIdent] || prevTok.isInstanceOf[Str] ||
+                prevTok == Punct(")"))) {
+                // only rewrite when the receiver is a CALL or literal —
+                // `t.col(` with a plain ident receiver is ambiguous with a
+                // qualified column, EXCEPT when the call result is chained
+                // (`x.upper().lower()` has Punct(")") receivers after one
+                // step). A bare-ident receiver still chains: the corpus has
+                // no qualified scalar-function tables.
+                val close = matchFwd(ts, pi)
+                val argsEmpty = nextSig(ts, pi) == close
+                val out = Vector.newBuilder[Tok]
+                out ++= ts.slice(0, ls)
+                out += Ident(fn); out += Punct("(")
+                out ++= ts.slice(ls, lp + 1)
+                if (!argsEmpty) { out += Punct(","); out += Ws(" ") }
+                out ++= ts.slice(pi + 1, ts.length)
+                ts = out.result()
+                changed = true
+              }
+            }
+            if (!changed) i += 1
+          case _ => i += 1
+        }
+      }
+    }
+    ts
+  }
+
+  private def nextSigOpt(ts: Vector[Tok], i: Int): Option[(Int, Tok)] = {
+    val n = nextSig(ts, i)
+    if (n < ts.length) Some((n, ts(n))) else None
+  }
+  private def nextSig2Opt(ts: Vector[Tok], i: Int): Option[(Int, Tok)] = {
+    val n = nextSig(ts, i)
+    if (n >= ts.length) return None
+    val m = nextSig(ts, n)
+    if (m < ts.length) Some((m, ts(m))) else None
+  }
+
+  /** Multi-argument `GROUPING(a, b, …)` → explicit bitmask arithmetic
+    * `(GROUPING(a) * 2^(n-1) + … + GROUPING(z))` — the reference computes
+    * the bitmask over its argument list; Spark's GROUPING takes one column
+    * and its grouping_id() demands the exact grouping-set order. */
+  private def rewriteGroupingMulti(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    var i = 0
+    while (i < ts.length) {
+      val advanced = ts(i) match {
+        case Ident(w) if w.toUpperCase == "GROUPING" =>
+          nextSigOpt(ts, i) match {
+            case Some((pi, Punct("("))) =>
+              val close = matchFwd(ts, pi)
+              // split args on depth-1 commas
+              val argRanges = mutable.ListBuffer.empty[(Int, Int)]
+              var depth = 0; var start = pi + 1
+              var j = pi
+              while (j <= close) {
+                ts(j) match {
+                  case Punct("(") => depth += 1
+                  case Punct(")") =>
+                    depth -= 1
+                    if (depth == 0) argRanges += ((start, j - 1))
+                  case Punct(",") if depth == 1 =>
+                    argRanges += ((start, j - 1)); start = j + 1
+                  case _ =>
+                }
+                j += 1
+              }
+              if (argRanges.length > 1) {
+                val n = argRanges.length
+                val out = Vector.newBuilder[Tok]
+                out ++= ts.slice(0, i)
+                out += Punct("(")
+                argRanges.zipWithIndex.foreach { case ((s, e), k) =>
+                  if (k > 0) { out += Ws(" "); out += Op("+"); out += Ws(" ") }
+                  out += Ident("GROUPING"); out += Punct("(")
+                  out ++= ts.slice(s, e + 1)
+                  out += Punct(")")
+                  val shift = 1 << (n - 1 - k)
+                  if (shift > 1) {
+                    out += Ws(" "); out += Op("*"); out += Ws(" ")
+                    out += Num(shift.toString)
+                  }
+                }
+                out += Punct(")")
+                out ++= ts.slice(close + 1, ts.length)
+                ts = out.result()
+                true
+              } else false
+            case _ => false
+          }
+        case _ => false
+      }
+      if (!advanced) i += 1 else i += 2
+    }
+    ts
+  }
+
+  /** `GROUPING(x)` outside CUBE/ROLLUP/GROUPING SETS → literal 0 (the
+    * reference returns 0 for plain GROUP BY; Spark rejects it). */
+  private def rewriteGroupingNoRollup(ts0: Vector[Tok]): Vector[Tok] = {
+    val hasRollup = ts0.indices.exists { i =>
+      ts0(i) match {
+        case Ident(w) if w.toUpperCase == "ROLLUP" || w.toUpperCase == "CUBE" =>
+          true
+        case Ident(w) if w.toUpperCase == "GROUPING" =>
+          nextSigOpt(ts0, i).exists {
+            case (_, Ident(s)) => s.toUpperCase == "SETS"
+            case _ => false
+          }
+        case _ => false
+      }
+    }
+    if (hasRollup) return ts0
+    var ts = ts0
+    var i = 0
+    while (i < ts.length) {
+      ts(i) match {
+        case Ident(w) if w.toUpperCase == "GROUPING" =>
+          nextSigOpt(ts, i) match {
+            case Some((pi, Punct("("))) =>
+              val close = matchFwd(ts, pi)
+              ts = ts.slice(0, i) ++ Vector(Num("0")) ++
+                ts.slice(close + 1, ts.length)
+            case _ =>
+          }
+          i += 1
+        case _ => i += 1
+      }
+    }
+    ts
+  }
+
+  /** Implicit lateral correlation: in a FROM clause, `, (SELECT …)` and
+    * `JOIN (SELECT …)` become `, LATERAL (SELECT …)` / `JOIN LATERAL (…)` —
+    * the reference allows correlated FROM subqueries without the keyword;
+    * Spark requires LATERAL (harmless when uncorrelated). */
+  private def rewriteImplicitLateral(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    val fromEnders = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+      "UNION", "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "OFFSET")
+    var i = 0
+    // inFrom state per paren depth
+    var depth = 0
+    val inFrom = mutable.Map.empty[Int, Boolean].withDefaultValue(false)
+    while (i < ts.length) {
+      ts(i) match {
+        case Punct("(") => depth += 1; inFrom(depth) = false
+        case Punct(")") => inFrom(depth) = false; depth -= 1
+        case Ident(w) if w.toUpperCase == "FROM" => inFrom(depth) = true
+        case Ident(w) if fromEnders.contains(w.toUpperCase) =>
+          inFrom(depth) = false
+        case t if inFrom(depth) &&
+            (t == Punct(",") || (t match {
+              case Ident(w) if w.toUpperCase == "JOIN" =>
+                // Spark supports LATERAL only on inner/cross/left joins
+                val p = prevSig(ts, i)
+                !(p >= 0 && (ts(p) match {
+                  case Ident(k) =>
+                    Set("NATURAL", "RIGHT", "FULL", "OUTER")
+                      .contains(k.toUpperCase) &&
+                      // LEFT OUTER is fine; RIGHT/FULL OUTER are not
+                      (k.toUpperCase != "OUTER" || {
+                        val pp = prevSig(ts, p)
+                        pp >= 0 && (ts(pp) match {
+                          case Ident(k2) =>
+                            Set("RIGHT", "FULL").contains(k2.toUpperCase)
+                          case _ => false
+                        })
+                      })
+                  case _ => false
+                }))
+              case _ => false
+            })) =>
+          (nextSigOpt(ts, i), nextSig2Opt(ts, i)) match {
+            case (Some((pi, Punct("("))), Some((si, Ident(sel))))
+                if sel.toUpperCase == "SELECT" && si == nextSig(ts, pi) =>
+              ts = ts.slice(0, pi) ++
+                Vector(Ident("LATERAL"), Ws(" ")) ++ ts.slice(pi, ts.length)
+              i = pi + 1
+            case _ =>
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    ts
+  }
+
+  /** Division is polymorphic in the reference (arith/div.rs): integer
+    * division on integral inputs, Float64 otherwise — `5/2 = 2` but
+    * `1.0/3.0 = 0.333…`. `a / b` → `div(a, b)` (the registered GlareDiv
+    * expression implements exactly that). Runs after the cast pass. */
+  private def rewriteDivToDouble(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    var i = 0
+    while (i < ts.length) {
+      ts(i) match {
+        case Op("/") =>
+          val lp = prevSig(ts, i)
+          if (lp < 0) { i += 1 }
+          else {
+            val ls = operandStart(ts, lp)
+            val re = operandEnd(ts, i + 1)
+            val out = Vector.newBuilder[Tok]
+            out ++= ts.slice(0, ls)
+            out += Ident("div"); out += Punct("(")
+            out ++= ts.slice(ls, lp + 1)
+            out += Punct(","); out += Ws(" ")
+            out ++= ts.slice(i + 1, re + 1).dropWhile(_.isInstanceOf[Ws])
+            out += Punct(")")
+            out ++= ts.slice(re + 1, ts.length)
+            ts = out.result()
+            // resume at the right operand (now just after `div ( left , `)
+            // so a `/` inside it is still visited; this one is consumed
+            i = ls + 2 + (lp - ls + 1) + 2
+          }
+        case _ => i += 1
+      }
+    }
+    ts
+  }
+
+  /** AVG is Float64 in the reference (aggregate/avg.rs): wrap the argument
+    * in CAST(… AS DOUBLE) so Spark's decimal avg doesn't surface. */
+  private def rewriteAvgToDouble(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    var i = 0
+    while (i < ts.length) {
+      ts(i) match {
+        case Ident(w) if w.toUpperCase == "AVG" =>
+          nextSigOpt(ts, i) match {
+            case Some((pi, Punct("("))) =>
+              val close = matchFwd(ts, pi)
+              var argStart = nextSig(ts, pi)
+              ts(argStart) match {
+                case Ident(d) if d.toUpperCase == "DISTINCT" =>
+                  argStart = nextSig(ts, argStart)
+                case Op("*") | Punct("*") => argStart = close // leave avg(*)
+                case _ =>
+              }
+              if (argStart < close) {
+                val out = Vector.newBuilder[Tok]
+                out ++= ts.slice(0, argStart)
+                out += Ident("CAST"); out += Punct("(")
+                out ++= ts.slice(argStart, close)
+                out += Ws(" "); out += Ident("AS"); out += Ws(" ")
+                out += Ident("DOUBLE"); out += Punct(")")
+                out ++= ts.slice(close, ts.length)
+                ts = out.result()
+              }
+              i = pi + 1
+            case _ => i += 1
+          }
+        case _ => i += 1
+      }
+    }
+    ts
+  }
+
+  /** `CAST(<int literal> AS DATE)` → days-since-epoch date (the reference
+    * casts integers to DATE; Spark does not). Literal forms only. */
+  private def rewriteIntDateCast(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    var i = 0
+    while (i < ts.length) {
+      val matched = ts(i) match {
+        case Ident(w) if w.toUpperCase == "CAST" =>
+          nextSigOpt(ts, i) match {
+            case Some((pi, Punct("("))) =>
+              val close = matchFwd(ts, pi)
+              // find AS at depth 1
+              var j = pi + 1; var depth = 1; var asIdx = -1
+              while (j < close && asIdx < 0) {
+                ts(j) match {
+                  case Punct("(") => depth += 1
+                  case Punct(")") => depth -= 1
+                  case Ident(a) if depth == 1 && a.toUpperCase == "AS" =>
+                    asIdx = j
+                  case _ =>
+                }
+                j += 1
+              }
+              if (asIdx > 0 && {
+                val tn = nextSig(ts, asIdx)
+                tn < close && (ts(tn) match {
+                  case Ident(t) => t.toUpperCase == "DATE" &&
+                    nextSig(ts, tn) == close
+                  case _ => false
+                })
+              }) {
+                val operand = ts.slice(pi + 1, asIdx)
+                val isIntLit = operand.forall {
+                  case Num(n) => !n.contains('.') && !n.toLowerCase.contains('e')
+                  case Op("-") | Op("+") | Punct("(") | Punct(")") => true
+                  case _: Ws => true
+                  case _ => false
+                } && operand.exists(_.isInstanceOf[Num])
+                if (isIntLit) {
+                  val out = Vector.newBuilder[Tok]
+                  out ++= ts.slice(0, i)
+                  out += Punct("("); out += Ident("DATE"); out += Ws(" ")
+                  out += Str("'1970-01-01'")
+                  out += Ws(" "); out += Op("+"); out += Ws(" ")
+                  out += Ident("CAST"); out += Punct("(")
+                  out ++= operand
+                  out += Ws(" "); out += Ident("AS"); out += Ws(" ")
+                  out += Ident("INT"); out += Punct(")")
+                  out += Punct(")")
+                  out ++= ts.slice(close + 1, ts.length)
+                  ts = out.result()
+                  true
+                } else false
+              } else false
+            case _ => false
+          }
+        case _ => false
+      }
+      if (!matched) i += 1
+    }
+    ts
+  }
+
+  /** `x NOT BETWEEN a AND b` → `(x < a OR x > b)` — the reference's
+    * three-valued evaluation filters rows when a bound is NULL, while
+    * Spark's NOT(a AND b) form lets `false AND NULL = false` through. */
+  private def rewriteNotBetween(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    var i = 0
+    while (i < ts.length) {
+      val matched = (ts(i), nextSigOpt(ts, i)) match {
+        case (Ident(n), Some((bi, Ident(b))))
+            if n.toUpperCase == "NOT" && b.toUpperCase == "BETWEEN" =>
+          val lp = prevSig(ts, i)
+          if (lp < 0) false
+          else {
+            val ls = operandStart(ts, lp)
+            val loEnd = operandEnd(ts, bi + 1)
+            val andIdx = nextSig(ts, loEnd)
+            if (andIdx < ts.length && (ts(andIdx) match {
+              case Ident(a) => a.toUpperCase == "AND"
+              case _ => false
+            })) {
+              val hiEnd = operandEnd(ts, andIdx + 1)
+              val x = ts.slice(ls, lp + 1)
+              val lo = ts.slice(bi + 1, loEnd + 1)
+                .dropWhile(_.isInstanceOf[Ws])
+              val hi = ts.slice(andIdx + 1, hiEnd + 1)
+                .dropWhile(_.isInstanceOf[Ws])
+              def kw(s: String): Seq[Tok] = Seq(Ws(" "), Ident(s), Ws(" "))
+              val out = Vector.newBuilder[Tok]
+              out ++= ts.slice(0, ls)
+              // NULL-strict: any NULL operand → NULL (the reference's
+              // ternary BETWEEN), not Spark's false-absorbing AND
+              out += Punct("("); out += Ident("CASE")
+              out ++= kw("WHEN")
+              out ++= x; out ++= kw("IS"); out += Ident("NULL")
+              out ++= kw("OR")
+              out ++= lo; out ++= kw("IS"); out += Ident("NULL")
+              out ++= kw("OR")
+              out ++= hi; out ++= kw("IS"); out += Ident("NULL")
+              out ++= kw("THEN"); out += Ident("NULL")
+              out ++= kw("ELSE")
+              out ++= x; out += Ws(" "); out += Op("<"); out += Ws(" ")
+              out ++= lo
+              out ++= kw("OR")
+              out ++= x; out += Ws(" "); out += Op(">"); out += Ws(" ")
+              out ++= hi
+              out ++= kw("END"); out += Punct(")")
+              out ++= ts.slice(hiEnd + 1, ts.length)
+              ts = out.result()
+              true
+            } else false
+          }
+        case _ => false
+      }
+      if (!matched) i += 1
+    }
+    ts
+  }
+
+  /** `agg(*)` for non-count aggregates is an error in the reference; drop
+    * the star so Spark raises an arity error. Trailing commas in select
+    * lists (`select 1, 2,`) are reference-legal — drop them. */
+  private def rewriteMiscSugar(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    // agg(*) → agg()
+    var i = 0
+    while (i < ts.length) {
+      (ts(i), nextSigOpt(ts, i), nextSig2Opt(ts, i)) match {
+        case (Ident(fn), Some((pi, Punct("("))), Some((si, Op("*"))))
+            if Set("SUM", "AVG", "MIN", "MAX").contains(fn.toUpperCase) &&
+              si == nextSig(ts, pi) &&
+              nextSigOpt(ts, si).exists(_._2 == Punct(")")) =>
+          ts = ts.slice(0, si) ++ ts.slice(si + 1, ts.length)
+        case _ =>
+      }
+      i += 1
+    }
+    // trailing comma: `, <terminator>`
+    val enders = Set("FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+      "UNION", "EXCEPT", "INTERSECT", "WINDOW", "OFFSET")
+    ts.zipWithIndex.filter { case (t, k) =>
+      !(t == Punct(",") && {
+        val n = nextSig(ts, k)
+        n >= ts.length || (ts(n) match {
+          case Punct(";") => true
+          case Ident(w) => enders.contains(w.toUpperCase)
+          case _ => false
+        })
+      })
+    }.map(_._1)
+  }
+
+  /** Full rewrite pipeline. `chaining=false` disables the method-chaining
+    * sugar (the reference's `enable_function_chaining` session var). */
+  def rewrite(sql: String, chaining: Boolean = true): String = {
+    val base0 = rewriteMiscSugar(rewriteNotBetween(
+      rewriteOperatorSugar(tokenize(sql))))
+    val base = rewriteCastRange(rewriteChaining(base0, chaining))
     var ts = mapIdents(rewriteTypedLiterals(rewriteExtractField(
       dropUnsupportedQualifiers(rewriteIndexing(
-        rewriteListLiterals(tokenize(sql)))))))
+        rewriteListLiterals(rewriteImplicitLateral(rewriteGroupingNoRollup(
+          rewriteGroupingMulti(base)))))))))
     var guard = 0
     var more = true
     while (more && guard < 200) {
@@ -530,6 +1233,6 @@ object Dialect {
         case None => more = false
       }
     }
-    render(ts)
+    render(rewriteIntDateCast(rewriteAvgToDouble(rewriteDivToDouble(ts))))
   }
 }
