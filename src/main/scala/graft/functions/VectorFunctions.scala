@@ -146,6 +146,35 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** minhash_est(sigA, sigB) — estimated Jaccard from two MinHash signatures
+  * (fraction of agreeing slots). Codegen kernel: the LSH candidate-pair
+  * prefilter evaluates this once per candidate, and the interpreted
+  * higher-order-function equivalent (`aggregate(zip_with(...))`) was the
+  * dominant cost of the banded join at sf0.1. */
+case class MinHashEstimate(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "minhash_est"
+
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var eq = 0; var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  override protected def genLoop(a: String, b: String, n: String, result: String): String =
+    s"""
+       |int eq = 0;
+       |for (int i = 0; i < $n; i++) {
+       |  if ($a.getLong(i) == $b.getLong(i)) eq++;
+       |}
+       |$result = $n == 0 ? 0.0 : ((double) eq) / $n;
+     """.stripMargin
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 
 /** JVM kernels shared by the sketch expressions' interpreted eval and
   * generated code. Top-level object => scalac emits static forwarders, so
@@ -411,6 +440,8 @@ object GraftFunctions {
         es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes",
       es => ShingleHashes(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_est",
+      es => MinHashEstimate(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sorted_fingerprint",
       es => SortedFingerprint(es.head), "built-in")
   }
