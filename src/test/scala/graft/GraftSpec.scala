@@ -169,6 +169,19 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getAs[Boolean]("mean_recall_ok"))
   }
 
+  test("plan regression: golden suites never broadcast a fact table") {
+    val golden = (1 to 22).map(i => f"tpch_q$i%02d") ++
+      Seq("tpcds_q01", "tpcds_q09", "tpcds_q25", "tpcds_q36",
+        "tpcds_q59", "tpcds_q65", "tpcds_q89", "tpcds_q98") ++
+      Seq("q01_pricing_summary", "q03_topk_revenue", "q05_nation_revenue")
+    val bad = golden.flatMap { q =>
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      val fb = Plans.factBroadcasts(plan)
+      if (fb.nonEmpty) Some(s"$q: broadcast over ${fb.mkString(",")}") else None
+    }
+    assert(bad.isEmpty, s"fact-table broadcasts:\n${bad.mkString("\n")}")
+  }
+
   test("plan regression: q01 pushes the shipdate filter into the scan") {
     val plan = SparkEntry.queries("q01_pricing_summary")(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
