@@ -40,7 +40,9 @@ object Bench {
     // CASE bank, returns triangle, rollup+rank, week-over-week self-join,
     // store-average filter, window deviation, class revenue share
     Seq("tpcds_q01", "tpcds_q09", "tpcds_q25", "tpcds_q36",
-      "tpcds_q59", "tpcds_q65", "tpcds_q89", "tpcds_q98")
+      "tpcds_q59", "tpcds_q65", "tpcds_q89", "tpcds_q98") ++
+    // ClickBench ports: 90-sum wide aggregate, heavy high-cardinality group
+    Seq("cbx_q29", "cbx_q32")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Extended.queries ++
       graft.queries.OptimizerShapes.queries ++
       graft.queries.ClickBenchShapes.queries ++
+      graft.queries.ClickBench.queries ++
       graft.operators.Multimodal.queries ++
       graft.operators.TextOps.queries ++
       graft.operators.Dedup.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       graft.queries.Extended.oracles ++
       graft.queries.OptimizerShapes.oracles ++
       graft.queries.ClickBenchShapes.oracles ++
+      graft.queries.ClickBench.oracles ++
       graft.operators.Multimodal.oracles ++
       graft.operators.TextOps.oracles ++
       graft.operators.Dedup.oracles ++

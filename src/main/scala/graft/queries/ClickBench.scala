@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.Engine
+import graft.QueryDsl.Q
+import org.apache.spark.sql.SparkSession
+
+/** The reference's ClickBench suite, q00–q42 verbatim-shaped
+  * (reference: `bench/clickbench/partitioned/q00.bench` … `q42.bench`,
+  * `slt/clickbench/`).
+  *
+  * The environment has no `hits` fixture, so a dialect-common CTE
+  * synthesizes one row per `events` row with every column the 43 queries
+  * touch, derived deterministically from (event_id, user_id) by modular
+  * hashing — the SAME text builds the table in Spark and in DuckDB
+  * (oracle), like the TPC-DS layer. The `events` nanosecond timestamp
+  * column is deliberately NOT used (Spark reads it as BIGINT nanos,
+  * DuckDB as TIMESTAMP_NS — not dialect-common); EventTime is an
+  * integer epoch-seconds column, which is also what ClickBench's own
+  * schema does.
+  *
+  * Deviations, applied identically on both sides:
+  *  - every output column is aliased; ORDER BY gets unique tiebreaks
+  *    (COUNT ties at a LIMIT boundary are engine-dependent otherwise);
+  *  - `epoch(EventTime)`-based expressions use integer arithmetic
+  *    (`EventTime - EventTime % 60`, `(EventTime % 3600) / 60`) — same
+  *    bucketing, no timestamp-type divergence;
+  *  - q28's domain regexp uses `regexp_extract` with a backslash-free
+  *    pattern (Spark's default string literals eat backslash-dot);
+  *  - selectivity constants adapted to the synthesized value spaces
+  *    (UserID probe, URLHash/RefererHash probes, HAVING > 100,
+  *    OFFSET 10) — shapes and operators unchanged.
+  */
+object ClickBench {
+
+  /** One hits row per event; every column a pure function of the keys. */
+  private val hitsCte: String = """hits AS (
+      SELECT
+        event_id AS WatchID,
+        user_id * 4999 + 7 AS UserID,
+        CAST(event_id % 100 AS INT) AS CounterID,
+        CAST((event_id * 7919 + 11) % 4000000000 - 2000000000 AS BIGINT)
+          AS ClientIP,
+        CAST(event_id * 31 % 200 AS INT) AS RegionID,
+        CAST(CASE WHEN event_id % 10 < 3 THEN event_id % 17 + 1 ELSE 0 END
+          AS INT) AS AdvEngineID,
+        CAST(1000 + event_id * 13 % 1000 AS INT) AS ResolutionWidth,
+        CAST(event_id * 17 % 10 AS INT) AS SearchEngineID,
+        CASE WHEN event_id % 5 = 0 THEN ''
+             ELSE 'phrase ' || CAST(event_id * 23 % 500 AS STRING) END
+          AS SearchPhrase,
+        CAST(event_id % 7 AS INT) AS MobilePhone,
+        CASE WHEN event_id % 4 = 0 THEN ''
+             ELSE 'model_' || CAST(event_id % 50 AS STRING) END
+          AS MobilePhoneModel,
+        CASE WHEN event_id % 11 = 0
+             THEN 'http://google.com/page' || CAST(event_id % 97 AS STRING)
+             WHEN event_id % 11 = 1
+             THEN 'http://sub.google.com/r' || CAST(event_id % 53 AS STRING)
+             ELSE 'http://example.com/p' || CAST(event_id % 997 AS STRING) END
+          AS URL,
+        CASE WHEN event_id % 13 = 0
+             THEN 'Google result ' || CAST(event_id % 50 AS STRING)
+             ELSE 'Title ' || CAST(event_id % 300 AS STRING) END
+          AS Title,
+        CASE WHEN event_id % 3 = 0 THEN ''
+             ELSE 'http://ref' || CAST(event_id % 20 AS STRING) || '.site'
+                  || CAST(event_id % 7 AS STRING) || '.com/path' END
+          AS Referer,
+        DATE '2013-07-01' + CAST(event_id * 37 % 31 AS INT) AS EventDate,
+        CAST(1372636800 + (event_id * 977) % 2678400 AS BIGINT) AS EventTime,
+        CAST(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS IsRefresh,
+        CAST(CASE WHEN event_id % 6 = 0 THEN 1 ELSE 0 END AS INT) AS IsLink,
+        CAST(CASE WHEN event_id % 9 = 0 THEN 1 ELSE 0 END AS INT)
+          AS IsDownload,
+        CAST(CASE WHEN event_id % 8 = 0 THEN 1 ELSE 0 END AS INT)
+          AS DontCountHits,
+        CAST(event_id * 3 % 9 - 1 AS INT) AS TraficSourceID,
+        CAST((event_id * 2654435761) % 1000 AS BIGINT) AS URLHash,
+        CAST((event_id * 40503 + 13) % 1000 AS BIGINT) AS RefererHash,
+        CAST(1000 + event_id % 920 AS INT) AS WindowClientWidth,
+        CAST(600 + event_id % 480 AS INT) AS WindowClientHeight
+      FROM events)"""
+
+  private def wrap(q: String): String = s"WITH $hitsCte\n${q.trim}"
+
+  private val q29Sums: String = (0 to 89)
+    .map(i => s"CAST(SUM(ResolutionWidth + $i) AS BIGINT) AS s$i")
+    .mkString(", ")
+
+  private val texts: Map[String, String] = Map(
+    "cbx_q00" -> "SELECT COUNT(*) AS c FROM hits",
+    "cbx_q01" -> "SELECT COUNT(*) AS c FROM hits WHERE AdvEngineID <> 0",
+    "cbx_q02" -> """SELECT CAST(SUM(AdvEngineID) AS BIGINT) AS s,
+      COUNT(*) AS c, AVG(ResolutionWidth) AS a FROM hits""",
+    "cbx_q03" -> "SELECT AVG(UserID) AS a FROM hits",
+    "cbx_q04" -> "SELECT COUNT(DISTINCT UserID) AS u FROM hits",
+    "cbx_q05" -> "SELECT COUNT(DISTINCT SearchPhrase) AS p FROM hits",
+    "cbx_q06" -> """SELECT MIN(EventDate) AS mn, MAX(EventDate) AS mx
+      FROM hits""",
+    "cbx_q07" -> """SELECT AdvEngineID, COUNT(*) AS c FROM hits
+      WHERE AdvEngineID <> 0 GROUP BY AdvEngineID
+      ORDER BY c DESC, AdvEngineID""",
+    "cbx_q08" -> """SELECT RegionID, COUNT(DISTINCT UserID) AS u FROM hits
+      GROUP BY RegionID ORDER BY u DESC, RegionID LIMIT 10""",
+    "cbx_q09" -> """SELECT RegionID, CAST(SUM(AdvEngineID) AS BIGINT) AS s,
+      COUNT(*) AS c, AVG(ResolutionWidth) AS a,
+      COUNT(DISTINCT UserID) AS u FROM hits
+      GROUP BY RegionID ORDER BY c DESC, RegionID LIMIT 10""",
+    "cbx_q10" -> """SELECT MobilePhoneModel, COUNT(DISTINCT UserID) AS u
+      FROM hits WHERE MobilePhoneModel <> ''
+      GROUP BY MobilePhoneModel
+      ORDER BY u DESC, MobilePhoneModel LIMIT 10""",
+    "cbx_q11" -> """SELECT MobilePhone, MobilePhoneModel,
+      COUNT(DISTINCT UserID) AS u FROM hits WHERE MobilePhoneModel <> ''
+      GROUP BY MobilePhone, MobilePhoneModel
+      ORDER BY u DESC, MobilePhone, MobilePhoneModel LIMIT 10""",
+    "cbx_q12" -> """SELECT SearchPhrase, COUNT(*) AS c FROM hits
+      WHERE SearchPhrase <> '' GROUP BY SearchPhrase
+      ORDER BY c DESC, SearchPhrase LIMIT 10""",
+    "cbx_q13" -> """SELECT SearchPhrase, COUNT(DISTINCT UserID) AS u
+      FROM hits WHERE SearchPhrase <> '' GROUP BY SearchPhrase
+      ORDER BY u DESC, SearchPhrase LIMIT 10""",
+    "cbx_q14" -> """SELECT SearchEngineID, SearchPhrase, COUNT(*) AS c
+      FROM hits WHERE SearchPhrase <> ''
+      GROUP BY SearchEngineID, SearchPhrase
+      ORDER BY c DESC, SearchEngineID, SearchPhrase LIMIT 10""",
+    "cbx_q15" -> """SELECT UserID, COUNT(*) AS c FROM hits GROUP BY UserID
+      ORDER BY c DESC, UserID LIMIT 10""",
+    "cbx_q16" -> """SELECT UserID, SearchPhrase, COUNT(*) AS c FROM hits
+      GROUP BY UserID, SearchPhrase
+      ORDER BY c DESC, UserID, SearchPhrase LIMIT 10""",
+    // unordered LIMIT is engine-dependent: made deterministic by ordering
+    // on the group keys (the reference asserts shape, not a row set)
+    "cbx_q17" -> """SELECT UserID, SearchPhrase, COUNT(*) AS c FROM hits
+      GROUP BY UserID, SearchPhrase
+      ORDER BY UserID, SearchPhrase LIMIT 10""",
+    "cbx_q18" -> """SELECT UserID,
+      CAST(FLOOR((EventTime % 3600) / 60.0) AS INT) AS m,
+      SearchPhrase, COUNT(*) AS c FROM hits
+      GROUP BY UserID, m, SearchPhrase
+      ORDER BY c DESC, UserID, m, SearchPhrase LIMIT 10""",
+    "cbx_q19" -> "SELECT UserID FROM hits WHERE UserID = 59995",
+    "cbx_q20" -> """SELECT COUNT(*) AS c FROM hits
+      WHERE URL LIKE '%google%'""",
+    "cbx_q21" -> """SELECT SearchPhrase, MIN(URL) AS mu, COUNT(*) AS c
+      FROM hits WHERE URL LIKE '%google%' AND SearchPhrase <> ''
+      GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10""",
+    "cbx_q22" -> """SELECT SearchPhrase, MIN(URL) AS mu, MIN(Title) AS mt,
+      COUNT(*) AS c, COUNT(DISTINCT UserID) AS u FROM hits
+      WHERE Title LIKE '%Google%' AND URL NOT LIKE '%.google.%'
+        AND SearchPhrase <> ''
+      GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10""",
+    "cbx_q23" -> """SELECT * FROM hits WHERE URL LIKE '%google%'
+      ORDER BY EventTime, WatchID LIMIT 10""",
+    "cbx_q24" -> """SELECT SearchPhrase FROM hits WHERE SearchPhrase <> ''
+      ORDER BY EventTime, WatchID LIMIT 10""",
+    "cbx_q25" -> """SELECT SearchPhrase FROM hits WHERE SearchPhrase <> ''
+      ORDER BY SearchPhrase, WatchID LIMIT 10""",
+    "cbx_q26" -> """SELECT SearchPhrase FROM hits WHERE SearchPhrase <> ''
+      ORDER BY EventTime, SearchPhrase, WatchID LIMIT 10""",
+    "cbx_q27" -> """SELECT CounterID, AVG(LENGTH(URL)) AS l,
+      COUNT(*) AS c FROM hits WHERE URL <> '' GROUP BY CounterID
+      HAVING COUNT(*) > 100 ORDER BY l DESC, CounterID LIMIT 25""",
+    "cbx_q28" -> """SELECT
+      REGEXP_EXTRACT(Referer, '^https?://(www[.])?([^/]+)/.*$', 2) AS k,
+      AVG(LENGTH(Referer)) AS l, COUNT(*) AS c,
+      MIN(Referer) AS mr FROM hits WHERE Referer <> ''
+      GROUP BY k HAVING COUNT(*) > 100 ORDER BY l DESC, k LIMIT 25""",
+    "cbx_q29" -> s"SELECT $q29Sums FROM hits",
+    "cbx_q30" -> """SELECT SearchEngineID, ClientIP, COUNT(*) AS c,
+      CAST(SUM(IsRefresh) AS BIGINT) AS r, AVG(ResolutionWidth) AS a
+      FROM hits WHERE SearchPhrase <> ''
+      GROUP BY SearchEngineID, ClientIP
+      ORDER BY c DESC, SearchEngineID, ClientIP LIMIT 10""",
+    "cbx_q31" -> """SELECT WatchID, ClientIP, COUNT(*) AS c,
+      CAST(SUM(IsRefresh) AS BIGINT) AS r, AVG(ResolutionWidth) AS a
+      FROM hits WHERE SearchPhrase <> '' GROUP BY WatchID, ClientIP
+      ORDER BY c DESC, WatchID, ClientIP LIMIT 10""",
+    "cbx_q32" -> """SELECT WatchID, ClientIP, COUNT(*) AS c,
+      CAST(SUM(IsRefresh) AS BIGINT) AS r, AVG(ResolutionWidth) AS a
+      FROM hits GROUP BY WatchID, ClientIP
+      ORDER BY c DESC, WatchID, ClientIP LIMIT 10""",
+    "cbx_q33" -> """SELECT URL, COUNT(*) AS c FROM hits GROUP BY URL
+      ORDER BY c DESC, URL LIMIT 10""",
+    "cbx_q34" -> """SELECT 1 AS one, URL, COUNT(*) AS c FROM hits
+      GROUP BY 1, URL ORDER BY c DESC, URL LIMIT 10""",
+    "cbx_q35" -> """SELECT ClientIP, ClientIP - 1 AS c1, ClientIP - 2 AS c2,
+      ClientIP - 3 AS c3, COUNT(*) AS c FROM hits
+      GROUP BY ClientIP, ClientIP - 1, ClientIP - 2, ClientIP - 3
+      ORDER BY c DESC, ClientIP LIMIT 10""",
+    "cbx_q36" -> """SELECT URL, COUNT(*) AS PageViews FROM hits
+      WHERE CounterID = 62 AND EventDate >= '2013-07-01'
+        AND EventDate <= '2013-07-31' AND DontCountHits = 0
+        AND IsRefresh = 0 AND URL <> ''
+      GROUP BY URL ORDER BY PageViews DESC, URL LIMIT 10""",
+    "cbx_q37" -> """SELECT Title, COUNT(*) AS PageViews FROM hits
+      WHERE CounterID = 62 AND EventDate >= '2013-07-01'
+        AND EventDate <= '2013-07-31' AND DontCountHits = 0
+        AND IsRefresh = 0 AND Title <> ''
+      GROUP BY Title ORDER BY PageViews DESC, Title LIMIT 10""",
+    "cbx_q38" -> """SELECT URL, COUNT(*) AS PageViews FROM hits
+      WHERE CounterID = 62 AND EventDate >= '2013-07-01'
+        AND EventDate <= '2013-07-31' AND IsRefresh = 0
+        AND IsLink <> 0 AND IsDownload = 0
+      GROUP BY URL ORDER BY PageViews DESC, URL LIMIT 10 OFFSET 10""",
+    "cbx_q39" -> """SELECT TraficSourceID, SearchEngineID, AdvEngineID,
+      CASE WHEN (SearchEngineID = 0 AND AdvEngineID = 0) THEN Referer
+           ELSE '' END AS Src,
+      URL AS Dst, COUNT(*) AS PageViews FROM hits
+      WHERE CounterID = 62 AND EventDate >= '2013-07-01'
+        AND EventDate <= '2013-07-31' AND IsRefresh = 0
+      GROUP BY TraficSourceID, SearchEngineID, AdvEngineID, Src, Dst
+      ORDER BY PageViews DESC, TraficSourceID, SearchEngineID,
+               AdvEngineID, Src, Dst LIMIT 10 OFFSET 10""",
+    "cbx_q40" -> """SELECT URLHash, EventDate, COUNT(*) AS PageViews
+      FROM hits
+      WHERE CounterID = 62 AND EventDate >= '2013-07-01'
+        AND EventDate <= '2013-07-31' AND IsRefresh = 0
+        AND TraficSourceID IN (-1, 6) AND RefererHash = 499
+      GROUP BY URLHash, EventDate
+      ORDER BY PageViews DESC, URLHash, EventDate LIMIT 10 OFFSET 0""",
+    "cbx_q41" -> """SELECT WindowClientWidth, WindowClientHeight,
+      COUNT(*) AS PageViews FROM hits
+      WHERE CounterID = 62 AND EventDate >= '2013-07-01'
+        AND EventDate <= '2013-07-31' AND IsRefresh = 0
+        AND DontCountHits = 0 AND URLHash = 182
+      GROUP BY WindowClientWidth, WindowClientHeight
+      ORDER BY PageViews DESC, WindowClientWidth, WindowClientHeight
+      LIMIT 10 OFFSET 0""",
+    "cbx_q42" -> """SELECT EventTime - EventTime % 60 AS M,
+      COUNT(*) AS PageViews FROM hits
+      WHERE CounterID = 62 AND EventDate >= '2013-07-14'
+        AND EventDate <= '2013-07-15' AND IsRefresh = 0
+        AND DontCountHits = 0
+      GROUP BY EventTime - EventTime % 60
+      ORDER BY M LIMIT 10 OFFSET 0""")
+
+  private def run(text: String): Q = { (s: SparkSession, dir: String) =>
+    Engine.table(s, dir, "events")
+    s.sql(wrap(text))
+  }
+
+  val queries: Map[String, Q] =
+    texts.map { case (name, text) => name -> run(text) }
+
+  val oracles: Map[String, String] = texts.map { case (n, t) => n -> wrap(t) }
+}

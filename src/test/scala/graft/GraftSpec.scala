@@ -23,7 +23,11 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val emptyOkAtTinySf = Set(
     "tpch_q02", "tpch_q07", "tpch_q11", "tpch_q20", "tpch_q21",
     // q06 HAVING count>=10, q19 selective manager+zip filter
-    "tpcds_q06", "tpcds_q19")
+    "tpcds_q06", "tpcds_q19",
+    // HAVING count>100 (q27/q28), OFFSET 10 past the tiny group count
+    // (q38/q39), 2-day date window + counter filters (q42) — all
+    // non-empty at the sf0.01 gate
+    "cbx_q27", "cbx_q28", "cbx_q38", "cbx_q39", "cbx_q42")
 
   test("every catalog query executes and returns rows at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
