@@ -225,8 +225,32 @@ object Tpcds {
              CAST(p_partkey % 5 + 1 AS INT) AS i_manufact_id,
              'Manufacturer#' || CAST(p_partkey % 5 + 1 AS STRING) AS i_manufact,
              CAST(p_partkey % 20 + 1 AS INT) AS i_manager_id,
+             CASE CAST(p_partkey % 12 AS INT) WHEN 0 THEN 'slate'
+               WHEN 1 THEN 'blanched' WHEN 2 THEN 'burnished'
+               WHEN 3 THEN 'azure' WHEN 4 THEN 'chartreuse'
+               WHEN 5 THEN 'coral' WHEN 6 THEN 'khaki' WHEN 7 THEN 'maroon'
+               WHEN 8 THEN 'peach' WHEN 9 THEN 'plum' WHEN 10 THEN 'sienna'
+               ELSE 'tomato' END AS i_color,
              p_type AS i_product_name
       FROM part)""",
+
+    // one row per minute of day; meal-time bands for the time-of-day cuts
+    "time_dim" -> """time_dim AS (
+      SELECT CAST(rn AS INT) AS t_time_sk,
+             CAST(rn * 60 AS INT) AS t_time,
+             CAST(FLOOR(rn / 60) AS INT) AS t_hour,
+             CAST(rn % 60 AS INT) AS t_minute,
+             CASE WHEN FLOOR(rn / 60) BETWEEN 6 AND 8 THEN 'breakfast'
+                  WHEN FLOOR(rn / 60) BETWEEN 11 AND 13 THEN 'lunch'
+                  WHEN FLOOR(rn / 60) BETWEEN 17 AND 19 THEN 'dinner'
+                  ELSE '' END AS t_meal_time
+      FROM cust_seq WHERE rn < 1440)""",
+
+    "income_band" -> """income_band AS (
+      SELECT CAST(rn + 1 AS INT) AS ib_income_band_sk,
+             CAST(rn * 10000 AS INT) AS ib_lower_bound,
+             CAST((rn + 1) * 10000 AS INT) AS ib_upper_bound
+      FROM dd_seq WHERE rn < 20)""",
 
     "store" -> """store AS (
       SELECT CAST(n_nationkey + 1 AS INT) AS s_store_sk,
@@ -277,7 +301,10 @@ object Tpcds {
                AS ss_hdemo_sk,
              CAST((l_orderkey * 6271 + l_linenumber * 9973 + 7) % c_cnt + 1
                AS INT) AS ss_addr_sk,
-             CAST(l_suppkey % 12 + 1 AS INT) AS ss_store_sk,
+             CASE WHEN (l_orderkey * 5 + l_linenumber) % 97 = 0 THEN NULL
+                  ELSE CAST(l_suppkey % 12 + 1 AS INT) END AS ss_store_sk,
+             CAST((l_orderkey * 7 + l_linenumber * 11) % 1440 AS INT)
+               AS ss_sold_time_sk,
              CAST((l_orderkey + l_linenumber) % 5 + 1 AS INT) AS ss_promo_sk,
              l_orderkey AS ss_ticket_number,
              CAST(l_quantity AS INT) AS ss_quantity,
@@ -358,8 +385,11 @@ object Tpcds {
                AS INT) AS cs_bill_addr_sk,
              CAST((l_orderkey * 163 + l_linenumber * 104729) % c_cnt + 1
                AS INT) AS cs_ship_customer_sk,
-             CAST((l_orderkey * 167 + l_linenumber * 104729) % c_cnt + 1
-               AS INT) AS cs_ship_addr_sk,
+             CASE WHEN (l_orderkey * 11 + l_linenumber) % 97 = 0 THEN NULL
+                  ELSE CAST((l_orderkey * 167 + l_linenumber * 104729) % c_cnt + 1
+                    AS INT) END AS cs_ship_addr_sk,
+             CAST((l_orderkey * 19 + l_linenumber * 13) % 1440 AS INT)
+               AS cs_sold_time_sk,
              CAST(l_partkey AS INT) AS cs_item_sk,
              CAST((l_orderkey + l_linenumber) % 5 + 1 AS INT) AS cs_promo_sk,
              l_orderkey * 10 + l_linenumber AS cs_order_number,
@@ -392,8 +422,11 @@ object Tpcds {
              CAST(l_partkey AS INT) AS ws_item_sk,
              CAST((l_orderkey * 7919 + l_linenumber * 104729) % c_cnt + 1
                AS INT) AS ws_bill_customer_sk,
-             CAST((l_orderkey * 227 + l_linenumber * 104729) % c_cnt + 1
-               AS INT) AS ws_ship_customer_sk,
+             CASE WHEN (l_orderkey * 13 + l_linenumber) % 97 = 0 THEN NULL
+                  ELSE CAST((l_orderkey * 227 + l_linenumber * 104729) % c_cnt + 1
+                    AS INT) END AS ws_ship_customer_sk,
+             CAST((l_orderkey * 23 + l_linenumber * 17) % 1440 AS INT)
+               AS ws_sold_time_sk,
              CAST((l_orderkey * 229 + l_linenumber * 104729) % c_cnt + 1
                AS INT) AS ws_bill_addr_sk,
              l_orderkey * 10 + l_linenumber AS ws_order_number,
@@ -1156,6 +1189,306 @@ object Tpcds {
       ORDER BY i_category NULLS FIRST, i_class NULLS FIRST,
                i_item_id NULLS FIRST, i_item_desc NULLS FIRST,
                revenueratio NULLS FIRST""",
+
+    // Q31: county web/store sales quarter-over-quarter ratios (CTE used
+    // six times).
+    "tpcds_q31" -> s"""
+      WITH ss AS
+        (SELECT ca_county, d_qoy, d_year,
+                ${sumd(dmoney("ss_ext_sales_price"))} AS store_sales
+         FROM store_sales, date_dim, customer_address
+         WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+         GROUP BY ca_county, d_qoy, d_year),
+      ws AS
+        (SELECT ca_county, d_qoy, d_year,
+                ${sumd(dmoney("ws_ext_sales_price"))} AS web_sales
+         FROM web_sales, date_dim, customer_address
+         WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+         GROUP BY ca_county, d_qoy, d_year)
+      SELECT ss1.ca_county AS ca_county, ss1.d_year AS d_year,
+             ws2.web_sales / ws1.web_sales AS web_q1_q2_increase,
+             ss2.store_sales / ss1.store_sales AS store_q1_q2_increase,
+             ws3.web_sales / ws2.web_sales AS web_q2_q3_increase,
+             ss3.store_sales / ss2.store_sales AS store_q2_q3_increase
+      FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+      WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000
+        AND ss1.ca_county = ss2.ca_county
+        AND ss2.d_qoy = 2 AND ss2.d_year = 2000
+        AND ss2.ca_county = ss3.ca_county
+        AND ss3.d_qoy = 3 AND ss3.d_year = 2000
+        AND ss1.ca_county = ws1.ca_county
+        AND ws1.d_qoy = 1 AND ws1.d_year = 2000
+        AND ws1.ca_county = ws2.ca_county
+        AND ws2.d_qoy = 2 AND ws2.d_year = 2000
+        AND ws1.ca_county = ws3.ca_county
+        AND ws3.d_qoy = 3 AND ws3.d_year = 2000
+        AND CASE WHEN ws1.web_sales > 0
+              THEN ws2.web_sales / ws1.web_sales ELSE NULL END >
+            CASE WHEN ss1.store_sales > 0
+              THEN ss2.store_sales / ss1.store_sales ELSE NULL END
+      ORDER BY ca_county""",
+
+    // Q33: manufacturer revenue across all three channels (Electronics,
+    // one month, one timezone band).
+    "tpcds_q33" -> s"""
+      WITH ss AS
+        (SELECT i_manufact_id,
+                ${sumd(dmoney("ss_ext_sales_price"))} AS total_sales
+         FROM store_sales, date_dim, customer_address, item
+         WHERE i_manufact_id IN
+             (SELECT i_manufact_id FROM item
+              WHERE i_category IN ('Electronics'))
+           AND ss_item_sk = i_item_sk
+           AND ss_sold_date_sk = d_date_sk
+           AND d_year = 1998 AND d_moy = 5
+           AND ss_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+         GROUP BY i_manufact_id),
+      cs AS
+        (SELECT i_manufact_id,
+                ${sumd(dmoney("cs_ext_sales_price"))} AS total_sales
+         FROM catalog_sales, date_dim, customer_address, item
+         WHERE i_manufact_id IN
+             (SELECT i_manufact_id FROM item
+              WHERE i_category IN ('Electronics'))
+           AND cs_item_sk = i_item_sk
+           AND cs_sold_date_sk = d_date_sk
+           AND d_year = 1998 AND d_moy = 5
+           AND cs_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+         GROUP BY i_manufact_id),
+      ws AS
+        (SELECT i_manufact_id,
+                ${sumd(dmoney("ws_ext_sales_price"))} AS total_sales
+         FROM web_sales, date_dim, customer_address, item
+         WHERE i_manufact_id IN
+             (SELECT i_manufact_id FROM item
+              WHERE i_category IN ('Electronics'))
+           AND ws_item_sk = i_item_sk
+           AND ws_sold_date_sk = d_date_sk
+           AND d_year = 1998 AND d_moy = 5
+           AND ws_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+         GROUP BY i_manufact_id)
+      SELECT i_manufact_id,
+             ${sumd(sql.dbig("total_sales"))} AS total_sales
+      FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+            UNION ALL SELECT * FROM ws) tmp1
+      GROUP BY i_manufact_id
+      ORDER BY total_sales, i_manufact_id
+      LIMIT 100""",
+
+    // Q45: web revenue by customer zip/city for selected zips or items.
+    "tpcds_q45" -> s"""
+      SELECT ca_zip, ca_city,
+             ${sumd(dmoney("ws_sales_price"))} AS sum_sales
+      FROM web_sales, customer, customer_address, date_dim, item
+      WHERE ws_bill_customer_sk = c_customer_sk
+        AND c_current_addr_sk = ca_address_sk
+        AND ws_item_sk = i_item_sk
+        AND (SUBSTRING(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
+                                         '86475', '85392', '85460', '80348',
+                                         '81792')
+             OR i_item_id IN
+               (SELECT i_item_id FROM item
+                WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+        AND ws_sold_date_sk = d_date_sk
+        AND d_qoy = 2 AND d_year = 2001
+      GROUP BY ca_zip, ca_city
+      ORDER BY ca_zip, ca_city
+      LIMIT 100""",
+
+    // Q56: item revenue across channels for selected colors.
+    "tpcds_q56" -> s"""
+      WITH ss AS
+        (SELECT i_item_id,
+                ${sumd(dmoney("ss_ext_sales_price"))} AS total_sales
+         FROM store_sales, date_dim, customer_address, item
+         WHERE i_item_id IN
+             (SELECT i_item_id FROM item
+              WHERE i_color IN ('slate', 'blanched', 'burnished'))
+           AND ss_item_sk = i_item_sk
+           AND ss_sold_date_sk = d_date_sk
+           AND d_year = 2001 AND d_moy = 2
+           AND ss_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+         GROUP BY i_item_id),
+      cs AS
+        (SELECT i_item_id,
+                ${sumd(dmoney("cs_ext_sales_price"))} AS total_sales
+         FROM catalog_sales, date_dim, customer_address, item
+         WHERE i_item_id IN
+             (SELECT i_item_id FROM item
+              WHERE i_color IN ('slate', 'blanched', 'burnished'))
+           AND cs_item_sk = i_item_sk
+           AND cs_sold_date_sk = d_date_sk
+           AND d_year = 2001 AND d_moy = 2
+           AND cs_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+         GROUP BY i_item_id),
+      ws AS
+        (SELECT i_item_id,
+                ${sumd(dmoney("ws_ext_sales_price"))} AS total_sales
+         FROM web_sales, date_dim, customer_address, item
+         WHERE i_item_id IN
+             (SELECT i_item_id FROM item
+              WHERE i_color IN ('slate', 'blanched', 'burnished'))
+           AND ws_item_sk = i_item_sk
+           AND ws_sold_date_sk = d_date_sk
+           AND d_year = 2001 AND d_moy = 2
+           AND ws_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+         GROUP BY i_item_id)
+      SELECT i_item_id,
+             ${sumd(sql.dbig("total_sales"))} AS total_sales
+      FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+            UNION ALL SELECT * FROM ws) tmp1
+      GROUP BY i_item_id
+      ORDER BY total_sales, i_item_id
+      LIMIT 100""",
+
+    // Q60: item revenue across channels for a category.
+    "tpcds_q60" -> s"""
+      WITH ss AS
+        (SELECT i_item_id,
+                ${sumd(dmoney("ss_ext_sales_price"))} AS total_sales
+         FROM store_sales, date_dim, customer_address, item
+         WHERE i_item_id IN
+             (SELECT i_item_id FROM item WHERE i_category = 'Music')
+           AND ss_item_sk = i_item_sk
+           AND ss_sold_date_sk = d_date_sk
+           AND d_year = 1998 AND d_moy = 9
+           AND ss_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+         GROUP BY i_item_id),
+      cs AS
+        (SELECT i_item_id,
+                ${sumd(dmoney("cs_ext_sales_price"))} AS total_sales
+         FROM catalog_sales, date_dim, customer_address, item
+         WHERE i_item_id IN
+             (SELECT i_item_id FROM item WHERE i_category = 'Music')
+           AND cs_item_sk = i_item_sk
+           AND cs_sold_date_sk = d_date_sk
+           AND d_year = 1998 AND d_moy = 9
+           AND cs_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+         GROUP BY i_item_id),
+      ws AS
+        (SELECT i_item_id,
+                ${sumd(dmoney("ws_ext_sales_price"))} AS total_sales
+         FROM web_sales, date_dim, customer_address, item
+         WHERE i_item_id IN
+             (SELECT i_item_id FROM item WHERE i_category = 'Music')
+           AND ws_item_sk = i_item_sk
+           AND ws_sold_date_sk = d_date_sk
+           AND d_year = 1998 AND d_moy = 9
+           AND ws_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+         GROUP BY i_item_id)
+      SELECT i_item_id,
+             ${sumd(sql.dbig("total_sales"))} AS total_sales
+      FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+            UNION ALL SELECT * FROM ws) tmp1
+      GROUP BY i_item_id
+      ORDER BY i_item_id, total_sales
+      LIMIT 100""",
+
+    // Q71: brand revenue by time-of-day across all channels (breakfast/
+    // dinner bands from time_dim).
+    "tpcds_q71" -> s"""
+      SELECT i_brand_id AS brand_id, i_brand AS brand, t_hour, t_minute,
+             ${sumd(dmoney("ext_price"))} AS ext_price
+      FROM item,
+        (SELECT ws_ext_sales_price AS ext_price,
+                ws_sold_date_sk AS sold_date_sk,
+                ws_item_sk AS sold_item_sk,
+                ws_sold_time_sk AS time_sk
+         FROM web_sales, date_dim
+         WHERE d_date_sk = ws_sold_date_sk AND d_moy = 11 AND d_year = 1999
+         UNION ALL
+         SELECT cs_ext_sales_price AS ext_price,
+                cs_sold_date_sk AS sold_date_sk,
+                cs_item_sk AS sold_item_sk,
+                cs_sold_time_sk AS time_sk
+         FROM catalog_sales, date_dim
+         WHERE d_date_sk = cs_sold_date_sk AND d_moy = 11 AND d_year = 1999
+         UNION ALL
+         SELECT ss_ext_sales_price AS ext_price,
+                ss_sold_date_sk AS sold_date_sk,
+                ss_item_sk AS sold_item_sk,
+                ss_sold_time_sk AS time_sk
+         FROM store_sales, date_dim
+         WHERE d_date_sk = ss_sold_date_sk AND d_moy = 11 AND d_year = 1999
+        ) tmp,
+        time_dim
+      WHERE sold_item_sk = i_item_sk
+        AND i_manager_id = 1
+        AND time_sk = t_time_sk
+        AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+      GROUP BY i_brand, i_brand_id, t_hour, t_minute
+      ORDER BY ext_price DESC NULLS FIRST, i_brand_id NULLS FIRST,
+               t_hour NULLS FIRST, t_minute NULLS FIRST""",
+
+    // Q76: sales with a NULL channel key, by channel/quarter/category.
+    "tpcds_q76" -> s"""
+      SELECT channel, col_name, d_year, d_qoy, i_category,
+             COUNT(*) AS sales_cnt,
+             ${sumd(dmoney("ext_sales_price"))} AS sales_amt
+      FROM
+        (SELECT 'store' AS channel, 'ss_store_sk' AS col_name,
+                d_year, d_qoy, i_category,
+                ss_ext_sales_price AS ext_sales_price
+         FROM store_sales, item, date_dim
+         WHERE ss_store_sk IS NULL
+           AND ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+         UNION ALL
+         SELECT 'web' AS channel, 'ws_ship_customer_sk' AS col_name,
+                d_year, d_qoy, i_category,
+                ws_ext_sales_price AS ext_sales_price
+         FROM web_sales, item, date_dim
+         WHERE ws_ship_customer_sk IS NULL
+           AND ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+         UNION ALL
+         SELECT 'catalog' AS channel, 'cs_ship_addr_sk' AS col_name,
+                d_year, d_qoy, i_category,
+                cs_ext_sales_price AS ext_sales_price
+         FROM catalog_sales, item, date_dim
+         WHERE cs_ship_addr_sk IS NULL
+           AND cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk) foo
+      GROUP BY channel, col_name, d_year, d_qoy, i_category
+      ORDER BY channel, col_name, d_year, d_qoy, i_category
+      LIMIT 100""",
+
+    // Q84: customers in an income band returning at a city (ref city
+    // 'Edgewood' -> fixture 'Fairview'; band bounds in the synthesized
+    // 10k-wide bands).
+    "tpcds_q84" -> """
+      SELECT c_customer_id AS customer_id,
+             CONCAT(CONCAT(COALESCE(c_last_name, ''), ', '),
+                    COALESCE(c_first_name, '')) AS customername
+      FROM customer, customer_address, customer_demographics,
+           household_demographics, income_band, store_returns
+      WHERE ca_city = 'Fairview'
+        AND c_current_addr_sk = ca_address_sk
+        AND ib_lower_bound >= 38128
+        AND ib_upper_bound <= 38128 + 50000
+        AND ib_income_band_sk = hd_income_band_sk
+        AND cd_demo_sk = c_current_cdemo_sk
+        AND hd_demo_sk = c_current_hdemo_sk
+        AND sr_cdemo_sk = cd_demo_sk
+      ORDER BY c_customer_id NULLS FIRST, customername
+      LIMIT 100""",
+
+    // Q93: actual sales net of returns for one return reason (left outer
+    // ticket join; ref reason text adapted).
+    "tpcds_q93" -> s"""
+      SELECT ss_customer_sk,
+             ${sumd(dmoney("act_sales"))} AS sumsales
+      FROM
+        (SELECT ss_item_sk, ss_ticket_number, ss_customer_sk,
+                CASE WHEN sr_return_quantity IS NOT NULL
+                     THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+                     ELSE (ss_quantity * ss_sales_price) END AS act_sales
+         FROM store_sales
+         LEFT OUTER JOIN store_returns
+           ON (sr_item_sk = ss_item_sk
+               AND sr_ticket_number = ss_ticket_number), reason
+         WHERE sr_reason_sk = r_reason_sk
+           AND r_reason_desc = 'reason 3') t
+      GROUP BY ss_customer_sk
+      ORDER BY sumsales NULLS FIRST, ss_customer_sk NULLS FIRST
+      LIMIT 100""",
 
     // Q55: brand revenue for a manager/month (ref manager 28 -> 18).
     "tpcds_q55" -> s"""
