@@ -402,6 +402,8 @@ object Tpcds {
                % 19900 + 100 AS DOUBLE) / 100 AS cs_sales_price,
              CAST((l_orderkey * 191 + l_linenumber * 61 + l_partkey * 19)
                % 1000000 + 100 AS DOUBLE) / 100 AS cs_ext_sales_price,
+             CAST((l_orderkey * 229 + l_linenumber * 53 + l_partkey * 17)
+               % 5000 AS DOUBLE) / 100 AS cs_ext_discount_amt,
              CAST((l_orderkey * 193 + l_linenumber * 71 + l_partkey * 23)
                % 900000 + 100 AS DOUBLE) / 100 AS cs_ext_wholesale_cost,
              CAST((l_orderkey * 197 + l_linenumber * 79 + l_partkey * 29)
@@ -436,6 +438,8 @@ object Tpcds {
                % 19900 + 100 AS DOUBLE) / 100 AS ws_sales_price,
              CAST((l_orderkey * 239 + l_linenumber * 61 + l_partkey * 19)
                % 1000000 + 100 AS DOUBLE) / 100 AS ws_ext_sales_price,
+             CAST((l_orderkey * 257 + l_linenumber * 59 + l_partkey * 19)
+               % 5000 AS DOUBLE) / 100 AS ws_ext_discount_amt,
              CAST((l_orderkey * 241 + l_linenumber * 107 + l_partkey * 41)
                % 1000000 + 100 AS DOUBLE) / 100 AS ws_net_paid,
              CAST((l_orderkey * 251 + l_linenumber * 131 + l_partkey * 47)
@@ -1488,6 +1492,87 @@ object Tpcds {
            AND r_reason_desc = 'reason 3') t
       GROUP BY ss_customer_sk
       ORDER BY sumsales NULLS FIRST, ss_customer_sk NULLS FIRST
+      LIMIT 100""",
+
+    // Q12: web item revenue + share of class revenue over a 30-day window
+    // (web twin of q98; nested window sum in two decimal-exact layers).
+    "tpcds_q12" -> s"""
+      SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+             itemrevenue,
+             itemrevenue * 100.0 /
+               CAST(SUM(CAST(itemrevenue AS DECIMAL(24,4))) OVER
+                      (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+      FROM
+        (SELECT i_item_id, i_item_desc, i_category, i_class,
+                i_current_price,
+                ${sumd(dmoney("ws_ext_sales_price"))} AS itemrevenue
+         FROM web_sales, item, date_dim
+         WHERE ws_item_sk = i_item_sk
+           AND i_category IN ('Sports', 'Books', 'Home')
+           AND ws_sold_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('1999-02-22' AS DATE)
+                          AND CAST('1999-03-24' AS DATE)
+         GROUP BY i_item_id, i_item_desc, i_category, i_class,
+                  i_current_price) base
+      ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+      LIMIT 100""",
+
+    // Q20: catalog twin of q12.
+    "tpcds_q20" -> s"""
+      SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+             itemrevenue,
+             itemrevenue * 100.0 /
+               CAST(SUM(CAST(itemrevenue AS DECIMAL(24,4))) OVER
+                      (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+      FROM
+        (SELECT i_item_id, i_item_desc, i_category, i_class,
+                i_current_price,
+                ${sumd(dmoney("cs_ext_sales_price"))} AS itemrevenue
+         FROM catalog_sales, item, date_dim
+         WHERE cs_item_sk = i_item_sk
+           AND i_category IN ('Sports', 'Books', 'Home')
+           AND cs_sold_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('1999-02-22' AS DATE)
+                          AND CAST('1999-03-24' AS DATE)
+         GROUP BY i_item_id, i_item_desc, i_category, i_class,
+                  i_current_price) base
+      ORDER BY i_category NULLS FIRST, i_class NULLS FIRST,
+               i_item_id NULLS FIRST, i_item_desc NULLS FIRST,
+               revenueratio NULLS FIRST
+      LIMIT 100""",
+
+    // Q32: catalog discounts exceeding 1.3x the item's average (correlated
+    // scalar avg as exact-sum/count; ref manufact 977 -> 3).
+    "tpcds_q32" -> s"""
+      SELECT ${sumd(dmoney("cs_ext_discount_amt"))} AS excess_discount_amt
+      FROM catalog_sales, item, date_dim
+      WHERE i_manufact_id = 3
+        AND i_item_sk = cs_item_sk
+        AND d_date BETWEEN '2000-01-27' AND CAST('2000-04-26' AS DATE)
+        AND d_date_sk = cs_sold_date_sk
+        AND cs_ext_discount_amt >
+          (SELECT 1.3 * (${sumd(dmoney("cs_ext_discount_amt"))} / COUNT(*))
+           FROM catalog_sales, date_dim
+           WHERE cs_item_sk = i_item_sk
+             AND d_date BETWEEN '2000-01-27' AND CAST('2000-04-26' AS DATE)
+             AND d_date_sk = cs_sold_date_sk)
+      LIMIT 100""",
+
+    // Q92: web twin of q32 (ref manufact 350 -> 2).
+    "tpcds_q92" -> s"""
+      SELECT ${sumd(dmoney("ws_ext_discount_amt"))} AS excess_discount_amt
+      FROM web_sales, item, date_dim
+      WHERE i_manufact_id = 2
+        AND i_item_sk = ws_item_sk
+        AND d_date BETWEEN '2000-01-27' AND CAST('2000-04-26' AS DATE)
+        AND d_date_sk = ws_sold_date_sk
+        AND ws_ext_discount_amt >
+          (SELECT 1.3 * (${sumd(dmoney("ws_ext_discount_amt"))} / COUNT(*))
+           FROM web_sales, date_dim
+           WHERE ws_item_sk = i_item_sk
+             AND d_date BETWEEN '2000-01-27' AND CAST('2000-04-26' AS DATE)
+             AND d_date_sk = ws_sold_date_sk)
+      ORDER BY excess_discount_amt
       LIMIT 100""",
 
     // Q55: brand revenue for a manager/month (ref manager 28 -> 18).
