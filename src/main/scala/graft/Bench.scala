@@ -89,8 +89,20 @@ object Bench {
       "\"" + k + "\":" + rs.map(r => f"$r%.4f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}""")
+    // stdout gets the one-line summary WITHOUT per-run arrays (the round-3
+    // bench JSON was truncated by the driver's stdout-tail capture because
+    // the runs arrays doubled the line length); the full record including
+    // per-run values goes to a file the driver/judge can read whole.
+    val summary =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","queries":$qs,"sf":"$sfDir"}"""
+    val full =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+    println(summary)
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full JSON (incl. per-run values): $out")
     spark.stop()
   }
 }

@@ -262,8 +262,9 @@ object GlareCompat {
     //  - initcap: word boundary at any non-alphanumeric;
     //  - regexp_replace: first match only unless flags contain 'g';
     //  - split_part: index 0 → empty string (not an error);
-    //  - concat/string_agg: reject the zero/one-arg forms the reference
-    //    rejects (Spark would accept them);
+    //  - concat: reject the zero-arg form the reference rejects (one-arg
+    //    concat('a') is accepted, per string_concat.slt); string_agg
+    //    requires value+delimiter;
     //  - first/last: skip NULLs (aggregate/first.rs).
     f("trim")(es =>
       if (es.length == 1) StringTrim(es.head) else StringTrim(es(0), es(1)))
@@ -327,10 +328,13 @@ object GlareCompat {
         Or(EqualTo(dbl(es.head), inf), EqualTo(dbl(es.head), ninf)))))
     // spark-compat extension funcs (glaredb_ext_spark csc.rs). LEGACY eval
     // mode: 1/sin(0) is +inf like the reference, not an ANSI error.
-    // at the sin=0 pole the reference returns +/-inf (IEEE), not NULL
+    // at the sin=0 pole the reference returns +/-inf (IEEE), not NULL.
+    // EqualTo(-0.0, 0.0) is true, so the zero branch must preserve the
+    // zero's sign: Math.pow(+/-0.0, -1) is +/-Infinity (odd negative
+    // exponent keeps the sign), giving csc(-0.0) = -inf like the reference.
     def overSin(num: Expression, x: Expression): Expression = {
       val s = Sin(dbl(x))
-      If(EqualTo(s, Literal(0.0)), Multiply(num, inf),
+      If(EqualTo(s, Literal(0.0)), Multiply(num, Pow(s, Literal(-1.0))),
         Divide(num, s, EvalMode.LEGACY))
     }
     f("csc")(es => overSin(Literal(1.0), es.head))

@@ -493,7 +493,7 @@ object Tpcds {
         AND s_store_sk = ctr1.ctr_store_sk
         AND s_state = 'TN'
         AND ctr1.ctr_customer_sk = c_customer_sk
-      ORDER BY c_customer_id
+      ORDER BY c_customer_id, ctr1.ctr_store_sk
       LIMIT 100""",
 
     // Q3: brand revenue for a manufacturer in November (ref: i_manufact_id
@@ -677,13 +677,19 @@ object Tpcds {
       LIMIT 100""",
 
     // Q25: store/returns/catalog profit triangle over three date roles.
+    // FROM order deviates from the published text (ss,sr,cs first): each
+    // fact is listed right before its date role so the heuristic left-deep
+    // join order applies the highly selective d1 broadcast (April 2001,
+    // ~1/84 of days) to store_sales BEFORE the ss⋈sr⋈cs fact-fact joins —
+    // the plan that survives 100× data. Same text on both engines; DuckDB
+    // cost-reorders regardless, so results are unaffected.
     "tpcds_q25" -> s"""
       SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
              ${sumd(dmoney("ss_net_profit"))} AS store_sales_profit,
              ${sumd(dmoney("sr_net_loss"))} AS store_returns_loss,
              ${sumd(dmoney("cs_net_profit"))} AS catalog_sales_profit
-      FROM store_sales, store_returns, catalog_sales,
-           date_dim d1, date_dim d2, date_dim d3, store, item
+      FROM store_sales, date_dim d1, store_returns, date_dim d2,
+           catalog_sales, date_dim d3, store, item
       WHERE d1.d_moy = 4 AND d1.d_year = 2001
         AND d1.d_date_sk = ss_sold_date_sk
         AND i_item_sk = ss_item_sk
@@ -1588,10 +1594,64 @@ object Tpcds {
       ORDER BY ext_price DESC, brand_id
       LIMIT 100""")
 
+  /** Sessions (keyed weakly) whose star schema is already materialized,
+    * with the fixture dir it was built from. */
+  private val starReady = new java.util.WeakHashMap[SparkSession, String]()
+
+  /** Materialize the synthesized star schema ONCE per session instead of
+    * re-deriving it inside every query's WITH clause.
+    *
+    * Each fixture CTE becomes a temp view, and every real table (dims +
+    * the four fact channels) is eagerly cached. This is the Spark-session
+    * equivalent of the one-time `CREATE TABLE AS` a production deployment
+    * would run: queries stop re-deriving the schema (tpcds_q25 derived
+    * date_dim five times and store_sales twice; tpcds_q09 re-synthesized
+    * store_sales for each of its 15 scalar subqueries), and the cached
+    * InMemoryRelations carry EXACT row counts/sizes, so Catalyst broadcasts
+    * the dims and AQE can reorder joins — in particular the selective
+    * date_dim filters now apply before the fact-fact joins rather than
+    * after. The cache is keyed on the logical plan in the shared
+    * CacheManager, so fresh child sessions over the same fixture dir reuse
+    * one materialization. The DuckDB oracle keeps the identical CTE text
+    * inline (single-statement oracle), so both engines still see the same
+    * input data by construction. */
+  private[queries] def ensureStar(s: SparkSession, dir: String): Unit =
+    starReady.synchronized {
+      def createView(name: String, defn: String): Unit = {
+        val inner =
+          defn.substring(defn.indexOf('(') + 1, defn.lastIndexOf(')'))
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $inner")
+        // ccnt (a COUNT over orders) is cached too — q09/q25 reference it
+        // repeatedly; the pure row-number sequences are cheaper to
+        // recompute than to store. Re-issuing CACHE TABLE for an identical
+        // view plan is a CacheManager no-op (keyed on the plan, not name).
+        if (!Set("dd_seq", "cust_seq")(name)) s.sql(s"CACHE TABLE $name")
+      }
+      if (dir.equals(starReady.get(s))) {
+        // `customer` is the ONLY star-schema name that collides with a base
+        // TPC-H fixture table, so another query runner in this session may
+        // have re-registered the base view over ours — detect and repair.
+        val intact =
+          try s.table("customer").schema.fieldNames.contains("c_customer_sk")
+          catch { case _: Exception => false }
+        if (!intact)
+          createView("customer", cteDefs.toMap.apply("customer"))
+        return
+      }
+      Seq("region", "nation", "supplier", "part", "orders", "lineitem")
+        .foreach(Engine.table(s, dir, _))
+      if (starReady.containsKey(s)) // dir changed: drop the old cache entries
+        cteDefs.foreach { case (name, _) =>
+          try s.sql(s"UNCACHE TABLE IF EXISTS $name")
+          catch { case _: Exception => }
+        }
+      cteDefs.foreach { case (name, defn) => createView(name, defn) }
+      starReady.put(s, dir)
+    }
+
   private def run(text: String): Q = { (s: SparkSession, dir: String) =>
-    Seq("region", "nation", "supplier", "part", "orders", "lineitem")
-      .foreach(Engine.table(s, dir, _))
-    s.sql(wrap(text))
+    ensureStar(s, dir)
+    s.sql(text.trim)
   }
 
   val queries: Map[String, Q] =

@@ -737,12 +737,26 @@ object SltRunner {
               // GlareDB resolves QUOTED idents case-sensitively while
               // unquoted are case-insensitive; Spark has one global flag.
               // A side-effect-free statement that should have errored gets
-              // a strict retry to emulate the quoted-mismatch errors.
-              val strictErr = raw.trim.toUpperCase.startsWith("SELECT") && {
+              // a strict retry to emulate the quoted-mismatch errors — but
+              // only when the statement actually contains a quoted
+              // identifier, and only counting a strict-mode RESOLUTION
+              // failure (unresolved column/table/function): any other
+              // strict-mode exception would mask a genuinely missing error.
+              val strictErr = raw.trim.toUpperCase.startsWith("SELECT") &&
+                raw.contains("\"") && {
                 try {
                   spark.conf.set("spark.sql.caseSensitive", "true")
                   try { spark.sql(prepare(raw)).collect(); false }
-                  catch { case _: Exception => true }
+                  catch {
+                    case e: Exception =>
+                      val m = Option(e.getMessage).getOrElse("")
+                      m.contains("UNRESOLVED_COLUMN") ||
+                        m.contains("UNRESOLVED_ROUTINE") ||
+                        m.contains("UNRESOLVED_FIELD") ||
+                        m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+                        m.contains("cannot be resolved") ||
+                        m.contains("cannot resolve")
+                  }
                 } finally spark.conf.set("spark.sql.caseSensitive", "false")
               }
               if (strictErr) ok += 1
