@@ -31,6 +31,7 @@ object SparkEntry {
       graft.operators.Similarity.queries ++
       graft.operators.Events.queries ++
       graft.sources.Sources.queries ++
+      graft.sources.DeltaQueries.queries ++
       graft.sources.Introspection.queries ++
       graft.sources.TpchGen.queries ++
       graft.operators.Skew.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
       graft.operators.Similarity.oracles ++
       graft.operators.Events.oracles ++
       graft.sources.Sources.oracles ++
+      graft.sources.DeltaQueries.oracles ++
       graft.sources.Introspection.oracles ++
       graft.sources.TpchGen.oracles ++
       graft.operators.Skew.oracles ++

@@ -19,9 +19,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftSession {
 
   private val TvfPattern =
-    raw"""(?i)read_(parquet|csv|text)\s*\(\s*'([^']+)'\s*\)""".r
+    raw"""(?i)read_(parquet|csv|text|delta)\s*\(\s*'([^']+)'\s*\)""".r
   private val PathPattern =
     raw"""(?i)(from|join)\s+'([^']+\.(?:parquet|csv|txt|json))'""".r
+  // A quoted directory used as a table resolves to Delta when it has a log.
+  private val DirPattern =
+    raw"""(?i)(from|join)\s+'([^']+)'""".r
 
   private def readPath(spark: SparkSession, fmt: String, path: String): DataFrame =
     fmt match {
@@ -30,7 +33,8 @@ object GraftSession {
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       case "text" | "txt" =>
         spark.read.option("wholetext", "true").text(path)
-      case "json" => spark.read.json(path)
+      case "json"  => spark.read.json(path)
+      case "delta" => Delta.read(spark, path)
     }
 
   private def fmtOf(path: String): String =
@@ -53,6 +57,14 @@ object GraftSession {
       val v = viewName(path)
       readPath(spark, fmtOf(path), path).createOrReplaceTempView(v)
       java.util.regex.Matcher.quoteReplacement(s"$kw $v")
+    })
+    rewritten = DirPattern.replaceAllIn(rewritten, m => {
+      val (kw, path) = (m.group(1), m.group(2))
+      if (new java.io.File(path, "_delta_log").isDirectory) {
+        val v = viewName(path)
+        readPath(spark, "delta", path).createOrReplaceTempView(v)
+        java.util.regex.Matcher.quoteReplacement(s"$kw $v")
+      } else m.matched
     })
     spark.sql(rewritten)
   }
