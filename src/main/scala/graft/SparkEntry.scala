@@ -32,6 +32,7 @@ object SparkEntry {
       graft.operators.Events.queries ++
       graft.sources.Sources.queries ++
       graft.sources.DeltaQueries.queries ++
+      graft.sources.IcebergQueries.queries ++
       graft.sources.Introspection.queries ++
       graft.sources.TpchGen.queries ++
       graft.operators.Skew.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
       graft.operators.Events.oracles ++
       graft.sources.Sources.oracles ++
       graft.sources.DeltaQueries.oracles ++
+      graft.sources.IcebergQueries.oracles ++
       graft.sources.Introspection.oracles ++
       graft.sources.TpchGen.oracles ++
       graft.operators.Skew.oracles ++

@@ -22,9 +22,14 @@ object GraftSession {
     raw"""(?i)read_(parquet|csv|text|delta)\s*\(\s*'([^']+)'\s*\)""".r
   private val PathPattern =
     raw"""(?i)(from|join)\s+'([^']+\.(?:parquet|csv|txt|json))'""".r
-  // A quoted directory used as a table resolves to Delta when it has a log.
+  // A quoted directory used as a table resolves to Delta when it has a log,
+  // or to Iceberg when it has a metadata/ dir with *.metadata.json.
   private val DirPattern =
     raw"""(?i)(from|join)\s+'([^']+)'""".r
+  // iceberg.metadata/snapshots/manifest_list/data_files('<path>') TVFs +
+  // read_iceberg('<path>') (glaredb_ext_iceberg functions/metadata.rs:36-81).
+  private val IcebergTvfPattern =
+    raw"""(?i)(?:iceberg\.(metadata|snapshots|manifest_list|data_files)|(read_iceberg))\s*\(\s*'([^']+)'\s*\)""".r
 
   private def readPath(spark: SparkSession, fmt: String, path: String): DataFrame =
     fmt match {
@@ -46,7 +51,20 @@ object GraftSession {
 
   /** Run SQL with path-as-table / read_* TVF sugar resolved. */
   def sql(spark: SparkSession, query: String): DataFrame = {
-    var rewritten = TvfPattern.replaceAllIn(query, m => {
+    var rewritten = IcebergTvfPattern.replaceAllIn(query, m => {
+      val (fn, path) = (Option(m.group(1)).getOrElse("read"), m.group(3))
+      val df = fn match {
+        case "metadata"      => Iceberg.metadataDf(spark, path)
+        case "snapshots"     => Iceberg.snapshotsDf(spark, path)
+        case "manifest_list" => Iceberg.manifestListDf(spark, path)
+        case "data_files"    => Iceberg.dataFilesDf(spark, path)
+        case _               => Iceberg.read(spark, path)
+      }
+      val v = viewName(fn + ":" + path)
+      df.createOrReplaceTempView(v)
+      java.util.regex.Matcher.quoteReplacement(v)
+    })
+    rewritten = TvfPattern.replaceAllIn(rewritten, m => {
       val (fmt, path) = (m.group(1).toLowerCase, m.group(2))
       val v = viewName(path)
       readPath(spark, fmt, path).createOrReplaceTempView(v)
@@ -63,6 +81,12 @@ object GraftSession {
       if (new java.io.File(path, "_delta_log").isDirectory) {
         val v = viewName(path)
         readPath(spark, "delta", path).createOrReplaceTempView(v)
+        java.util.regex.Matcher.quoteReplacement(s"$kw $v")
+      } else if (new java.io.File(path, "metadata").isDirectory &&
+          new java.io.File(path, "metadata").listFiles()
+            .exists(f => f.getName.endsWith(".metadata.json"))) {
+        val v = viewName(path)
+        Iceberg.read(spark, path).createOrReplaceTempView(v)
         java.util.regex.Matcher.quoteReplacement(s"$kw $v")
       } else m.matched
     })
