@@ -110,7 +110,11 @@ object Tpcds {
              CASE CAST(rn % 6 AS INT) WHEN 0 THEN 'UNITED STATES'
                WHEN 1 THEN 'CANADA' WHEN 2 THEN 'GERMANY' WHEN 3 THEN 'JAPAN'
                WHEN 4 THEN 'BRAZIL' ELSE 'FRANCE' END AS c_birth_country,
-             'c' || CAST(rn AS STRING) || '@example.com' AS c_email_address
+             CAST(NULL AS STRING) AS c_login,
+             'c' || CAST(rn AS STRING) || '@example.com' AS c_email_address,
+             CAST(2450000 + (rn * 13) % 2557 AS INT) AS c_first_sales_date_sk,
+             CAST(2450000 + (rn * 17) % 2557 AS INT) AS c_first_shipto_date_sk,
+             CAST(2450000 + (rn * 19) % 2557 AS INT) AS c_last_review_date_sk
       FROM cust_seq CROSS JOIN ccnt WHERE rn < c_cnt)""",
 
     "customer_address" -> """customer_address AS (
@@ -434,8 +438,16 @@ object Tpcds {
              l_orderkey * 10 + l_linenumber AS ws_order_number,
              CAST((l_orderkey + l_linenumber) % 5 + 1 AS INT) AS ws_promo_sk,
              CAST(l_quantity AS INT) AS ws_quantity,
+             CAST((l_orderkey * 263 + l_linenumber * 31 + l_partkey * 7)
+               % 10000 + 100 AS DOUBLE) / 100 AS ws_wholesale_cost,
+             CAST((l_orderkey * 269 + l_linenumber * 37 + l_partkey * 11)
+               % 20000 + 100 AS DOUBLE) / 100 AS ws_list_price,
              CAST((l_orderkey * 233 + l_linenumber * 43 + l_partkey * 13)
                % 19900 + 100 AS DOUBLE) / 100 AS ws_sales_price,
+             CAST((l_orderkey * 271 + l_linenumber * 79 + l_partkey * 29)
+               % 1100000 + 200 AS DOUBLE) / 100 AS ws_ext_list_price,
+             CAST((l_orderkey * 277 + l_linenumber * 71 + l_partkey * 23)
+               % 900000 + 100 AS DOUBLE) / 100 AS ws_ext_wholesale_cost,
              CAST((l_orderkey * 239 + l_linenumber * 61 + l_partkey * 19)
                % 1000000 + 100 AS DOUBLE) / 100 AS ws_ext_sales_price,
              CAST((l_orderkey * 257 + l_linenumber * 59 + l_partkey * 19)
@@ -447,7 +459,90 @@ object Tpcds {
       FROM lineitem
       CROSS JOIN ccnt
       JOIN date_dim d ON d.d_date = CAST(l_shipdate AS DATE)
-      WHERE l_orderkey % 3 = 0)""")
+      WHERE l_orderkey % 3 = 0)""",
+
+    // ~30% of catalog sales return 1..60 days later (same shape as
+    // store_returns; money hashes seeded on (order_number, item_sk)).
+    "catalog_returns" -> """catalog_returns AS (
+      SELECT CAST(LEAST(cs_sold_date_sk
+               + CAST((cs_order_number * 7 + cs_item_sk) % 60 + 1 AS INT),
+               2452556) AS INT) AS cr_returned_date_sk,
+             CAST((cs_order_number * 13 + cs_item_sk * 7) % 1440 AS INT)
+               AS cr_returned_time_sk,
+             cs_item_sk AS cr_item_sk,
+             cs_bill_customer_sk AS cr_refunded_customer_sk,
+             cs_bill_addr_sk AS cr_refunded_addr_sk,
+             cs_ship_customer_sk AS cr_returning_customer_sk,
+             cs_ship_addr_sk AS cr_returning_addr_sk,
+             CAST((cs_order_number * 3 + cs_item_sk) % 6 + 1 AS INT)
+               AS cr_call_center_sk,
+             CAST((cs_order_number * 11 + cs_item_sk * 3) % 10 + 1 AS INT)
+               AS cr_reason_sk,
+             cs_order_number AS cr_order_number,
+             CAST(FLOOR(cs_quantity / 2) + 1 AS INT) AS cr_return_quantity,
+             CAST((cs_order_number * 11 + cs_item_sk * 5) % 50000 + 100
+               AS DOUBLE) / 100 AS cr_return_amount,
+             CAST((cs_order_number * 19 + cs_item_sk * 3) % 4000
+               AS DOUBLE) / 100 AS cr_return_tax,
+             CAST((cs_order_number * 11 + cs_item_sk * 5) % 50000 + 100
+               AS DOUBLE) / 100
+               + CAST((cs_order_number * 19 + cs_item_sk * 3) % 4000
+               AS DOUBLE) / 100 AS cr_return_amt_inc_tax,
+             CAST((cs_order_number * 29 + cs_item_sk * 7) % 10000
+               AS DOUBLE) / 100 AS cr_fee,
+             CAST((cs_order_number * 31 + cs_item_sk * 11) % 20000
+               AS DOUBLE) / 100 AS cr_return_ship_cost,
+             CAST((cs_order_number * 37 + cs_item_sk * 13) % 40000
+               AS DOUBLE) / 100 AS cr_refunded_cash,
+             CAST((cs_order_number * 43 + cs_item_sk * 17) % 25000
+               AS DOUBLE) / 100 AS cr_reversed_charge,
+             CAST((cs_order_number * 47 + cs_item_sk * 19) % 25000
+               AS DOUBLE) / 100 AS cr_store_credit,
+             CAST((cs_order_number * 41 + cs_item_sk * 23) % 30000 + 50
+               AS DOUBLE) / 100 AS cr_net_loss
+      FROM catalog_sales
+      WHERE (cs_order_number * 5 + cs_item_sk) % 10 < 3)""",
+
+    // ~30% of web sales return 1..60 days later.
+    "web_returns" -> """web_returns AS (
+      SELECT CAST(LEAST(ws_sold_date_sk
+               + CAST((ws_order_number * 7 + ws_item_sk) % 60 + 1 AS INT),
+               2452556) AS INT) AS wr_returned_date_sk,
+             CAST((ws_order_number * 13 + ws_item_sk * 7) % 1440 AS INT)
+               AS wr_returned_time_sk,
+             ws_item_sk AS wr_item_sk,
+             ws_bill_customer_sk AS wr_refunded_customer_sk,
+             ws_bill_addr_sk AS wr_refunded_addr_sk,
+             ws_ship_customer_sk AS wr_returning_customer_sk,
+             ws_bill_addr_sk AS wr_returning_addr_sk,
+             CAST((ws_order_number * 3 + ws_item_sk) % 20 + 1 AS INT)
+               AS wr_web_page_sk,
+             CAST((ws_order_number * 11 + ws_item_sk * 3) % 10 + 1 AS INT)
+               AS wr_reason_sk,
+             ws_order_number AS wr_order_number,
+             CAST(FLOOR(ws_quantity / 2) + 1 AS INT) AS wr_return_quantity,
+             CAST((ws_order_number * 11 + ws_item_sk * 5) % 50000 + 100
+               AS DOUBLE) / 100 AS wr_return_amt,
+             CAST((ws_order_number * 19 + ws_item_sk * 3) % 4000
+               AS DOUBLE) / 100 AS wr_return_tax,
+             CAST((ws_order_number * 11 + ws_item_sk * 5) % 50000 + 100
+               AS DOUBLE) / 100
+               + CAST((ws_order_number * 19 + ws_item_sk * 3) % 4000
+               AS DOUBLE) / 100 AS wr_return_amt_inc_tax,
+             CAST((ws_order_number * 29 + ws_item_sk * 7) % 10000
+               AS DOUBLE) / 100 AS wr_fee,
+             CAST((ws_order_number * 31 + ws_item_sk * 11) % 20000
+               AS DOUBLE) / 100 AS wr_return_ship_cost,
+             CAST((ws_order_number * 37 + ws_item_sk * 13) % 40000
+               AS DOUBLE) / 100 AS wr_refunded_cash,
+             CAST((ws_order_number * 43 + ws_item_sk * 17) % 25000
+               AS DOUBLE) / 100 AS wr_reversed_charge,
+             CAST((ws_order_number * 47 + ws_item_sk * 19) % 25000
+               AS DOUBLE) / 100 AS wr_account_credit,
+             CAST((ws_order_number * 41 + ws_item_sk * 23) % 30000 + 50
+               AS DOUBLE) / 100 AS wr_net_loss
+      FROM web_sales
+      WHERE (ws_order_number * 5 + ws_item_sk) % 10 < 3)""")
 
   /** Prepend the transitive closure of fixture CTEs the query references,
     * in definition order; merge with the query's own WITH clause. */
