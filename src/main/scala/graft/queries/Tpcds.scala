@@ -1687,7 +1687,616 @@ object Tpcds {
         AND d_moy = 11 AND d_year = 1999
       GROUP BY i_brand, i_brand_id
       ORDER BY ext_price DESC, brand_id
-      LIMIT 100""")
+      LIMIT 100""",
+
+    // Q4: customers whose catalog year-over-year growth beats both store
+    // and web growth (6-way self-join of a 3-channel year_total CTE; the
+    // reference's own slt marks this "stack overflow" — executed here).
+    // Ref years 2001/2002 -> 2000/2001 (fixture calendar ends 2001).
+    "tpcds_q04" -> s"""
+      WITH year_total AS
+        (SELECT c_customer_id customer_id, c_first_name customer_first_name,
+                c_last_name customer_last_name,
+                c_preferred_cust_flag customer_preferred_cust_flag,
+                c_birth_country customer_birth_country,
+                c_login customer_login, c_email_address customer_email_address,
+                d_year dyear,
+                ${sumd(s"(${dmoney("ss_ext_list_price")} - ${dmoney("ss_ext_wholesale_cost")} - ${dmoney("ss_ext_discount_amt")} + ${dmoney("ss_ext_sales_price")})")} / 2
+                  AS year_total,
+                's' sale_type
+         FROM customer, store_sales, date_dim
+         WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+         GROUP BY c_customer_id, c_first_name, c_last_name,
+                  c_preferred_cust_flag, c_birth_country, c_login,
+                  c_email_address, d_year
+         UNION ALL
+         SELECT c_customer_id customer_id, c_first_name customer_first_name,
+                c_last_name customer_last_name,
+                c_preferred_cust_flag customer_preferred_cust_flag,
+                c_birth_country customer_birth_country,
+                c_login customer_login, c_email_address customer_email_address,
+                d_year dyear,
+                ${sumd(s"(${dmoney("cs_ext_list_price")} - ${dmoney("cs_ext_wholesale_cost")} - ${dmoney("cs_ext_discount_amt")} + ${dmoney("cs_ext_sales_price")})")} / 2
+                  AS year_total,
+                'c' sale_type
+         FROM customer, catalog_sales, date_dim
+         WHERE c_customer_sk = cs_bill_customer_sk
+           AND cs_sold_date_sk = d_date_sk
+         GROUP BY c_customer_id, c_first_name, c_last_name,
+                  c_preferred_cust_flag, c_birth_country, c_login,
+                  c_email_address, d_year
+         UNION ALL
+         SELECT c_customer_id customer_id, c_first_name customer_first_name,
+                c_last_name customer_last_name,
+                c_preferred_cust_flag customer_preferred_cust_flag,
+                c_birth_country customer_birth_country,
+                c_login customer_login, c_email_address customer_email_address,
+                d_year dyear,
+                ${sumd(s"(${dmoney("ws_ext_list_price")} - ${dmoney("ws_ext_wholesale_cost")} - ${dmoney("ws_ext_discount_amt")} + ${dmoney("ws_ext_sales_price")})")} / 2
+                  AS year_total,
+                'w' sale_type
+         FROM customer, web_sales, date_dim
+         WHERE c_customer_sk = ws_bill_customer_sk
+           AND ws_sold_date_sk = d_date_sk
+         GROUP BY c_customer_id, c_first_name, c_last_name,
+                  c_preferred_cust_flag, c_birth_country, c_login,
+                  c_email_address, d_year)
+      SELECT t_s_secyear.customer_id AS customer_id,
+             t_s_secyear.customer_first_name AS customer_first_name,
+             t_s_secyear.customer_last_name AS customer_last_name,
+             t_s_secyear.customer_preferred_cust_flag
+               AS customer_preferred_cust_flag
+      FROM year_total t_s_firstyear, year_total t_s_secyear,
+           year_total t_c_firstyear, year_total t_c_secyear,
+           year_total t_w_firstyear, year_total t_w_secyear
+      WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+        AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+        AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+        AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+        AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+        AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+        AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+        AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+        AND t_s_firstyear.dyear = 2000 AND t_s_secyear.dyear = 2000 + 1
+        AND t_c_firstyear.dyear = 2000 AND t_c_secyear.dyear = 2000 + 1
+        AND t_w_firstyear.dyear = 2000 AND t_w_secyear.dyear = 2000 + 1
+        AND t_s_firstyear.year_total > 0
+        AND t_c_firstyear.year_total > 0
+        AND t_w_firstyear.year_total > 0
+        AND CASE WHEN t_c_firstyear.year_total > 0
+              THEN t_c_secyear.year_total / t_c_firstyear.year_total
+              ELSE NULL END >
+            CASE WHEN t_s_firstyear.year_total > 0
+              THEN t_s_secyear.year_total / t_s_firstyear.year_total
+              ELSE NULL END
+        AND CASE WHEN t_c_firstyear.year_total > 0
+              THEN t_c_secyear.year_total / t_c_firstyear.year_total
+              ELSE NULL END >
+            CASE WHEN t_w_firstyear.year_total > 0
+              THEN t_w_secyear.year_total / t_w_firstyear.year_total
+              ELSE NULL END
+      ORDER BY t_s_secyear.customer_id NULLS FIRST,
+               t_s_secyear.customer_first_name NULLS FIRST,
+               t_s_secyear.customer_last_name NULLS FIRST,
+               t_s_secyear.customer_preferred_cust_flag NULLS FIRST
+      LIMIT 100""",
+
+    // Q11: store/web twin of q4 (ELSE 0.0 instead of NULL, list - discount
+    // year_total). Ref "stack overflow"; years 2001/2002 -> 2000/2001.
+    "tpcds_q11" -> s"""
+      WITH year_total AS
+        (SELECT c_customer_id customer_id, c_first_name customer_first_name,
+                c_last_name customer_last_name,
+                c_preferred_cust_flag customer_preferred_cust_flag,
+                c_birth_country customer_birth_country,
+                c_login customer_login, c_email_address customer_email_address,
+                d_year dyear,
+                ${sumd(s"(${dmoney("ss_ext_list_price")} - ${dmoney("ss_ext_discount_amt")})")}
+                  AS year_total,
+                's' sale_type
+         FROM customer, store_sales, date_dim
+         WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+         GROUP BY c_customer_id, c_first_name, c_last_name,
+                  c_preferred_cust_flag, c_birth_country, c_login,
+                  c_email_address, d_year
+         UNION ALL
+         SELECT c_customer_id customer_id, c_first_name customer_first_name,
+                c_last_name customer_last_name,
+                c_preferred_cust_flag customer_preferred_cust_flag,
+                c_birth_country customer_birth_country,
+                c_login customer_login, c_email_address customer_email_address,
+                d_year dyear,
+                ${sumd(s"(${dmoney("ws_ext_list_price")} - ${dmoney("ws_ext_discount_amt")})")}
+                  AS year_total,
+                'w' sale_type
+         FROM customer, web_sales, date_dim
+         WHERE c_customer_sk = ws_bill_customer_sk
+           AND ws_sold_date_sk = d_date_sk
+         GROUP BY c_customer_id, c_first_name, c_last_name,
+                  c_preferred_cust_flag, c_birth_country, c_login,
+                  c_email_address, d_year)
+      SELECT t_s_secyear.customer_id AS customer_id,
+             t_s_secyear.customer_first_name AS customer_first_name,
+             t_s_secyear.customer_last_name AS customer_last_name,
+             t_s_secyear.customer_preferred_cust_flag
+               AS customer_preferred_cust_flag
+      FROM year_total t_s_firstyear, year_total t_s_secyear,
+           year_total t_w_firstyear, year_total t_w_secyear
+      WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+        AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+        AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+        AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+        AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+        AND t_s_firstyear.dyear = 2000 AND t_s_secyear.dyear = 2000 + 1
+        AND t_w_firstyear.dyear = 2000 AND t_w_secyear.dyear = 2000 + 1
+        AND t_s_firstyear.year_total > 0
+        AND t_w_firstyear.year_total > 0
+        AND CASE WHEN t_w_firstyear.year_total > 0
+              THEN (t_w_secyear.year_total * 1.0000) / t_w_firstyear.year_total
+              ELSE 0.0 END >
+            CASE WHEN t_s_firstyear.year_total > 0
+              THEN (t_s_secyear.year_total * 1.0000) / t_s_firstyear.year_total
+              ELSE 0.0 END
+      ORDER BY t_s_secyear.customer_id NULLS FIRST,
+               t_s_secyear.customer_first_name NULLS FIRST,
+               t_s_secyear.customer_last_name NULLS FIRST,
+               t_s_secyear.customer_preferred_cust_flag NULLS FIRST
+      LIMIT 100""",
+
+    // Q14: cross-channel items (3-way INTERSECT) vs average sales, ROLLUP
+    // over channel/brand/class/category. Ref "Times out"; ref years
+    // 1999..1999+2 fit the fixture calendar unchanged.
+    "tpcds_q14" -> s"""
+      WITH cross_items AS
+        (SELECT i_item_sk ss_item_sk
+         FROM item,
+           (SELECT iss.i_brand_id brand_id, iss.i_class_id class_id,
+                   iss.i_category_id category_id
+            FROM store_sales, item iss, date_dim d1
+            WHERE ss_item_sk = iss.i_item_sk
+              AND ss_sold_date_sk = d1.d_date_sk
+              AND d1.d_year BETWEEN 1999 AND 1999 + 2
+            INTERSECT
+            SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+            FROM catalog_sales, item ics, date_dim d2
+            WHERE cs_item_sk = ics.i_item_sk
+              AND cs_sold_date_sk = d2.d_date_sk
+              AND d2.d_year BETWEEN 1999 AND 1999 + 2
+            INTERSECT
+            SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+            FROM web_sales, item iws, date_dim d3
+            WHERE ws_item_sk = iws.i_item_sk
+              AND ws_sold_date_sk = d3.d_date_sk
+              AND d3.d_year BETWEEN 1999 AND 1999 + 2) sq1
+         WHERE i_brand_id = brand_id AND i_class_id = class_id
+           AND i_category_id = category_id),
+      avg_sales AS
+        (SELECT ${sql.sumd(s"quantity * ${dmoney("list_price")}")} / COUNT(*)
+                  AS average_sales
+         FROM
+           (SELECT ss_quantity quantity, ss_list_price list_price
+            FROM store_sales, date_dim
+            WHERE ss_sold_date_sk = d_date_sk
+              AND d_year BETWEEN 1999 AND 1999 + 2
+            UNION ALL
+            SELECT cs_quantity quantity, cs_list_price list_price
+            FROM catalog_sales, date_dim
+            WHERE cs_sold_date_sk = d_date_sk
+              AND d_year BETWEEN 1999 AND 1999 + 2
+            UNION ALL
+            SELECT ws_quantity quantity, ws_list_price list_price
+            FROM web_sales, date_dim
+            WHERE ws_sold_date_sk = d_date_sk
+              AND d_year BETWEEN 1999 AND 1999 + 2) sq2)
+      SELECT channel, i_brand_id, i_class_id, i_category_id,
+             ${sql.sumd("CAST(sales AS DECIMAL(24,4))")} AS sum_sales,
+             SUM(number_sales) AS sum_number_sales
+      FROM
+        (SELECT 'store' channel, i_brand_id, i_class_id, i_category_id,
+                ${sql.sumd(s"ss_quantity * ${dmoney("ss_list_price")}")} sales,
+                count(*) number_sales
+         FROM store_sales, item, date_dim
+         WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+           AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+           AND d_year = 1999 + 2 AND d_moy = 11
+         GROUP BY i_brand_id, i_class_id, i_category_id
+         HAVING ${sql.sumd(s"ss_quantity * ${dmoney("ss_list_price")}")} >
+           (SELECT average_sales FROM avg_sales)
+         UNION ALL
+         SELECT 'catalog' channel, i_brand_id, i_class_id, i_category_id,
+                ${sql.sumd(s"cs_quantity * ${dmoney("cs_list_price")}")} sales,
+                count(*) number_sales
+         FROM catalog_sales, item, date_dim
+         WHERE cs_item_sk IN (SELECT ss_item_sk FROM cross_items)
+           AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+           AND d_year = 1999 + 2 AND d_moy = 11
+         GROUP BY i_brand_id, i_class_id, i_category_id
+         HAVING ${sql.sumd(s"cs_quantity * ${dmoney("cs_list_price")}")} >
+           (SELECT average_sales FROM avg_sales)
+         UNION ALL
+         SELECT 'web' channel, i_brand_id, i_class_id, i_category_id,
+                ${sql.sumd(s"ws_quantity * ${dmoney("ws_list_price")}")} sales,
+                count(*) number_sales
+         FROM web_sales, item, date_dim
+         WHERE ws_item_sk IN (SELECT ss_item_sk FROM cross_items)
+           AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+           AND d_year = 1999 + 2 AND d_moy = 11
+         GROUP BY i_brand_id, i_class_id, i_category_id
+         HAVING ${sql.sumd(s"ws_quantity * ${dmoney("ws_list_price")}")} >
+           (SELECT average_sales FROM avg_sales)) y
+      GROUP BY ROLLUP (channel, i_brand_id, i_class_id, i_category_id)
+      ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST,
+               i_class_id NULLS FIRST, i_category_id NULLS FIRST
+      LIMIT 100""",
+
+    // Q23: catalog/web sales in one month by best store customers buying
+    // frequent items (multi-part CTE chain). Ref "Times out"; ref years
+    // 2000..2003 -> 1998..2001, final month stays (2000, 2).
+    "tpcds_q23" -> s"""
+      WITH frequent_ss_items AS
+        (SELECT itemdesc, i_item_sk item_sk, d_date solddate, count(*) cnt
+         FROM store_sales, date_dim,
+           (SELECT SUBSTRING(i_item_desc, 1, 30) itemdesc, * FROM item) sq1
+         WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+           AND d_year IN (1998, 1998 + 1, 1998 + 2, 1998 + 3)
+         GROUP BY itemdesc, i_item_sk, d_date
+         HAVING count(*) > 4),
+      max_store_sales AS
+        (SELECT max(csales) tpcds_cmax
+         FROM
+           (SELECT c_customer_sk,
+                   ${sql.sumd(s"ss_quantity * ${dmoney("ss_sales_price")}")} csales
+            FROM store_sales, customer, date_dim
+            WHERE ss_customer_sk = c_customer_sk
+              AND ss_sold_date_sk = d_date_sk
+              AND d_year IN (1998, 1998 + 1, 1998 + 2, 1998 + 3)
+            GROUP BY c_customer_sk) sq2),
+      best_ss_customer AS
+        (SELECT c_customer_sk,
+                ${sql.sumd(s"ss_quantity * ${dmoney("ss_sales_price")}")} ssales
+         FROM store_sales, customer, max_store_sales
+         WHERE ss_customer_sk = c_customer_sk
+         GROUP BY c_customer_sk
+         HAVING ${sql.sumd(s"ss_quantity * ${dmoney("ss_sales_price")}")} >
+           (50 / 100.0) * max(tpcds_cmax))
+      SELECT c_last_name, c_first_name, sales
+      FROM
+        (SELECT c_last_name, c_first_name,
+                ${sql.sumd(s"cs_quantity * ${dmoney("cs_list_price")}")} sales
+         FROM catalog_sales, customer, date_dim, frequent_ss_items,
+              best_ss_customer
+         WHERE d_year = 2000 AND d_moy = 2
+           AND cs_sold_date_sk = d_date_sk AND cs_item_sk = item_sk
+           AND cs_bill_customer_sk = best_ss_customer.c_customer_sk
+           AND cs_bill_customer_sk = customer.c_customer_sk
+         GROUP BY c_last_name, c_first_name
+         UNION ALL
+         SELECT c_last_name, c_first_name,
+                ${sql.sumd(s"ws_quantity * ${dmoney("ws_list_price")}")} sales
+         FROM web_sales, customer, date_dim, frequent_ss_items,
+              best_ss_customer
+         WHERE d_year = 2000 AND d_moy = 2
+           AND ws_sold_date_sk = d_date_sk AND ws_item_sk = item_sk
+           AND ws_bill_customer_sk = best_ss_customer.c_customer_sk
+           AND ws_bill_customer_sk = customer.c_customer_sk
+         GROUP BY c_last_name, c_first_name) sq3
+      ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
+               sales NULLS FIRST
+      LIMIT 100""",
+
+    // Q51: web vs store cumulative daily sales per item (windowed running
+    // sums over a FULL OUTER join). Ref d_month_seq 1200..1211 -> the
+    // fixture's year-2000 month_seq band 120..131.
+    "tpcds_q51" -> s"""
+      WITH web_v1 AS
+        (SELECT ws_item_sk item_sk, d_date,
+                CAST(SUM(CAST(${sumd(dmoney("ws_sales_price"))}
+                         AS DECIMAL(24,4)))
+                     OVER (PARTITION BY ws_item_sk ORDER BY d_date
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) cume_sales
+         FROM web_sales, date_dim
+         WHERE ws_sold_date_sk = d_date_sk
+           AND d_month_seq BETWEEN 120 AND 120 + 11
+           AND ws_item_sk IS NOT NULL
+         GROUP BY ws_item_sk, d_date),
+      store_v1 AS
+        (SELECT ss_item_sk item_sk, d_date,
+                CAST(SUM(CAST(${sumd(dmoney("ss_sales_price"))}
+                         AS DECIMAL(24,4)))
+                     OVER (PARTITION BY ss_item_sk ORDER BY d_date
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) cume_sales
+         FROM store_sales, date_dim
+         WHERE ss_sold_date_sk = d_date_sk
+           AND d_month_seq BETWEEN 120 AND 120 + 11
+           AND ss_item_sk IS NOT NULL
+         GROUP BY ss_item_sk, d_date)
+      SELECT item_sk, d_date, web_sales, store_sales,
+             web_cumulative, store_cumulative
+      FROM
+        (SELECT item_sk, d_date, web_sales, store_sales,
+                max(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  web_cumulative,
+                max(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  store_cumulative
+         FROM
+           (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                        ELSE store.item_sk END item_sk,
+                   CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                        ELSE store.d_date END d_date,
+                   web.cume_sales web_sales,
+                   store.cume_sales store_sales
+            FROM web_v1 web
+            FULL OUTER JOIN store_v1 store
+              ON (web.item_sk = store.item_sk
+                  AND web.d_date = store.d_date)) x) y
+      WHERE web_cumulative > store_cumulative
+      ORDER BY item_sk NULLS FIRST, d_date NULLS FIRST
+      LIMIT 100""",
+
+    // Q64: the giant 2-pass cross_sales self-join (18-table join over both
+    // returns channels, income bands, double demographics). Ref years
+    // 1999/2000 unchanged; i_color/i_current_price adapted to the fixture
+    // item vocabulary (colors are 12 paint names, prices 0.99..99.99).
+    "tpcds_q64" -> s"""
+      WITH cs_ui AS
+        (SELECT cs_item_sk,
+                ${sumd(dmoney("cs_ext_list_price"))} AS sale,
+                ${sql.sumd(s"(${dmoney("cr_refunded_cash")} + ${dmoney("cr_reversed_charge")} + ${dmoney("cr_store_credit")})")} AS refund
+         FROM catalog_sales, catalog_returns
+         WHERE cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+         GROUP BY cs_item_sk
+         HAVING ${sumd(dmoney("cs_ext_list_price"))} >
+           2 * ${sql.sumd(s"(${dmoney("cr_refunded_cash")} + ${dmoney("cr_reversed_charge")} + ${dmoney("cr_store_credit")})")}),
+      cross_sales AS
+        (SELECT i_product_name product_name, i_item_sk item_sk,
+                s_store_name store_name, s_zip store_zip,
+                ad1.ca_street_number b_street_number,
+                ad1.ca_street_name b_street_name,
+                ad1.ca_city b_city, ad1.ca_zip b_zip,
+                ad2.ca_street_number c_street_number,
+                ad2.ca_street_name c_street_name,
+                ad2.ca_city c_city, ad2.ca_zip c_zip,
+                d1.d_year AS syear, d2.d_year AS fsyear, d3.d_year s2year,
+                count(*) cnt,
+                ${sumd(dmoney("ss_wholesale_cost"))} s1,
+                ${sumd(dmoney("ss_list_price"))} s2,
+                ${sumd(dmoney("ss_coupon_amt"))} s3
+         FROM store_sales, store_returns, cs_ui,
+              date_dim d1, date_dim d2, date_dim d3,
+              store, customer, customer_demographics cd1,
+              customer_demographics cd2, promotion,
+              household_demographics hd1, household_demographics hd2,
+              customer_address ad1, customer_address ad2,
+              income_band ib1, income_band ib2, item
+         WHERE ss_store_sk = s_store_sk
+           AND ss_sold_date_sk = d1.d_date_sk
+           AND ss_customer_sk = c_customer_sk
+           AND ss_cdemo_sk = cd1.cd_demo_sk
+           AND ss_hdemo_sk = hd1.hd_demo_sk
+           AND ss_addr_sk = ad1.ca_address_sk
+           AND ss_item_sk = i_item_sk
+           AND ss_item_sk = sr_item_sk
+           AND ss_ticket_number = sr_ticket_number
+           AND ss_item_sk = cs_ui.cs_item_sk
+           AND c_current_cdemo_sk = cd2.cd_demo_sk
+           AND c_current_hdemo_sk = hd2.hd_demo_sk
+           AND c_current_addr_sk = ad2.ca_address_sk
+           AND c_first_sales_date_sk = d2.d_date_sk
+           AND c_first_shipto_date_sk = d3.d_date_sk
+           AND ss_promo_sk = p_promo_sk
+           AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+           AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+           AND cd1.cd_marital_status <> cd2.cd_marital_status
+           AND i_color IN ('azure', 'coral', 'khaki',
+                           'maroon', 'peach', 'plum')
+           AND i_current_price BETWEEN 64 AND 64 + 10
+           AND i_current_price BETWEEN 64 + 1 AND 64 + 15
+         GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
+                  ad1.ca_street_number, ad1.ca_street_name, ad1.ca_city,
+                  ad1.ca_zip, ad2.ca_street_number, ad2.ca_street_name,
+                  ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year, d3.d_year)
+      SELECT cs1.product_name AS product_name, cs1.store_name AS store_name,
+             cs1.store_zip AS store_zip,
+             cs1.b_street_number AS b_street_number,
+             cs1.b_street_name AS b_street_name,
+             cs1.b_city AS b_city, cs1.b_zip AS b_zip,
+             cs1.c_street_number AS c_street_number,
+             cs1.c_street_name AS c_street_name,
+             cs1.c_city AS c_city, cs1.c_zip AS c_zip,
+             cs1.syear cs1syear, cs1.cnt cs1cnt,
+             cs1.s1 AS s11, cs1.s2 AS s21, cs1.s3 AS s31,
+             cs2.s1 AS s12, cs2.s2 AS s22, cs2.s3 AS s32,
+             cs2.syear AS syear, cs2.cnt AS cnt
+      FROM cross_sales cs1, cross_sales cs2
+      WHERE cs1.item_sk = cs2.item_sk
+        AND cs1.syear = 1999 AND cs2.syear = 1999 + 1
+        AND cs2.cnt <= cs1.cnt
+        AND cs1.store_name = cs2.store_name
+        AND cs1.store_zip = cs2.store_zip
+      ORDER BY cs1.product_name, cs1.store_name, cs2.cnt,
+               cs1.s1, cs2.s1""",
+
+    // Q78: per-customer-item store quantities vs the unreturned other
+    // channels (three LEFT JOIN anti-return aggregates). Ref year 2000
+    // unchanged; ratio kept decimal until the final 2dp round.
+    "tpcds_q78" -> s"""
+      WITH ws AS
+        (SELECT d_year AS ws_sold_year, ws_item_sk,
+                ws_bill_customer_sk ws_customer_sk,
+                sum(ws_quantity) ws_qty,
+                ${sumd(dmoney("ws_wholesale_cost"))} ws_wc,
+                ${sumd(dmoney("ws_sales_price"))} ws_sp
+         FROM web_sales
+         LEFT JOIN web_returns ON wr_order_number = ws_order_number
+           AND ws_item_sk = wr_item_sk
+         JOIN date_dim ON ws_sold_date_sk = d_date_sk
+         WHERE wr_order_number IS NULL
+         GROUP BY d_year, ws_item_sk, ws_bill_customer_sk),
+      cs AS
+        (SELECT d_year AS cs_sold_year, cs_item_sk,
+                cs_bill_customer_sk cs_customer_sk,
+                sum(cs_quantity) cs_qty,
+                ${sumd(dmoney("cs_wholesale_cost"))} cs_wc,
+                ${sumd(dmoney("cs_sales_price"))} cs_sp
+         FROM catalog_sales
+         LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
+           AND cs_item_sk = cr_item_sk
+         JOIN date_dim ON cs_sold_date_sk = d_date_sk
+         WHERE cr_order_number IS NULL
+         GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
+      ss AS
+        (SELECT d_year AS ss_sold_year, ss_item_sk, ss_customer_sk,
+                sum(ss_quantity) ss_qty,
+                ${sumd(dmoney("ss_wholesale_cost"))} ss_wc,
+                ${sumd(dmoney("ss_sales_price"))} ss_sp
+         FROM store_sales
+         LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+           AND ss_item_sk = sr_item_sk
+         JOIN date_dim ON ss_sold_date_sk = d_date_sk
+         WHERE sr_ticket_number IS NULL
+         GROUP BY d_year, ss_item_sk, ss_customer_sk)
+      SELECT ss_sold_year, ss_item_sk, ss_customer_sk,
+             CAST(ROUND(CAST(ss_qty AS DOUBLE) /
+                        (coalesce(ws_qty, 0) + coalesce(cs_qty, 0)), 2)
+                  AS DOUBLE) ratio,
+             ss_qty store_qty, ss_wc store_wholesale_cost,
+             ss_sp store_sales_price,
+             coalesce(ws_qty, 0) + coalesce(cs_qty, 0) other_chan_qty,
+             CAST(ROUND(CAST(coalesce(ws_wc, 0) AS DECIMAL(24,4))
+                        + CAST(coalesce(cs_wc, 0) AS DECIMAL(24,4)), 4)
+                  AS DOUBLE) other_chan_wholesale_cost,
+             CAST(ROUND(CAST(coalesce(ws_sp, 0) AS DECIMAL(24,4))
+                        + CAST(coalesce(cs_sp, 0) AS DECIMAL(24,4)), 4)
+                  AS DOUBLE) other_chan_sales_price
+      FROM ss
+      LEFT JOIN ws ON (ws_sold_year = ss_sold_year
+                       AND ws_item_sk = ss_item_sk
+                       AND ws_customer_sk = ss_customer_sk)
+      LEFT JOIN cs ON (cs_sold_year = ss_sold_year
+                       AND cs_item_sk = ss_item_sk
+                       AND cs_customer_sk = ss_customer_sk)
+      WHERE (coalesce(ws_qty, 0) > 0 OR coalesce(cs_qty, 0) > 0)
+        AND ss_sold_year = 2000
+      ORDER BY ss_sold_year, ss_item_sk, ss_customer_sk, ss_qty DESC,
+               ss_wc DESC, ss_sp DESC, other_chan_qty,
+               other_chan_wholesale_cost, other_chan_sales_price, ratio
+      LIMIT 100""",
+
+    // Q88: store traffic in eight half-hour buckets (8 cross-joined
+    // count subqueries — the 32-scalar-subquery pivot shape). Ref store
+    // name 'ese' -> the fixture's 'Store_5'.
+    "tpcds_q88" -> s"""
+      SELECT h8_30_to_9, h9_to_9_30, h9_30_to_10, h10_to_10_30,
+             h10_30_to_11, h11_to_11_30, h11_30_to_12, h12_to_12_30
+      FROM
+        (SELECT count(*) h8_30_to_9
+         FROM store_sales, household_demographics, time_dim, store
+         WHERE ss_sold_time_sk = time_dim.t_time_sk
+           AND ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND ss_store_sk = s_store_sk
+           AND time_dim.t_hour = 8 AND time_dim.t_minute >= 30
+           AND ((household_demographics.hd_dep_count = 4
+                 AND household_demographics.hd_vehicle_count <= 4 + 2)
+                OR (household_demographics.hd_dep_count = 2
+                    AND household_demographics.hd_vehicle_count <= 2 + 2)
+                OR (household_demographics.hd_dep_count = 0
+                    AND household_demographics.hd_vehicle_count <= 0 + 2))
+           AND store.s_store_name = 'Store_5') s1,
+        (SELECT count(*) h9_to_9_30
+         FROM store_sales, household_demographics, time_dim, store
+         WHERE ss_sold_time_sk = time_dim.t_time_sk
+           AND ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND ss_store_sk = s_store_sk
+           AND time_dim.t_hour = 9 AND time_dim.t_minute < 30
+           AND ((household_demographics.hd_dep_count = 4
+                 AND household_demographics.hd_vehicle_count <= 4 + 2)
+                OR (household_demographics.hd_dep_count = 2
+                    AND household_demographics.hd_vehicle_count <= 2 + 2)
+                OR (household_demographics.hd_dep_count = 0
+                    AND household_demographics.hd_vehicle_count <= 0 + 2))
+           AND store.s_store_name = 'Store_5') s2,
+        (SELECT count(*) h9_30_to_10
+         FROM store_sales, household_demographics, time_dim, store
+         WHERE ss_sold_time_sk = time_dim.t_time_sk
+           AND ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND ss_store_sk = s_store_sk
+           AND time_dim.t_hour = 9 AND time_dim.t_minute >= 30
+           AND ((household_demographics.hd_dep_count = 4
+                 AND household_demographics.hd_vehicle_count <= 4 + 2)
+                OR (household_demographics.hd_dep_count = 2
+                    AND household_demographics.hd_vehicle_count <= 2 + 2)
+                OR (household_demographics.hd_dep_count = 0
+                    AND household_demographics.hd_vehicle_count <= 0 + 2))
+           AND store.s_store_name = 'Store_5') s3,
+        (SELECT count(*) h10_to_10_30
+         FROM store_sales, household_demographics, time_dim, store
+         WHERE ss_sold_time_sk = time_dim.t_time_sk
+           AND ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND ss_store_sk = s_store_sk
+           AND time_dim.t_hour = 10 AND time_dim.t_minute < 30
+           AND ((household_demographics.hd_dep_count = 4
+                 AND household_demographics.hd_vehicle_count <= 4 + 2)
+                OR (household_demographics.hd_dep_count = 2
+                    AND household_demographics.hd_vehicle_count <= 2 + 2)
+                OR (household_demographics.hd_dep_count = 0
+                    AND household_demographics.hd_vehicle_count <= 0 + 2))
+           AND store.s_store_name = 'Store_5') s4,
+        (SELECT count(*) h10_30_to_11
+         FROM store_sales, household_demographics, time_dim, store
+         WHERE ss_sold_time_sk = time_dim.t_time_sk
+           AND ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND ss_store_sk = s_store_sk
+           AND time_dim.t_hour = 10 AND time_dim.t_minute >= 30
+           AND ((household_demographics.hd_dep_count = 4
+                 AND household_demographics.hd_vehicle_count <= 4 + 2)
+                OR (household_demographics.hd_dep_count = 2
+                    AND household_demographics.hd_vehicle_count <= 2 + 2)
+                OR (household_demographics.hd_dep_count = 0
+                    AND household_demographics.hd_vehicle_count <= 0 + 2))
+           AND store.s_store_name = 'Store_5') s5,
+        (SELECT count(*) h11_to_11_30
+         FROM store_sales, household_demographics, time_dim, store
+         WHERE ss_sold_time_sk = time_dim.t_time_sk
+           AND ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND ss_store_sk = s_store_sk
+           AND time_dim.t_hour = 11 AND time_dim.t_minute < 30
+           AND ((household_demographics.hd_dep_count = 4
+                 AND household_demographics.hd_vehicle_count <= 4 + 2)
+                OR (household_demographics.hd_dep_count = 2
+                    AND household_demographics.hd_vehicle_count <= 2 + 2)
+                OR (household_demographics.hd_dep_count = 0
+                    AND household_demographics.hd_vehicle_count <= 0 + 2))
+           AND store.s_store_name = 'Store_5') s6,
+        (SELECT count(*) h11_30_to_12
+         FROM store_sales, household_demographics, time_dim, store
+         WHERE ss_sold_time_sk = time_dim.t_time_sk
+           AND ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND ss_store_sk = s_store_sk
+           AND time_dim.t_hour = 11 AND time_dim.t_minute >= 30
+           AND ((household_demographics.hd_dep_count = 4
+                 AND household_demographics.hd_vehicle_count <= 4 + 2)
+                OR (household_demographics.hd_dep_count = 2
+                    AND household_demographics.hd_vehicle_count <= 2 + 2)
+                OR (household_demographics.hd_dep_count = 0
+                    AND household_demographics.hd_vehicle_count <= 0 + 2))
+           AND store.s_store_name = 'Store_5') s7,
+        (SELECT count(*) h12_to_12_30
+         FROM store_sales, household_demographics, time_dim, store
+         WHERE ss_sold_time_sk = time_dim.t_time_sk
+           AND ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND ss_store_sk = s_store_sk
+           AND time_dim.t_hour = 12 AND time_dim.t_minute < 30
+           AND ((household_demographics.hd_dep_count = 4
+                 AND household_demographics.hd_vehicle_count <= 4 + 2)
+                OR (household_demographics.hd_dep_count = 2
+                    AND household_demographics.hd_vehicle_count <= 2 + 2)
+                OR (household_demographics.hd_dep_count = 0
+                    AND household_demographics.hd_vehicle_count <= 0 + 2))
+           AND store.s_store_name = 'Store_5') s8""")
 
   /** Sessions (keyed weakly) whose star schema is already materialized,
     * with the fixture dir it was built from. */
