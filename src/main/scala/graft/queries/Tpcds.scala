@@ -2296,7 +2296,570 @@ object Tpcds {
                     AND household_demographics.hd_vehicle_count <= 2 + 2)
                 OR (household_demographics.hd_dep_count = 0
                     AND household_demographics.hd_vehicle_count <= 0 + 2))
-           AND store.s_store_name = 'Store_5') s8""")
+           AND store.s_store_name = 'Store_5') s8""",
+
+    // Q2: catalog+web weekday sales, week-over-week ratio one year apart
+    // (53-week offset). Ref years 2001/2002 -> 2000/2001.
+    "tpcds_q02" -> s"""
+      WITH wscs AS
+        (SELECT sold_date_sk, sales_price
+         FROM
+           (SELECT ws_sold_date_sk sold_date_sk,
+                   ws_ext_sales_price sales_price
+            FROM web_sales
+            UNION ALL
+            SELECT cs_sold_date_sk sold_date_sk,
+                   cs_ext_sales_price sales_price
+            FROM catalog_sales) sq1),
+      wswscs AS
+        (SELECT d_week_seq,
+                ${sql.sumd(s"CASE WHEN (d_day_name = 'Sunday') THEN ${dmoney("sales_price")} ELSE NULL END")} sun_sales,
+                ${sql.sumd(s"CASE WHEN (d_day_name = 'Monday') THEN ${dmoney("sales_price")} ELSE NULL END")} mon_sales,
+                ${sql.sumd(s"CASE WHEN (d_day_name = 'Tuesday') THEN ${dmoney("sales_price")} ELSE NULL END")} tue_sales,
+                ${sql.sumd(s"CASE WHEN (d_day_name = 'Wednesday') THEN ${dmoney("sales_price")} ELSE NULL END")} wed_sales,
+                ${sql.sumd(s"CASE WHEN (d_day_name = 'Thursday') THEN ${dmoney("sales_price")} ELSE NULL END")} thu_sales,
+                ${sql.sumd(s"CASE WHEN (d_day_name = 'Friday') THEN ${dmoney("sales_price")} ELSE NULL END")} fri_sales,
+                ${sql.sumd(s"CASE WHEN (d_day_name = 'Saturday') THEN ${dmoney("sales_price")} ELSE NULL END")} sat_sales
+         FROM wscs, date_dim
+         WHERE d_date_sk = sold_date_sk
+         GROUP BY d_week_seq)
+      SELECT d_week_seq1,
+             CAST(ROUND(sun_sales1 / sun_sales2, 2) AS DOUBLE) r1,
+             CAST(ROUND(mon_sales1 / mon_sales2, 2) AS DOUBLE) r2,
+             CAST(ROUND(tue_sales1 / tue_sales2, 2) AS DOUBLE) r3,
+             CAST(ROUND(wed_sales1 / wed_sales2, 2) AS DOUBLE) r4,
+             CAST(ROUND(thu_sales1 / thu_sales2, 2) AS DOUBLE) r5,
+             CAST(ROUND(fri_sales1 / fri_sales2, 2) AS DOUBLE) r6,
+             CAST(ROUND(sat_sales1 / sat_sales2, 2) AS DOUBLE) r7
+      FROM
+        (SELECT wswscs.d_week_seq d_week_seq1, sun_sales sun_sales1,
+                mon_sales mon_sales1, tue_sales tue_sales1,
+                wed_sales wed_sales1, thu_sales thu_sales1,
+                fri_sales fri_sales1, sat_sales sat_sales1
+         FROM wswscs, date_dim
+         WHERE date_dim.d_week_seq = wswscs.d_week_seq
+           AND d_year = 2000) y,
+        (SELECT wswscs.d_week_seq d_week_seq2, sun_sales sun_sales2,
+                mon_sales mon_sales2, tue_sales tue_sales2,
+                wed_sales wed_sales2, thu_sales thu_sales2,
+                fri_sales fri_sales2, sat_sales sat_sales2
+         FROM wswscs, date_dim
+         WHERE date_dim.d_week_seq = wswscs.d_week_seq
+           AND d_year = 2000 + 1) z
+      WHERE d_week_seq1 = d_week_seq2 - 53
+      ORDER BY d_week_seq1 NULLS FIRST""",
+
+    // Q10: county demographics of active multi-channel customers
+    // (EXISTS over three channels). Ref counties/year -> fixture
+    // vocabulary, 2002 -> 2000.
+    "tpcds_q10" -> s"""
+      SELECT cd_gender, cd_marital_status, cd_education_status,
+             count(*) cnt1, cd_purchase_estimate, count(*) cnt2,
+             cd_credit_rating, count(*) cnt3, cd_dep_count, count(*) cnt4,
+             cd_dep_employed_count, count(*) cnt5, cd_dep_college_count,
+             count(*) cnt6
+      FROM customer c, customer_address ca, customer_demographics
+      WHERE c.c_current_addr_sk = ca.ca_address_sk
+        AND ca_county IN ('Williamson County', 'Walker County',
+                          'Ziebach County', 'Luce County',
+                          'Richland County')
+        AND cd_demo_sk = c.c_current_cdemo_sk
+        AND EXISTS
+          (SELECT * FROM store_sales, date_dim
+           WHERE c.c_customer_sk = ss_customer_sk
+             AND ss_sold_date_sk = d_date_sk
+             AND d_year = 2000 AND d_moy BETWEEN 1 AND 1 + 3)
+        AND (EXISTS
+               (SELECT * FROM web_sales, date_dim
+                WHERE c.c_customer_sk = ws_bill_customer_sk
+                  AND ws_sold_date_sk = d_date_sk
+                  AND d_year = 2000 AND d_moy BETWEEN 1 AND 1 + 3)
+             OR EXISTS
+               (SELECT * FROM catalog_sales, date_dim
+                WHERE c.c_customer_sk = cs_ship_customer_sk
+                  AND cs_sold_date_sk = d_date_sk
+                  AND d_year = 2000 AND d_moy BETWEEN 1 AND 1 + 3))
+      GROUP BY cd_gender, cd_marital_status, cd_education_status,
+               cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+               cd_dep_employed_count, cd_dep_college_count
+      ORDER BY cd_gender NULLS FIRST, cd_marital_status NULLS FIRST,
+               cd_education_status NULLS FIRST,
+               cd_purchase_estimate NULLS FIRST,
+               cd_credit_rating NULLS FIRST, cd_dep_count NULLS FIRST,
+               cd_dep_employed_count NULLS FIRST,
+               cd_dep_college_count NULLS FIRST
+      LIMIT 100""",
+
+    // Q17: quantity statistics (count/avg/stddev/cov) across the
+    // sale->return->catalog-rebuy chain. Ref quarter 2001Q1 unchanged.
+    "tpcds_q17" -> s"""
+      SELECT i_item_id, i_item_desc, s_state,
+             count(ss_quantity) AS store_sales_quantitycount,
+             avg(ss_quantity) AS store_sales_quantityave,
+             stddev_samp(ss_quantity) AS store_sales_quantitystdev,
+             stddev_samp(ss_quantity) / avg(ss_quantity)
+               AS store_sales_quantitycov,
+             count(sr_return_quantity) AS store_returns_quantitycount,
+             avg(sr_return_quantity) AS store_returns_quantityave,
+             stddev_samp(sr_return_quantity) AS store_returns_quantitystdev,
+             stddev_samp(sr_return_quantity) / avg(sr_return_quantity)
+               AS store_returns_quantitycov,
+             count(cs_quantity) AS catalog_sales_quantitycount,
+             avg(cs_quantity) AS catalog_sales_quantityave,
+             stddev_samp(cs_quantity) AS catalog_sales_quantitystdev,
+             stddev_samp(cs_quantity) / avg(cs_quantity)
+               AS catalog_sales_quantitycov
+      FROM store_sales, store_returns, catalog_sales,
+           date_dim d1, date_dim d2, date_dim d3, store, item
+      WHERE d1.d_quarter_name = '2001Q1'
+        AND d1.d_date_sk = ss_sold_date_sk
+        AND i_item_sk = ss_item_sk
+        AND s_store_sk = ss_store_sk
+        AND ss_customer_sk = sr_customer_sk
+        AND ss_item_sk = sr_item_sk
+        AND ss_ticket_number = sr_ticket_number
+        AND sr_returned_date_sk = d2.d_date_sk
+        AND d2.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
+        AND sr_customer_sk = cs_bill_customer_sk
+        AND sr_item_sk = cs_item_sk
+        AND cs_sold_date_sk = d3.d_date_sk
+        AND d3.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
+      GROUP BY i_item_id, i_item_desc, s_state
+      ORDER BY i_item_id NULLS FIRST, i_item_desc NULLS FIRST,
+               s_state NULLS FIRST
+      LIMIT 100""",
+
+    // Q18: catalog demographics averages under a 4-level ROLLUP (exact
+    // sum/count instead of decimal AVG; ref year 1998 unchanged).
+    "tpcds_q18" -> s"""
+      SELECT i_item_id, ca_country, ca_state, ca_county,
+             ${sql.sumd(dmoney("cs_quantity"))} / COUNT(*) agg1,
+             ${sumd(dmoney("cs_list_price"))} / COUNT(*) agg2,
+             ${sumd(dmoney("cs_coupon_amt"))} / COUNT(*) agg3,
+             ${sumd(dmoney("cs_sales_price"))} / COUNT(*) agg4,
+             ${sumd(dmoney("cs_net_profit"))} / COUNT(*) agg5,
+             ${sql.sumd(dmoney("c_birth_year"))} / COUNT(*) agg6,
+             ${sql.sumd(dmoney("cd1.cd_dep_count"))} / COUNT(*) agg7
+      FROM catalog_sales, customer_demographics cd1,
+           customer_demographics cd2, customer, customer_address,
+           date_dim, item
+      WHERE cs_sold_date_sk = d_date_sk
+        AND cs_item_sk = i_item_sk
+        AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+        AND cs_bill_customer_sk = c_customer_sk
+        AND cd1.cd_gender = 'F'
+        AND cd1.cd_education_status = 'Unknown'
+        AND c_current_cdemo_sk = cd2.cd_demo_sk
+        AND c_current_addr_sk = ca_address_sk
+        AND c_birth_month IN (1, 6, 8, 9, 12, 2)
+        AND d_year = 1998
+        AND ca_state IN ('MS', 'IN', 'ND', 'OK', 'NM', 'VA', 'MS')
+      GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+      ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST,
+               ca_county NULLS FIRST, i_item_id NULLS FIRST
+      LIMIT 100""",
+
+    // Q28: six quantity-band list-price buckets (avg / count / count
+    // distinct), cross-joined into one row. Ref bands unchanged.
+    "tpcds_q28" -> s"""
+      SELECT B1_LP, B1_CNT, B1_CNTD, B2_LP, B2_CNT, B2_CNTD,
+             B3_LP, B3_CNT, B3_CNTD, B4_LP, B4_CNT, B4_CNTD,
+             B5_LP, B5_CNT, B5_CNTD, B6_LP, B6_CNT, B6_CNTD
+      FROM
+        (SELECT ${sumd(dmoney("ss_list_price"))} / count(ss_list_price) B1_LP,
+                count(ss_list_price) B1_CNT,
+                count(DISTINCT ss_list_price) B1_CNTD
+         FROM store_sales
+         WHERE ss_quantity BETWEEN 0 AND 5
+           AND (ss_list_price BETWEEN 8 AND 8 + 10
+                OR ss_coupon_amt BETWEEN 459 AND 459 + 1000
+                OR ss_wholesale_cost BETWEEN 57 AND 57 + 20)) B1,
+        (SELECT ${sumd(dmoney("ss_list_price"))} / count(ss_list_price) B2_LP,
+                count(ss_list_price) B2_CNT,
+                count(DISTINCT ss_list_price) B2_CNTD
+         FROM store_sales
+         WHERE ss_quantity BETWEEN 6 AND 10
+           AND (ss_list_price BETWEEN 90 AND 90 + 10
+                OR ss_coupon_amt BETWEEN 2323 AND 2323 + 1000
+                OR ss_wholesale_cost BETWEEN 31 AND 31 + 20)) B2,
+        (SELECT ${sumd(dmoney("ss_list_price"))} / count(ss_list_price) B3_LP,
+                count(ss_list_price) B3_CNT,
+                count(DISTINCT ss_list_price) B3_CNTD
+         FROM store_sales
+         WHERE ss_quantity BETWEEN 11 AND 15
+           AND (ss_list_price BETWEEN 142 AND 142 + 10
+                OR ss_coupon_amt BETWEEN 12214 AND 12214 + 1000
+                OR ss_wholesale_cost BETWEEN 79 AND 79 + 20)) B3,
+        (SELECT ${sumd(dmoney("ss_list_price"))} / count(ss_list_price) B4_LP,
+                count(ss_list_price) B4_CNT,
+                count(DISTINCT ss_list_price) B4_CNTD
+         FROM store_sales
+         WHERE ss_quantity BETWEEN 16 AND 20
+           AND (ss_list_price BETWEEN 135 AND 135 + 10
+                OR ss_coupon_amt BETWEEN 6071 AND 6071 + 1000
+                OR ss_wholesale_cost BETWEEN 38 AND 38 + 20)) B4,
+        (SELECT ${sumd(dmoney("ss_list_price"))} / count(ss_list_price) B5_LP,
+                count(ss_list_price) B5_CNT,
+                count(DISTINCT ss_list_price) B5_CNTD
+         FROM store_sales
+         WHERE ss_quantity BETWEEN 21 AND 25
+           AND (ss_list_price BETWEEN 122 AND 122 + 10
+                OR ss_coupon_amt BETWEEN 836 AND 836 + 1000
+                OR ss_wholesale_cost BETWEEN 17 AND 17 + 20)) B5,
+        (SELECT ${sumd(dmoney("ss_list_price"))} / count(ss_list_price) B6_LP,
+                count(ss_list_price) B6_CNT,
+                count(DISTINCT ss_list_price) B6_CNTD
+         FROM store_sales
+         WHERE ss_quantity BETWEEN 26 AND 30
+           AND (ss_list_price BETWEEN 154 AND 154 + 10
+                OR ss_coupon_amt BETWEEN 7326 AND 7326 + 1000
+                OR ss_wholesale_cost BETWEEN 7 AND 7 + 20)) B6""",
+
+    // Q29: quantities along the buy -> return -> catalog-rebuy chain
+    // (3 date roles). Ref month 9/1999 unchanged.
+    "tpcds_q29" -> s"""
+      SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+             sum(ss_quantity) AS store_sales_quantity,
+             sum(sr_return_quantity) AS store_returns_quantity,
+             sum(cs_quantity) AS catalog_sales_quantity
+      FROM store_sales, store_returns, catalog_sales,
+           date_dim d1, date_dim d2, date_dim d3, store, item
+      WHERE d1.d_moy = 9
+        AND d1.d_year = 1999
+        AND d1.d_date_sk = ss_sold_date_sk
+        AND i_item_sk = ss_item_sk
+        AND s_store_sk = ss_store_sk
+        AND ss_customer_sk = sr_customer_sk
+        AND ss_item_sk = sr_item_sk
+        AND ss_ticket_number = sr_ticket_number
+        AND sr_returned_date_sk = d2.d_date_sk
+        AND d2.d_moy BETWEEN 9 AND 9 + 3
+        AND d2.d_year = 1999
+        AND sr_customer_sk = cs_bill_customer_sk
+        AND sr_item_sk = cs_item_sk
+        AND cs_sold_date_sk = d3.d_date_sk
+        AND d3.d_year IN (1999, 1999 + 1, 1999 + 2)
+      GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+      ORDER BY i_item_id NULLS FIRST, i_item_desc NULLS FIRST,
+               s_store_id NULLS FIRST, s_store_name NULLS FIRST
+      LIMIT 100""",
+
+    // Q30: web-return customers above 1.2x their state's average return
+    // (correlated avg over a web_returns CTE). Ref year 2002 -> 2000.
+    "tpcds_q30" -> s"""
+      WITH customer_total_return AS
+        (SELECT wr_returning_customer_sk AS ctr_customer_sk,
+                ca_state AS ctr_state,
+                ${sumd(dmoney("wr_return_amt"))} AS ctr_total_return
+         FROM web_returns, date_dim, customer_address
+         WHERE wr_returned_date_sk = d_date_sk
+           AND d_year = 2000
+           AND wr_returning_addr_sk = ca_address_sk
+         GROUP BY wr_returning_customer_sk, ca_state)
+      SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+             c_preferred_cust_flag, c_birth_day, c_birth_month,
+             c_birth_year, c_birth_country, c_login, c_email_address,
+             c_last_review_date_sk, ctr_total_return
+      FROM customer_total_return ctr1, customer_address, customer
+      WHERE ctr1.ctr_total_return >
+          (SELECT ${sql.sumd("CAST(ctr_total_return AS DECIMAL(24,4))")}
+                    / COUNT(*) * 1.2
+           FROM customer_total_return ctr2
+           WHERE ctr1.ctr_state = ctr2.ctr_state)
+        AND ca_address_sk = c_current_addr_sk
+        AND ca_state = 'GA'
+        AND ctr1.ctr_customer_sk = c_customer_sk
+      ORDER BY c_customer_id NULLS FIRST, c_salutation NULLS FIRST,
+               c_first_name NULLS FIRST, c_last_name NULLS FIRST,
+               c_preferred_cust_flag NULLS FIRST, c_birth_day NULLS FIRST,
+               c_birth_month NULLS FIRST, c_birth_year NULLS FIRST,
+               c_birth_country NULLS FIRST, c_login NULLS FIRST,
+               c_email_address NULLS FIRST,
+               c_last_review_date_sk NULLS FIRST,
+               ctr_total_return NULLS FIRST
+      LIMIT 100""",
+
+    // Q34: 15..20-item tickets by high-dependency households on
+    // month-boundary shopping days. Ref county kept (fixture has it).
+    "tpcds_q34" -> s"""
+      SELECT c_last_name, c_first_name, c_salutation,
+             c_preferred_cust_flag, ss_ticket_number, cnt
+      FROM
+        (SELECT ss_ticket_number, ss_customer_sk, count(*) cnt
+         FROM store_sales, date_dim, store, household_demographics
+         WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+           AND store_sales.ss_store_sk = store.s_store_sk
+           AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND (date_dim.d_dom BETWEEN 1 AND 3
+                OR date_dim.d_dom BETWEEN 25 AND 28)
+           AND (household_demographics.hd_buy_potential = '>10000'
+                OR household_demographics.hd_buy_potential = 'Unknown')
+           AND household_demographics.hd_vehicle_count > 0
+           AND (CASE WHEN household_demographics.hd_vehicle_count > 0
+                  THEN CAST(household_demographics.hd_dep_count AS DOUBLE)
+                       / household_demographics.hd_vehicle_count
+                  ELSE NULL END) > 1.2
+           AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+           AND store.s_county = 'Williamson County'
+         GROUP BY ss_ticket_number, ss_customer_sk) dn, customer
+      WHERE ss_customer_sk = c_customer_sk
+        AND cnt BETWEEN 15 AND 20
+      ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
+               c_salutation NULLS FIRST,
+               c_preferred_cust_flag DESC NULLS FIRST,
+               ss_ticket_number NULLS FIRST""",
+
+    // Q35: demographics of customers active in store AND (web OR
+    // catalog) in early 2000 (ref 2002). Trailing aggregates aliased.
+    "tpcds_q35" -> s"""
+      SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+             count(*) cnt1,
+             min(cd_dep_count) min1, max(cd_dep_count) max1,
+             avg(cd_dep_count) avg1,
+             cd_dep_employed_count, count(*) cnt2,
+             min(cd_dep_employed_count) min2,
+             max(cd_dep_employed_count) max2,
+             avg(cd_dep_employed_count) avg2,
+             cd_dep_college_count, count(*) cnt3,
+             min(cd_dep_college_count) min3,
+             max(cd_dep_college_count) max3,
+             avg(cd_dep_college_count) avg3
+      FROM customer c, customer_address ca, customer_demographics
+      WHERE c.c_current_addr_sk = ca.ca_address_sk
+        AND cd_demo_sk = c.c_current_cdemo_sk
+        AND EXISTS
+          (SELECT * FROM store_sales, date_dim
+           WHERE c.c_customer_sk = ss_customer_sk
+             AND ss_sold_date_sk = d_date_sk
+             AND d_year = 2000 AND d_qoy < 4)
+        AND (EXISTS
+               (SELECT * FROM web_sales, date_dim
+                WHERE c.c_customer_sk = ws_bill_customer_sk
+                  AND ws_sold_date_sk = d_date_sk
+                  AND d_year = 2000 AND d_qoy < 4)
+             OR EXISTS
+               (SELECT * FROM catalog_sales, date_dim
+                WHERE c.c_customer_sk = cs_ship_customer_sk
+                  AND cs_sold_date_sk = d_date_sk
+                  AND d_year = 2000 AND d_qoy < 4))
+      GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+               cd_dep_employed_count, cd_dep_college_count
+      ORDER BY ca_state NULLS FIRST, cd_gender NULLS FIRST,
+               cd_marital_status NULLS FIRST, cd_dep_count NULLS FIRST,
+               cd_dep_employed_count NULLS FIRST,
+               cd_dep_college_count NULLS FIRST
+      LIMIT 100""",
+
+    // Q38: customers active in ALL three channels in one year (3-way
+    // INTERSECT on name+date). Ref month_seq 1200..1211 -> 120..131.
+    "tpcds_q38" -> s"""
+      SELECT count(*) AS num
+      FROM
+        (SELECT DISTINCT c_last_name, c_first_name, d_date
+         FROM store_sales, date_dim, customer
+         WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+           AND store_sales.ss_customer_sk = customer.c_customer_sk
+           AND d_month_seq BETWEEN 120 AND 120 + 11
+         INTERSECT
+         SELECT DISTINCT c_last_name, c_first_name, d_date
+         FROM catalog_sales, date_dim, customer
+         WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+           AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+           AND d_month_seq BETWEEN 120 AND 120 + 11
+         INTERSECT
+         SELECT DISTINCT c_last_name, c_first_name, d_date
+         FROM web_sales, date_dim, customer
+         WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+           AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+           AND d_month_seq BETWEEN 120 AND 120 + 11) hot_cust
+      LIMIT 100""",
+
+    // Q47: brand-month sales vs the year's monthly average, with lag/lead
+    // months via a rank self-join. Ref year 1999 unchanged.
+    "tpcds_q47" -> s"""
+      WITH v1 AS
+        (SELECT i_category, i_brand, s_store_name, s_company_name,
+                d_year, d_moy,
+                ${sumd(dmoney("ss_sales_price"))} sum_sales,
+                avg(${sumd(dmoney("ss_sales_price"))})
+                  OVER (PARTITION BY i_category, i_brand, s_store_name,
+                                     s_company_name, d_year)
+                  avg_monthly_sales,
+                rank() OVER (PARTITION BY i_category, i_brand,
+                                          s_store_name, s_company_name
+                             ORDER BY d_year, d_moy) rn
+         FROM item, store_sales, date_dim, store
+         WHERE ss_item_sk = i_item_sk
+           AND ss_sold_date_sk = d_date_sk
+           AND ss_store_sk = s_store_sk
+           AND (d_year = 1999
+                OR (d_year = 1999 - 1 AND d_moy = 12)
+                OR (d_year = 1999 + 1 AND d_moy = 1))
+         GROUP BY i_category, i_brand, s_store_name, s_company_name,
+                  d_year, d_moy),
+      v2 AS
+        (SELECT v1.i_category, v1.i_brand, v1.s_store_name,
+                v1.s_company_name, v1.d_year, v1.d_moy,
+                v1.avg_monthly_sales, v1.sum_sales,
+                v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+         FROM v1, v1 v1_lag, v1 v1_lead
+         WHERE v1.i_category = v1_lag.i_category
+           AND v1.i_category = v1_lead.i_category
+           AND v1.i_brand = v1_lag.i_brand
+           AND v1.i_brand = v1_lead.i_brand
+           AND v1.s_store_name = v1_lag.s_store_name
+           AND v1.s_store_name = v1_lead.s_store_name
+           AND v1.s_company_name = v1_lag.s_company_name
+           AND v1.s_company_name = v1_lead.s_company_name
+           AND v1.rn = v1_lag.rn + 1
+           AND v1.rn = v1_lead.rn - 1)
+      SELECT i_category, i_brand, s_store_name, s_company_name, d_year,
+             d_moy, avg_monthly_sales, sum_sales, psum, nsum
+      FROM v2
+      WHERE d_year = 1999
+        AND avg_monthly_sales > 0
+        AND CASE WHEN avg_monthly_sales > 0
+              THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+              ELSE NULL END > 0.1
+      ORDER BY sum_sales - avg_monthly_sales, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+      LIMIT 100""",
+
+    // Q74: store/web net-paid year-over-year growth (q11's simpler twin).
+    // Ref years 2001/2002 -> 2000/2001.
+    "tpcds_q74" -> s"""
+      WITH year_total AS
+        (SELECT c_customer_id customer_id,
+                c_first_name customer_first_name,
+                c_last_name customer_last_name,
+                d_year AS year_,
+                ${sumd(dmoney("ss_net_paid"))} year_total,
+                's' sale_type
+         FROM customer, store_sales, date_dim
+         WHERE c_customer_sk = ss_customer_sk
+           AND ss_sold_date_sk = d_date_sk
+           AND d_year IN (2000, 2000 + 1)
+         GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+         UNION ALL
+         SELECT c_customer_id customer_id,
+                c_first_name customer_first_name,
+                c_last_name customer_last_name,
+                d_year AS year_,
+                ${sumd(dmoney("ws_net_paid"))} year_total,
+                'w' sale_type
+         FROM customer, web_sales, date_dim
+         WHERE c_customer_sk = ws_bill_customer_sk
+           AND ws_sold_date_sk = d_date_sk
+           AND d_year IN (2000, 2000 + 1)
+         GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+      SELECT t_s_secyear.customer_id AS customer_id,
+             t_s_secyear.customer_first_name AS customer_first_name,
+             t_s_secyear.customer_last_name AS customer_last_name
+      FROM year_total t_s_firstyear, year_total t_s_secyear,
+           year_total t_w_firstyear, year_total t_w_secyear
+      WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+        AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+        AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+        AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+        AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+        AND t_s_firstyear.year_ = 2000 AND t_s_secyear.year_ = 2000 + 1
+        AND t_w_firstyear.year_ = 2000 AND t_w_secyear.year_ = 2000 + 1
+        AND t_s_firstyear.year_total > 0
+        AND t_w_firstyear.year_total > 0
+        AND CASE WHEN t_w_firstyear.year_total > 0
+              THEN t_w_secyear.year_total / t_w_firstyear.year_total
+              ELSE NULL END >
+            CASE WHEN t_s_firstyear.year_total > 0
+              THEN t_s_secyear.year_total / t_s_firstyear.year_total
+              ELSE NULL END
+      ORDER BY 1 NULLS FIRST
+      LIMIT 100""",
+
+    // Q81: catalog-return customers above 1.2x their state's average
+    // (q30's catalog twin with the full address block). Ref year 2000,
+    // state GA — both in the fixture vocabulary.
+    "tpcds_q81" -> s"""
+      WITH customer_total_return AS
+        (SELECT cr_returning_customer_sk AS ctr_customer_sk,
+                ca_state AS ctr_state,
+                ${sumd(dmoney("cr_return_amt_inc_tax"))} AS ctr_total_return
+         FROM catalog_returns, date_dim, customer_address
+         WHERE cr_returned_date_sk = d_date_sk
+           AND d_year = 2000
+           AND cr_returning_addr_sk = ca_address_sk
+         GROUP BY cr_returning_customer_sk, ca_state)
+      SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+             ca_street_number, ca_street_name, ca_street_type,
+             ca_suite_number, ca_city, ca_county, ca_state, ca_zip,
+             ca_country, ca_gmt_offset, ca_location_type, ctr_total_return
+      FROM customer_total_return ctr1, customer_address, customer
+      WHERE ctr1.ctr_total_return >
+          (SELECT ${sql.sumd("CAST(ctr_total_return AS DECIMAL(24,4))")}
+                    / COUNT(*) * 1.2
+           FROM customer_total_return ctr2
+           WHERE ctr1.ctr_state = ctr2.ctr_state)
+        AND ca_address_sk = c_current_addr_sk
+        AND ca_state = 'GA'
+        AND ctr1.ctr_customer_sk = c_customer_sk
+      ORDER BY c_customer_id NULLS FIRST, c_salutation NULLS FIRST,
+               c_first_name NULLS FIRST, c_last_name NULLS FIRST,
+               ca_street_number NULLS FIRST, ca_street_name NULLS FIRST,
+               ca_street_type NULLS FIRST, ca_suite_number NULLS FIRST,
+               ca_city NULLS FIRST, ca_county NULLS FIRST,
+               ca_state NULLS FIRST, ca_zip NULLS FIRST,
+               ca_country NULLS FIRST, ca_gmt_offset NULLS FIRST,
+               ca_location_type NULLS FIRST, ctr_total_return NULLS FIRST
+      LIMIT 100""",
+
+    // Q87: store-only customer-days (double EXCEPT across channels).
+    // Ref month_seq 1200..1211 -> 120..131.
+    "tpcds_q87" -> s"""
+      SELECT count(*) AS num
+      FROM ((SELECT DISTINCT c_last_name, c_first_name, d_date
+             FROM store_sales, date_dim, customer
+             WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+               AND store_sales.ss_customer_sk = customer.c_customer_sk
+               AND d_month_seq BETWEEN 120 AND 120 + 11)
+            EXCEPT
+            (SELECT DISTINCT c_last_name, c_first_name, d_date
+             FROM catalog_sales, date_dim, customer
+             WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+               AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+               AND d_month_seq BETWEEN 120 AND 120 + 11)
+            EXCEPT
+            (SELECT DISTINCT c_last_name, c_first_name, d_date
+             FROM web_sales, date_dim, customer
+             WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+               AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+               AND d_month_seq BETWEEN 120 AND 120 + 11)) cool_cust""",
+
+    // Q97: store/catalog customer-item overlap counts over a FULL OUTER
+    // join of the grouped channels. Ref month_seq 1200..1211 -> 120..131.
+    "tpcds_q97" -> s"""
+      WITH ssci AS
+        (SELECT ss_customer_sk customer_sk, ss_item_sk item_sk
+         FROM store_sales, date_dim
+         WHERE ss_sold_date_sk = d_date_sk
+           AND d_month_seq BETWEEN 120 AND 120 + 11
+         GROUP BY ss_customer_sk, ss_item_sk),
+      csci AS
+        (SELECT cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+         FROM catalog_sales, date_dim
+         WHERE cs_sold_date_sk = d_date_sk
+           AND d_month_seq BETWEEN 120 AND 120 + 11
+         GROUP BY cs_bill_customer_sk, cs_item_sk)
+      SELECT sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                       AND csci.customer_sk IS NULL THEN 1 ELSE 0 END)
+               store_only,
+             sum(CASE WHEN ssci.customer_sk IS NULL
+                       AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+               catalog_only,
+             sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                       AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+               store_and_catalog
+      FROM ssci
+      FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
+                               AND ssci.item_sk = csci.item_sk)
+      LIMIT 100""")
 
   /** Sessions (keyed weakly) whose star schema is already materialized,
     * with the fixture dir it was built from. */
