@@ -34,6 +34,7 @@ object SparkEntry {
       graft.sources.DeltaQueries.queries ++
       graft.sources.IcebergQueries.queries ++
       graft.sources.Introspection.queries ++
+      graft.sources.ParquetMeta.queries ++
       graft.sources.TpchGen.queries ++
       graft.operators.Skew.queries ++
       graft.operators.Skew.bucketedQueries ++
@@ -61,6 +62,7 @@ object SparkEntry {
       graft.sources.DeltaQueries.oracles ++
       graft.sources.IcebergQueries.oracles ++
       graft.sources.Introspection.oracles ++
+      graft.sources.ParquetMeta.oracles ++
       graft.sources.TpchGen.oracles ++
       graft.operators.Skew.oracles ++
       graft.functions.Aggregators.oracles ++

@@ -514,6 +514,7 @@ object GlareCompat {
 
     tf("list_tables") { _ =>
       val rows = spark.sessionState.catalog.listTables("default")
+        .filterNot(_.table.startsWith("graft_path_")) // internal scan views
         .map(t => Seq(t.table, "temp"))
       localRel(Seq("table_name" -> StringType,
         "database_name" -> StringType), rows)
@@ -521,7 +522,8 @@ object GlareCompat {
 
     tf("list_views") { _ =>
       val cat = spark.sessionState.catalog
-      val temp = cat.getTempViewNames().map(n => Seq(n))
+      val temp = cat.getTempViewNames()
+        .filterNot(_.startsWith("graft_path_")).map(n => Seq(n))
       localRel(Seq("view_name" -> StringType), temp)
     }
 

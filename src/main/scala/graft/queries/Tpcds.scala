@@ -1940,7 +1940,8 @@ object Tpcds {
          WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
            AND d_year IN (1998, 1998 + 1, 1998 + 2, 1998 + 3)
          GROUP BY itemdesc, i_item_sk, d_date
-         HAVING count(*) > 4),
+         -- ref count > 4: fixture item-days hold 1-2 sales, not dbgen's 5+
+         HAVING count(*) > 1),
       max_store_sales AS
         (SELECT max(csales) tpcds_cmax
          FROM
@@ -2603,7 +2604,8 @@ object Tpcds {
            AND store.s_county = 'Williamson County'
          GROUP BY ss_ticket_number, ss_customer_sk) dn, customer
       WHERE ss_customer_sk = c_customer_sk
-        AND cnt BETWEEN 15 AND 20
+        -- ref 15..20: fixture tickets have 1..7 lines with per-line customers
+        AND cnt BETWEEN 1 AND 20
       ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
                c_salutation NULLS FIRST,
                c_preferred_cust_flag DESC NULLS FIRST,
