@@ -50,6 +50,14 @@ object SltRunner {
       // GlareDB displays session-zone timestamps with a UTC suffix and no
       // trailing .0 (session TZ is UTC here)
       ts.toString.stripSuffix(".0") + " UTC"
+    case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+      pgInterval(ci.months, ci.days, ci.microseconds)
+    case d: java.time.Duration =>
+      val days = d.getSeconds / 86400
+      val rem = (d.getSeconds % 86400) * 1000000L + d.getNano / 1000
+      pgInterval(0, days.toInt, rem)
+    case p: java.time.Period =>
+      pgInterval(p.toTotalMonths.toInt, 0, 0)
     case ldt: java.time.LocalDateTime =>
       // naive (NTZ) timestamps display the same way, with the fraction in
       // unit-width groups (ms -> 3 digits, µs -> 6, ns -> 9)
@@ -64,6 +72,27 @@ object SltRunner {
     case seq: scala.collection.Seq[_] =>
       seq.map(x => fmt(if (x == null) null else x)).mkString("[", ", ", "]")
     case x => x.toString
+  }
+
+  /** Postgres/GlareDB interval display: `200 years 4 mons 08:02:01`,
+    * `1 mon`, `3 days`, `00:00:01`, `01:00:05.289`. */
+  private def pgInterval(months: Int, days: Int, micros: Long): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val (years, mons) = (months / 12, months % 12)
+    def unit(n: Int, u: String) =
+      s"$n $u" + (if (math.abs(n) != 1) "s" else "")
+    if (years != 0) parts += unit(years, "year")
+    if (mons != 0) parts += unit(mons, "mon")
+    if (days != 0) parts += unit(days, "day")
+    if (micros != 0 || parts.isEmpty) {
+      val totSec = micros / 1000000
+      val frac = (micros % 1000000).toInt
+      val t = f"${totSec / 3600}%02d:${totSec % 3600 / 60}%02d:${totSec % 60}%02d"
+      parts +=
+        (if (frac == 0) t
+         else t + ("." + f"$frac%06d").replaceAll("0+$", ""))
+    }
+    parts.mkString(" ")
   }
 
   private def cellsEqual(got: String, exp: String): Boolean = {
@@ -103,6 +132,42 @@ object SltRunner {
         Option(c).getOrElse("").trim.split("\\s+").toSeq)).filter(_.nonEmpty)
     val (g, e) = (toks(got), toks(exp))
     g.length == e.length && g.zip(e).forall { case (a, b) => cellsEqual(a, b) }
+  }
+
+  /** Interval sugar the reference accepts but Spark does not: bare-number
+    * seconds (`'1'::interval`), century/decade units, `mins`/`secs`
+    * abbreviations, and column-referencing `interval v day` (rewritten to
+    * make_dt_interval / make_ym_interval). */
+  private[slt] def rewriteIntervals(sql0: String): String = {
+    val Q = java.util.regex.Matcher.quoteReplacement _
+    def fixBody(b: String): String = {
+      var s = b
+      s = raw"(?i)(\d+)\s*centur(?:y|ies)".r
+        .replaceAllIn(s, m => s"${m.group(1).toInt * 100} years")
+      s = raw"(?i)(\d+)\s*decades?\b".r
+        .replaceAllIn(s, m => s"${m.group(1).toInt * 10} years")
+      s = raw"(?i)\bmins?\b".r.replaceAllIn(s, "minutes")
+      s = raw"(?i)\bsecs?\b".r.replaceAllIn(s, "seconds")
+      if (s.trim.matches("[+-]?\\d+(\\.\\d+)?")) s = s.trim + " seconds"
+      s
+    }
+    var sql = raw"(?i)CAST\s*\(\s*'([^']*)'\s*AS\s+INTERVAL\s*\)".r
+      .replaceAllIn(sql0, m => Q(s"INTERVAL '${fixBody(m.group(1))}'"))
+    sql = raw"(?i)\bINTERVAL\s+'([^']*)'".r
+      .replaceAllIn(sql, m => Q(s"INTERVAL '${fixBody(m.group(1))}'"))
+    sql = raw"(?i)\bINTERVAL\s+([A-Za-z_]\w*)\s+(year|month|day|hour|minute|second)s?\b".r
+      .replaceAllIn(sql, m => {
+        val (v, u) = (m.group(1), m.group(2).toLowerCase)
+        Q(u match {
+          case "year"   => s"make_ym_interval($v)"
+          case "month"  => s"make_ym_interval(0, $v)"
+          case "day"    => s"make_dt_interval($v)"
+          case "hour"   => s"make_dt_interval(0, $v)"
+          case "minute" => s"make_dt_interval(0, 0, $v)"
+          case "second" => s"make_dt_interval(0, 0, 0, $v)"
+        })
+      })
+    sql
   }
 
   /** GlareDB (like Postgres) defaults to NULLS LAST for ASC sorts and
@@ -688,6 +753,10 @@ object SltRunner {
     spark.conf.set("spark.sql.caseSensitive", "false")
     // reference INSERT coerces values to column types (insert/insert_cast)
     spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    // one interval type holding months+days+time, like the reference's
+    // Interval (cast/interval.slt mixes centuries with seconds); also
+    // allows interval * int arithmetic
+    spark.conf.set("spark.sql.legacy.interval.enabled", "true")
     var i = 0
     var ok = 0; var failed = 0; var relaxed = 0
     val failures = mutable.ListBuffer.empty[String]
@@ -759,6 +828,8 @@ object SltRunner {
       }
       sql = Dialect.rewrite(sql,
         chaining = !sessionVars.get("enable_function_chaining").contains("false"))
+      if ("(?i)\\binterval\\b".r.findFirstIn(sql).isDefined)
+        sql = rewriteIntervals(sql)
       if ("(?i)\\bORDER\\s+BY\\b".r.findFirstIn(sql).isDefined)
         sql = fixNullOrdering(sql)
       if (sql.toUpperCase.contains("EXCLUDE") || sql.toUpperCase.contains("REPLACE"))
