@@ -1890,7 +1890,7 @@ object Tpcds {
               AND d_year BETWEEN 1999 AND 1999 + 2) sq2)
       SELECT channel, i_brand_id, i_class_id, i_category_id,
              ${sql.sumd("CAST(sales AS DECIMAL(24,4))")} AS sum_sales,
-             SUM(number_sales) AS sum_number_sales
+             CAST(SUM(number_sales) AS BIGINT) AS sum_number_sales
       FROM
         (SELECT 'store' channel, i_brand_id, i_class_id, i_category_id,
                 ${sql.sumd(s"ss_quantity * ${dmoney("ss_list_price")}")} sales,
@@ -2128,7 +2128,7 @@ object Tpcds {
       WITH ws AS
         (SELECT d_year AS ws_sold_year, ws_item_sk,
                 ws_bill_customer_sk ws_customer_sk,
-                sum(ws_quantity) ws_qty,
+                CAST(sum(ws_quantity) AS BIGINT) ws_qty,
                 ${sumd(dmoney("ws_wholesale_cost"))} ws_wc,
                 ${sumd(dmoney("ws_sales_price"))} ws_sp
          FROM web_sales
@@ -2140,7 +2140,7 @@ object Tpcds {
       cs AS
         (SELECT d_year AS cs_sold_year, cs_item_sk,
                 cs_bill_customer_sk cs_customer_sk,
-                sum(cs_quantity) cs_qty,
+                CAST(sum(cs_quantity) AS BIGINT) cs_qty,
                 ${sumd(dmoney("cs_wholesale_cost"))} cs_wc,
                 ${sumd(dmoney("cs_sales_price"))} cs_sp
          FROM catalog_sales
@@ -2151,7 +2151,7 @@ object Tpcds {
          GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
       ss AS
         (SELECT d_year AS ss_sold_year, ss_item_sk, ss_customer_sk,
-                sum(ss_quantity) ss_qty,
+                CAST(sum(ss_quantity) AS BIGINT) ss_qty,
                 ${sumd(dmoney("ss_wholesale_cost"))} ss_wc,
                 ${sumd(dmoney("ss_sales_price"))} ss_sp
          FROM store_sales
@@ -2520,9 +2520,9 @@ object Tpcds {
     // (3 date roles). Ref month 9/1999 unchanged.
     "tpcds_q29" -> s"""
       SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
-             sum(ss_quantity) AS store_sales_quantity,
-             sum(sr_return_quantity) AS store_returns_quantity,
-             sum(cs_quantity) AS catalog_sales_quantity
+             CAST(sum(ss_quantity) AS BIGINT) AS store_sales_quantity,
+             CAST(sum(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+             CAST(sum(cs_quantity) AS BIGINT) AS catalog_sales_quantity
       FROM store_sales, store_returns, catalog_sales,
            date_dim d1, date_dim d2, date_dim d3, store, item
       WHERE d1.d_moy = 9
@@ -2849,14 +2849,14 @@ object Tpcds {
          WHERE cs_sold_date_sk = d_date_sk
            AND d_month_seq BETWEEN 120 AND 120 + 11
          GROUP BY cs_bill_customer_sk, cs_item_sk)
-      SELECT sum(CASE WHEN ssci.customer_sk IS NOT NULL
-                       AND csci.customer_sk IS NULL THEN 1 ELSE 0 END)
+      SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                       AND csci.customer_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                store_only,
-             sum(CASE WHEN ssci.customer_sk IS NULL
-                       AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN ssci.customer_sk IS NULL
+                       AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                catalog_only,
-             sum(CASE WHEN ssci.customer_sk IS NOT NULL
-                       AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                       AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                store_and_catalog
       FROM ssci
       FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
