@@ -46,6 +46,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // local iteration aid: bench only a comma-separated subset of queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = only.fold(headline)(f => headline.filter(f))
     val spark = Engine
       .configure(SparkSession.builder().master(s"local[${Engine.defaultCpus}]"))
       .getOrCreate()
@@ -70,7 +74,7 @@ object Bench {
     }
 
     val nRuns = 5
-    val results = headline.map { name =>
+    val results = selected.map { name =>
       try {
         val s = spark.newSession()
         runOnce(s, name) // warmup (JIT + file listing + codegen)

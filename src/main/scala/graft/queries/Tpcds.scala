@@ -229,6 +229,13 @@ object Tpcds {
              CAST(p_partkey % 5 + 1 AS INT) AS i_manufact_id,
              'Manufacturer#' || CAST(p_partkey % 5 + 1 AS STRING) AS i_manufact,
              CAST(p_partkey % 20 + 1 AS INT) AS i_manager_id,
+             CASE CAST(p_partkey % 7 AS INT) WHEN 0 THEN 'small'
+               WHEN 1 THEN 'medium' WHEN 2 THEN 'large'
+               WHEN 3 THEN 'extra large' WHEN 4 THEN 'economy'
+               WHEN 5 THEN 'N/A' ELSE 'petite' END AS i_size,
+             CASE CAST(p_partkey % 6 AS INT) WHEN 0 THEN 'Ounce'
+               WHEN 1 THEN 'Oz' WHEN 2 THEN 'Bunch' WHEN 3 THEN 'Ton'
+               WHEN 4 THEN 'N/A' ELSE 'Dozen' END AS i_units,
              CASE CAST(p_partkey % 12 AS INT) WHEN 0 THEN 'slate'
                WHEN 1 THEN 'blanched' WHEN 2 THEN 'burnished'
                WHEN 3 THEN 'azure' WHEN 4 THEN 'chartreuse'
@@ -254,6 +261,74 @@ object Tpcds {
       SELECT CAST(rn + 1 AS INT) AS ib_income_band_sk,
              CAST(rn * 10000 AS INT) AS ib_lower_bound,
              CAST((rn + 1) * 10000 AS INT) AS ib_upper_bound
+      FROM dd_seq WHERE rn < 20)""",
+
+
+    "warehouse" -> """warehouse AS (
+      SELECT CAST(r_regionkey + 1 AS INT) AS w_warehouse_sk,
+             'WH_' || LPAD(CAST(r_regionkey + 1 AS STRING), 4, '0')
+               AS w_warehouse_id,
+             'Warehouse_' || CAST(r_regionkey + 1 AS STRING)
+               AS w_warehouse_name,
+             CAST((r_regionkey * 170017) % 900000 + 100000 AS INT)
+               AS w_warehouse_sq_ft,
+             CASE CAST(r_regionkey % 5 AS INT) WHEN 0 THEN 'Centerville'
+               WHEN 1 THEN 'Fairview' WHEN 2 THEN 'Oak Grove'
+               WHEN 3 THEN 'Riverside' ELSE 'Salem' END AS w_city,
+             CASE CAST(r_regionkey % 4 AS INT) WHEN 0 THEN 'Williamson County'
+               WHEN 1 THEN 'Walker County' WHEN 2 THEN 'Ziebach County'
+               ELSE 'Luce County' END AS w_county,
+             CASE CAST(r_regionkey % 5 AS INT) WHEN 0 THEN 'TN'
+               WHEN 1 THEN 'CA' WHEN 2 THEN 'NY' WHEN 3 THEN 'TX'
+               ELSE 'WA' END AS w_state,
+             'United States' AS w_country,
+             CAST(-5 AS DOUBLE) AS w_gmt_offset
+      FROM region)""",
+
+    "ship_mode" -> """ship_mode AS (
+      SELECT CAST(rn + 1 AS INT) AS sm_ship_mode_sk,
+             'SM_' || LPAD(CAST(rn + 1 AS STRING), 4, '0') AS sm_ship_mode_id,
+             CASE CAST(rn % 5 AS INT) WHEN 0 THEN 'EXPRESS'
+               WHEN 1 THEN 'NEXT DAY' WHEN 2 THEN 'OVERNIGHT'
+               WHEN 3 THEN 'REGULAR' ELSE 'TWO DAY' END AS sm_type,
+             CASE CAST(rn % 4 AS INT) WHEN 0 THEN 'AIR' WHEN 1 THEN 'SURFACE'
+               WHEN 2 THEN 'SEA' ELSE 'RAIL' END AS sm_code,
+             CASE CAST(rn % 5 AS INT) WHEN 0 THEN 'DHL' WHEN 1 THEN 'BARIAN'
+               WHEN 2 THEN 'UPS' WHEN 3 THEN 'FEDEX' ELSE 'USPS' END
+               AS sm_carrier,
+             'CONTRACT_' || CAST(rn AS STRING) AS sm_contract
+      FROM dd_seq WHERE rn < 20)""",
+
+    "call_center" -> """call_center AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS cc_call_center_sk,
+             'CC_' || LPAD(CAST(n_nationkey + 1 AS STRING), 4, '0')
+               AS cc_call_center_id,
+             'call_center_' || CAST(n_nationkey % 3 + 1 AS STRING) AS cc_name,
+             'Manager_' || CAST(n_nationkey % 4 + 1 AS STRING) AS cc_manager,
+             CASE CAST(n_nationkey % 4 AS INT) WHEN 0 THEN 'Williamson County'
+               WHEN 1 THEN 'Walker County' WHEN 2 THEN 'Ziebach County'
+               ELSE 'Luce County' END AS cc_county
+      FROM nation WHERE n_nationkey < 6)""",
+
+    "web_site" -> """web_site AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS web_site_sk,
+             'WEB_' || LPAD(CAST(n_nationkey + 1 AS STRING), 4, '0')
+               AS web_site_id,
+             'site_' || CAST(n_nationkey AS STRING) AS web_name,
+             CASE WHEN n_nationkey % 2 = 0 THEN 'pri' ELSE 'able' END
+               AS web_company_name
+      FROM nation WHERE n_nationkey < 4)""",
+
+    "web_page" -> """web_page AS (
+      SELECT CAST(rn + 1 AS INT) AS wp_web_page_sk,
+             'WP_' || LPAD(CAST(rn + 1 AS STRING), 4, '0') AS wp_web_page_id,
+             CAST((rn * 523) % 7000 + 100 AS INT) AS wp_char_count
+      FROM dd_seq WHERE rn < 20)""",
+
+    "catalog_page" -> """catalog_page AS (
+      SELECT CAST(rn + 1 AS INT) AS cp_catalog_page_sk,
+             'CP_' || LPAD(CAST(rn + 1 AS STRING), 4, '0')
+               AS cp_catalog_page_id
       FROM dd_seq WHERE rn < 20)""",
 
     "store" -> """store AS (
@@ -290,6 +365,21 @@ object Tpcds {
              CAST(n_nationkey % 10 AS DOUBLE) / 100 AS s_tax_precentage
       FROM nation WHERE n_nationkey < 12)""",
 
+
+    // weekly (Sunday) inventory snapshots per item x warehouse; quantity is
+    // a deterministic hash with enough spread for the q39 cov cut. NOT
+    // eagerly cached (36M rows at sf0.1) - derived per query, pruned by the
+    // query's own date filters.
+    "inventory" -> """inventory AS (
+      SELECT d.d_date_sk AS inv_date_sk,
+             i.i_item_sk AS inv_item_sk,
+             w.w_warehouse_sk AS inv_warehouse_sk,
+             CAST((CAST(d.d_date_sk AS BIGINT) * 83 + i.i_item_sk * 257
+                   + w.w_warehouse_sk * 389) % 1000 AS INT)
+               AS inv_quantity_on_hand
+      FROM date_dim d CROSS JOIN item i CROSS JOIN warehouse w
+      WHERE d.d_dow = 0)""",
+
     // one store_sales row per lineitem; all surrogate keys and money values
     // derive from (l_orderkey, l_linenumber, l_partkey, l_suppkey) by
     // multiplicative hashing — deterministic, dialect-common, no NULLs.
@@ -303,8 +393,9 @@ object Tpcds {
                AS ss_cdemo_sk,
              CAST((l_orderkey * 17 + l_linenumber * 3) % 20 + 1 AS INT)
                AS ss_hdemo_sk,
-             CAST((l_orderkey * 6271 + l_linenumber * 9973 + 7) % c_cnt + 1
-               AS INT) AS ss_addr_sk,
+             CASE WHEN (l_orderkey * 7 + l_linenumber) % 97 = 0 THEN NULL
+                  ELSE CAST((l_orderkey * 6271 + l_linenumber * 9973 + 7)
+                    % c_cnt + 1 AS INT) END AS ss_addr_sk,
              CASE WHEN (l_orderkey * 5 + l_linenumber) % 97 = 0 THEN NULL
                   ELSE CAST(l_suppkey % 12 + 1 AS INT) END AS ss_store_sk,
              CAST((l_orderkey * 7 + l_linenumber * 11) % 1440 AS INT)
@@ -396,7 +487,20 @@ object Tpcds {
                AS cs_sold_time_sk,
              CAST(l_partkey AS INT) AS cs_item_sk,
              CAST((l_orderkey + l_linenumber) % 5 + 1 AS INT) AS cs_promo_sk,
-             l_orderkey * 10 + l_linenumber AS cs_order_number,
+             CAST((l_orderkey * 281 + l_linenumber * 283) % 6 + 1 AS INT)
+               AS cs_call_center_sk,
+             CAST((l_orderkey * 293 + l_linenumber * 307) % 5 + 1 AS INT)
+               AS cs_warehouse_sk,
+             CAST((l_orderkey * 311 + l_linenumber * 313) % 20 + 1 AS INT)
+               AS cs_ship_mode_sk,
+             CAST((l_orderkey * 317 + l_linenumber * 331) % 20 + 1 AS INT)
+               AS cs_catalog_page_sk,
+             CAST((l_orderkey * 337 + l_linenumber * 347 + l_partkey * 53)
+               % 40000 AS DOUBLE) / 100 AS cs_ext_ship_cost,
+             -- order-level id shared by all lines of an order (matches
+             -- ss_ticket_number; the q16/q94 EXISTS probes need order
+             -- groups with multiple lines/warehouses)
+             l_orderkey AS cs_order_number,
              CAST(l_quantity AS INT) AS cs_quantity,
              CAST((l_orderkey * 173 + l_linenumber * 31 + l_partkey * 7)
                % 10000 + 100 AS DOUBLE) / 100 AS cs_wholesale_cost,
@@ -435,8 +539,24 @@ object Tpcds {
                AS ws_sold_time_sk,
              CAST((l_orderkey * 229 + l_linenumber * 104729) % c_cnt + 1
                AS INT) AS ws_bill_addr_sk,
-             l_orderkey * 10 + l_linenumber AS ws_order_number,
+             l_orderkey AS ws_order_number,
              CAST((l_orderkey + l_linenumber) % 5 + 1 AS INT) AS ws_promo_sk,
+             CAST(d.d_date_sk + CAST((l_orderkey * 3 + l_partkey) % 30 + 2
+               AS INT) AS INT) AS ws_ship_date_sk,
+             CAST((l_orderkey * 349 + l_linenumber * 353) % 5 + 1 AS INT)
+               AS ws_warehouse_sk,
+             CAST((l_orderkey * 359 + l_linenumber * 367) % 20 + 1 AS INT)
+               AS ws_ship_mode_sk,
+             CAST((l_orderkey * 373 + l_linenumber * 379) % 4 + 1 AS INT)
+               AS ws_web_site_sk,
+             CAST((l_orderkey * 383 + l_linenumber * 397) % 20 + 1 AS INT)
+               AS ws_web_page_sk,
+             CAST((l_orderkey * 401 + l_linenumber * 104729) % c_cnt + 1
+               AS INT) AS ws_ship_addr_sk,
+             CAST((l_orderkey * 409 + l_linenumber * 419) % 20 + 1 AS INT)
+               AS ws_ship_hdemo_sk,
+             CAST((l_orderkey * 421 + l_linenumber * 431 + l_partkey * 59)
+               % 40000 AS DOUBLE) / 100 AS ws_ext_ship_cost,
              CAST(l_quantity AS INT) AS ws_quantity,
              CAST((l_orderkey * 263 + l_linenumber * 31 + l_partkey * 7)
                % 10000 + 100 AS DOUBLE) / 100 AS ws_wholesale_cost,
@@ -476,6 +596,8 @@ object Tpcds {
              cs_ship_addr_sk AS cr_returning_addr_sk,
              CAST((cs_order_number * 3 + cs_item_sk) % 6 + 1 AS INT)
                AS cr_call_center_sk,
+             CAST((cs_order_number * 443 + cs_item_sk * 71) % 20 + 1 AS INT)
+               AS cr_catalog_page_sk,
              CAST((cs_order_number * 11 + cs_item_sk * 3) % 10 + 1 AS INT)
                AS cr_reason_sk,
              cs_order_number AS cr_order_number,
@@ -517,6 +639,10 @@ object Tpcds {
              ws_bill_addr_sk AS wr_returning_addr_sk,
              CAST((ws_order_number * 3 + ws_item_sk) % 20 + 1 AS INT)
                AS wr_web_page_sk,
+             CAST((ws_order_number * 433 + ws_item_sk * 61) % 70 + 1 AS INT)
+               AS wr_refunded_cdemo_sk,
+             CAST((ws_order_number * 439 + ws_item_sk * 67) % 70 + 1 AS INT)
+               AS wr_returning_cdemo_sk,
              CAST((ws_order_number * 11 + ws_item_sk * 3) % 10 + 1 AS INT)
                AS wr_reason_sk,
              ws_order_number AS wr_order_number,
@@ -2861,6 +2987,424 @@ object Tpcds {
       FROM ssci
       FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
                                AND ssci.item_sk = csci.item_sk)
+      LIMIT 100""",
+
+    // Q21: inventory before/after a cutoff date per warehouse/item. Ref
+    // price band 0.99..1.49 -> 0.99..4.99 (fixture price grid is ~0.37
+    // apart); ratio compared in DOUBLE on both engines (decimal division
+    // scale differs between Spark and DuckDB).
+    "tpcds_q21" -> s"""
+      SELECT * FROM
+        (SELECT w_warehouse_name AS w_warehouse_name, i_item_id AS i_item_id,
+                CAST(sum(CASE WHEN CAST(d_date AS DATE)
+                                   < CAST('2000-03-11' AS DATE)
+                          THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT)
+                  AS inv_before,
+                CAST(sum(CASE WHEN CAST(d_date AS DATE)
+                                   >= CAST('2000-03-11' AS DATE)
+                          THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT)
+                  AS inv_after
+         FROM inventory, warehouse, item, date_dim
+         WHERE i_current_price BETWEEN 0.99 AND 4.99
+           AND i_item_sk = inv_item_sk
+           AND inv_warehouse_sk = w_warehouse_sk
+           AND inv_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-02-10' AS DATE)
+                          AND CAST('2000-04-10' AS DATE)
+         GROUP BY w_warehouse_name, i_item_id) x
+      WHERE (CASE WHEN inv_before > 0
+                  THEN CAST(inv_after AS DOUBLE) / inv_before
+                  ELSE NULL END)
+            BETWEEN CAST(2 AS DOUBLE) / 3 AND CAST(3 AS DOUBLE) / 2
+      ORDER BY w_warehouse_name NULLS FIRST, i_item_id NULLS FIRST
+      LIMIT 100""",
+
+    // Q22: average quantity-on-hand ROLLUP over the item hierarchy.
+    // Ref month_seq 1200..1211 -> 120..131 (fixture epoch).
+    "tpcds_q22" -> s"""
+      SELECT i_product_name AS i_product_name, i_brand AS i_brand,
+             i_class AS i_class, i_category AS i_category,
+             avg(inv_quantity_on_hand) AS qoh
+      FROM inventory, date_dim, item
+      WHERE inv_date_sk = d_date_sk
+        AND inv_item_sk = i_item_sk
+        AND d_month_seq BETWEEN 120 AND 120 + 11
+      GROUP BY ROLLUP(i_product_name, i_brand, i_class, i_category)
+      ORDER BY qoh NULLS FIRST, i_product_name NULLS FIRST,
+               i_brand NULLS FIRST, i_class NULLS FIRST,
+               i_category NULLS FIRST
+      LIMIT 100""",
+
+    // Q37: catalog items in stock within a price/manufacturer cut. Ref
+    // manufact ids (677,940,694,808) -> (1,3) (fixture ids are 1..5).
+    "tpcds_q37" -> s"""
+      SELECT i_item_id AS i_item_id, i_item_desc AS i_item_desc,
+             i_current_price AS i_current_price
+      FROM item, inventory, date_dim, catalog_sales
+      WHERE i_current_price BETWEEN 68 AND 68 + 30
+        AND inv_item_sk = i_item_sk
+        AND d_date_sk = inv_date_sk
+        AND d_date BETWEEN CAST('2000-02-01' AS DATE)
+                       AND CAST('2000-04-01' AS DATE)
+        AND i_manufact_id IN (1, 3)
+        AND inv_quantity_on_hand BETWEEN 100 AND 500
+        AND cs_item_sk = i_item_sk
+      GROUP BY i_item_id, i_item_desc, i_current_price
+      ORDER BY i_item_id
+      LIMIT 100""",
+
+    // Q39: inventory coefficient-of-variation month-over-month self-join.
+    // Ref cov cut 1 -> 0.5 (fixture quantities are uniform; the asymptotic
+    // cov is ~0.58, so >1 selects only degenerate small-sample groups).
+    "tpcds_q39" -> s"""
+      WITH inv AS
+        (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+                stdev, mean,
+                CASE mean WHEN 0 THEN NULL ELSE stdev / mean END cov
+         FROM
+           (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+                   stddev_samp(inv_quantity_on_hand) stdev,
+                   avg(inv_quantity_on_hand) mean
+            FROM inventory, item, warehouse, date_dim
+            WHERE inv_item_sk = i_item_sk
+              AND inv_warehouse_sk = w_warehouse_sk
+              AND inv_date_sk = d_date_sk
+              AND d_year = 2001
+            GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+         WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 0.5)
+      SELECT inv1.w_warehouse_sk wsk1, inv1.i_item_sk isk1,
+             inv1.d_moy dmoy1, inv1.mean mean1, inv1.cov cov1,
+             inv2.w_warehouse_sk AS wsk2, inv2.i_item_sk AS isk2,
+             inv2.d_moy AS dmoy2, inv2.mean AS mean2, inv2.cov AS cov2
+      FROM inv inv1, inv inv2
+      WHERE inv1.i_item_sk = inv2.i_item_sk
+        AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+        AND inv1.d_moy = 1
+        AND inv2.d_moy = 1 + 1
+      ORDER BY inv1.w_warehouse_sk NULLS FIRST, inv1.i_item_sk NULLS FIRST,
+               inv1.d_moy NULLS FIRST, inv1.mean NULLS FIRST,
+               inv1.cov NULLS FIRST, inv2.d_moy NULLS FIRST,
+               inv2.mean NULLS FIRST, inv2.cov NULLS FIRST""",
+
+    // Q40: catalog net sales before/after a cutoff, returns subtracted,
+    // per warehouse state. Ref price band 0.99..1.49 -> 0.99..4.99.
+    "tpcds_q40" -> s"""
+      SELECT w_state AS w_state, i_item_id AS i_item_id,
+             ${sumd(dmoney("""CASE WHEN CAST(d_date AS DATE)
+                                        < CAST('2000-03-11' AS DATE)
+                              THEN cs_sales_price
+                                   - coalesce(cr_refunded_cash, 0)
+                              ELSE 0 END"""))} AS sales_before,
+             ${sumd(dmoney("""CASE WHEN CAST(d_date AS DATE)
+                                        >= CAST('2000-03-11' AS DATE)
+                              THEN cs_sales_price
+                                   - coalesce(cr_refunded_cash, 0)
+                              ELSE 0 END"""))} AS sales_after
+      FROM catalog_sales
+      LEFT OUTER JOIN catalog_returns ON (cs_order_number = cr_order_number
+                                          AND cs_item_sk = cr_item_sk),
+           warehouse, item, date_dim
+      WHERE i_current_price BETWEEN 0.99 AND 4.99
+        AND i_item_sk = cs_item_sk
+        AND cs_warehouse_sk = w_warehouse_sk
+        AND cs_sold_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('2000-02-10' AS DATE)
+                       AND CAST('2000-04-10' AS DATE)
+      GROUP BY w_state, i_item_id
+      ORDER BY w_state, i_item_id
+      LIMIT 100""",
+
+    // Q82: store items in stock within a price/manufacturer cut (the
+    // store-channel twin of Q37). Ref manufact ids -> (2, 4).
+    "tpcds_q82" -> s"""
+      SELECT i_item_id AS i_item_id, i_item_desc AS i_item_desc,
+             i_current_price AS i_current_price
+      FROM item, inventory, date_dim, store_sales
+      WHERE i_current_price BETWEEN 62 AND 62 + 30
+        AND inv_item_sk = i_item_sk
+        AND d_date_sk = inv_date_sk
+        AND d_date BETWEEN CAST('2000-05-25' AS DATE)
+                       AND CAST('2000-07-24' AS DATE)
+        AND i_manufact_id IN (2, 4)
+        AND inv_quantity_on_hand BETWEEN 100 AND 500
+        AND ss_item_sk = i_item_sk
+      GROUP BY i_item_id, i_item_desc, i_current_price
+      ORDER BY i_item_id
+      LIMIT 100""",
+
+    // Q05: per-channel sales/returns/profit ROLLUP over a 14-day window.
+    // Money re-summed through the decimal policy at both levels.
+    "tpcds_q05" -> s"""
+      WITH ssr AS
+        (SELECT s_store_id,
+                ${sumd(dmoney("sales_price"))} AS sales,
+                ${sumd(dmoney("profit"))} AS profit,
+                ${sumd(dmoney("return_amt"))} AS returns_,
+                ${sumd(dmoney("net_loss"))} AS profit_loss
+         FROM
+           (SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+                   ss_ext_sales_price AS sales_price,
+                   ss_net_profit AS profit,
+                   CAST(0 AS DECIMAL(7,2)) AS return_amt,
+                   CAST(0 AS DECIMAL(7,2)) AS net_loss
+            FROM store_sales
+            UNION ALL
+            SELECT sr_store_sk, sr_returned_date_sk,
+                   CAST(0 AS DECIMAL(7,2)), CAST(0 AS DECIMAL(7,2)),
+                   sr_return_amt, sr_net_loss
+            FROM store_returns) salesreturns, date_dim, store
+         WHERE date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-08-23' AS DATE)
+                          AND CAST('2000-09-06' AS DATE)
+           AND store_sk = s_store_sk
+         GROUP BY s_store_id),
+      csr AS
+        (SELECT cp_catalog_page_id,
+                ${sumd(dmoney("sales_price"))} AS sales,
+                ${sumd(dmoney("profit"))} AS profit,
+                ${sumd(dmoney("return_amt"))} AS returns_,
+                ${sumd(dmoney("net_loss"))} AS profit_loss
+         FROM
+           (SELECT cs_catalog_page_sk AS page_sk, cs_sold_date_sk AS date_sk,
+                   cs_ext_sales_price AS sales_price,
+                   cs_net_profit AS profit,
+                   CAST(0 AS DECIMAL(7,2)) AS return_amt,
+                   CAST(0 AS DECIMAL(7,2)) AS net_loss
+            FROM catalog_sales
+            UNION ALL
+            SELECT cr_catalog_page_sk, cr_returned_date_sk,
+                   CAST(0 AS DECIMAL(7,2)), CAST(0 AS DECIMAL(7,2)),
+                   cr_return_amount, cr_net_loss
+            FROM catalog_returns) salesreturns, date_dim, catalog_page
+         WHERE date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-08-23' AS DATE)
+                          AND CAST('2000-09-06' AS DATE)
+           AND page_sk = cp_catalog_page_sk
+         GROUP BY cp_catalog_page_id),
+      wsr AS
+        (SELECT web_site_id,
+                ${sumd(dmoney("sales_price"))} AS sales,
+                ${sumd(dmoney("profit"))} AS profit,
+                ${sumd(dmoney("return_amt"))} AS returns_,
+                ${sumd(dmoney("net_loss"))} AS profit_loss
+         FROM
+           (SELECT ws_web_site_sk AS wsr_web_site_sk,
+                   ws_sold_date_sk AS date_sk,
+                   ws_ext_sales_price AS sales_price,
+                   ws_net_profit AS profit,
+                   CAST(0 AS DECIMAL(7,2)) AS return_amt,
+                   CAST(0 AS DECIMAL(7,2)) AS net_loss
+            FROM web_sales
+            UNION ALL
+            SELECT ws_web_site_sk, wr_returned_date_sk,
+                   CAST(0 AS DECIMAL(7,2)), CAST(0 AS DECIMAL(7,2)),
+                   wr_return_amt, wr_net_loss
+            FROM web_returns
+            LEFT OUTER JOIN web_sales ON (wr_item_sk = ws_item_sk
+              AND wr_order_number = ws_order_number)) salesreturns,
+           date_dim, web_site
+         WHERE date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-08-23' AS DATE)
+                          AND CAST('2000-09-06' AS DATE)
+           AND wsr_web_site_sk = web_site_sk
+         GROUP BY web_site_id)
+      SELECT channel AS channel, id AS id,
+             ${sumd(sql.dbig("sales"))} AS sales,
+             ${sumd(sql.dbig("returns_"))} AS returns_,
+             ${sumd(sql.dbig("profit"))} AS profit
+      FROM
+        (SELECT 'store channel' AS channel,
+                concat('store', s_store_id) AS id,
+                sales, returns_, (profit - profit_loss) AS profit
+         FROM ssr
+         UNION ALL
+         SELECT 'catalog channel', concat('catalog_page', cp_catalog_page_id),
+                sales, returns_, (profit - profit_loss)
+         FROM csr
+         UNION ALL
+         SELECT 'web channel', concat('web_site', web_site_id),
+                sales, returns_, (profit - profit_loss)
+         FROM wsr) x
+      GROUP BY ROLLUP(channel, id)
+      ORDER BY channel NULLS FIRST, id NULLS FIRST
+      LIMIT 100""",
+
+    // Q08: store profit for stores sharing a zip prefix with preferred
+    // customers in a zip shortlist. Ref 400-zip list -> 20 fixture-grid
+    // zips (10000 + 373*rn, rn multiple of 3 = the preferred rows);
+    // ref HAVING count(*) > 10 -> >= 1 (fixture zips are unique per
+    // address, so every zip count is exactly 1).
+    "tpcds_q08" -> s"""
+      SELECT s_store_name AS s_store_name,
+             ${sumd(dmoney("ss_net_profit"))} AS net_profit
+      FROM store_sales, date_dim, store,
+        (SELECT ca_zip FROM
+          ((SELECT SUBSTRING(ca_zip, 1, 5) ca_zip
+            FROM customer_address
+            WHERE SUBSTRING(ca_zip, 1, 5) IN ('10000', '11119', '12238', '13357', '14476', '15595', '16714', '17833', '18952', '20071', '21190', '22309', '23428', '24547', '25666', '26785', '27904', '29023', '30142', '31261'))
+           INTERSECT
+           (SELECT ca_zip FROM
+             (SELECT SUBSTRING(ca_zip, 1, 5) ca_zip, count(*) cnt
+              FROM customer_address, customer
+              WHERE ca_address_sk = c_current_addr_sk
+                AND c_preferred_cust_flag = 'Y'
+              GROUP BY ca_zip
+              HAVING count(*) >= 1) A1)) A2) V1
+      WHERE ss_store_sk = s_store_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND d_qoy = 2 AND d_year = 1998
+        AND SUBSTRING(s_zip, 1, 2) = SUBSTRING(V1.ca_zip, 1, 2)
+      GROUP BY s_store_name
+      ORDER BY s_store_name
+      LIMIT 100""",
+
+    // Q16: catalog orders shipped from multiple warehouses with no
+    // returns. Ref window 2002 -> 2001 (fixture calendar ends 2001);
+    // output aliased order_count (driver compares by column name).
+    "tpcds_q16" -> s"""
+      SELECT CAST(count(DISTINCT cs_order_number) AS BIGINT)
+               AS order_count,
+             ${sumd(dmoney("cs_ext_ship_cost"))} AS total_shipping_cost,
+             ${sumd(dmoney("cs_net_profit"))} AS total_net_profit
+      FROM catalog_sales cs1, date_dim, customer_address, call_center
+      WHERE d_date BETWEEN '2001-02-01' AND CAST('2001-04-02' AS DATE)
+        AND cs1.cs_ship_date_sk = d_date_sk
+        AND cs1.cs_ship_addr_sk = ca_address_sk
+        AND ca_state = 'GA'
+        AND cs1.cs_call_center_sk = cc_call_center_sk
+        AND cc_county = 'Williamson County'
+        AND EXISTS
+          (SELECT * FROM catalog_sales cs2
+           WHERE cs1.cs_order_number = cs2.cs_order_number
+             AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+        AND NOT EXISTS
+          (SELECT * FROM catalog_returns cr1
+           WHERE cs1.cs_order_number = cr1.cr_order_number)
+      ORDER BY order_count
+      LIMIT 100""",
+
+    // Q24: store-channel net paid per customer for one color, against a
+    // 5% threshold over all colors. Ref s_market_id 8 -> 3 (fixture ids
+    // 1..5); ref s_zip = ca_zip -> 2-char prefix match (the fixture zip
+    // grids for store and address only intersect on prefixes).
+    "tpcds_q24" -> s"""
+      WITH ssales AS
+        (SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+                i_color, i_current_price, i_manager_id, i_units, i_size,
+                ${sumd(dmoney("ss_net_paid"))} netpaid
+         FROM store_sales, store_returns, store, item, customer,
+              customer_address
+         WHERE ss_ticket_number = sr_ticket_number
+           AND ss_item_sk = sr_item_sk
+           AND ss_customer_sk = c_customer_sk
+           AND ss_item_sk = i_item_sk
+           AND ss_store_sk = s_store_sk
+           AND c_current_addr_sk = ca_address_sk
+           AND c_birth_country <> upper(ca_country)
+           AND SUBSTRING(s_zip, 1, 2) = SUBSTRING(ca_zip, 1, 2)
+           AND s_market_id = 3
+         GROUP BY c_last_name, c_first_name, s_store_name, ca_state,
+                  s_state, i_color, i_current_price, i_manager_id,
+                  i_units, i_size)
+      SELECT c_last_name AS c_last_name, c_first_name AS c_first_name,
+             s_store_name AS s_store_name,
+             ${sumd(sql.dbig("netpaid"))} AS paid
+      FROM ssales
+      WHERE i_color = 'peach'
+      GROUP BY c_last_name, c_first_name, s_store_name
+      HAVING ${sumd(sql.dbig("netpaid"))} >
+        (SELECT 0.05 * ${sumd(sql.dbig("netpaid"))} / COUNT(*) FROM ssales)
+      ORDER BY c_last_name, c_first_name, s_store_name""",
+
+    // Q41: manufacturers with items in specific color/unit/size combos
+    // (correlated count probe). Ref manufact band 738..778 -> 1..5 and
+    // the 16 color/unit/size literals remapped into the fixture
+    // vocabulary (12 colors, 6 units, 7 sizes).
+    "tpcds_q41" -> s"""
+      SELECT DISTINCT(i_product_name) AS i_product_name
+      FROM item i1
+      WHERE i_manufact_id BETWEEN 1 AND 5
+        AND (SELECT count(*) AS item_cnt
+             FROM item
+             WHERE (i_manufact = i1.i_manufact
+                AND ((i_category = 'Women'
+                      AND (i_color = 'slate' OR i_color = 'azure')
+                      AND (i_units = 'Ounce' OR i_units = 'Oz')
+                      AND (i_size = 'medium' OR i_size = 'extra large'))
+                  OR (i_category = 'Women'
+                      AND (i_color = 'blanched' OR i_color = 'chartreuse')
+                      AND (i_units = 'Bunch' OR i_units = 'Ton')
+                      AND (i_size = 'N/A' OR i_size = 'small'))
+                  OR (i_category = 'Men'
+                      AND (i_color = 'khaki' OR i_color = 'coral')
+                      AND (i_units = 'N/A' OR i_units = 'Dozen')
+                      AND (i_size = 'petite' OR i_size = 'petite'))
+                  OR (i_category = 'Men'
+                      AND (i_color = 'maroon' OR i_color = 'peach')
+                      AND (i_units = 'Ounce' OR i_units = 'Bunch')
+                      AND (i_size = 'medium' OR i_size = 'extra large'))))
+                OR (i_manufact = i1.i_manufact
+                AND ((i_category = 'Women'
+                      AND (i_color = 'burnished' OR i_color = 'tomato')
+                      AND (i_units = 'Ton' OR i_units = 'Oz')
+                      AND (i_size = 'medium' OR i_size = 'extra large'))
+                  OR (i_category = 'Women'
+                      AND (i_color = 'sienna' OR i_color = 'plum')
+                      AND (i_units = 'Dozen' OR i_units = 'Ounce')
+                      AND (i_size = 'N/A' OR i_size = 'small'))
+                  OR (i_category = 'Men'
+                      AND (i_color = 'coral' OR i_color = 'azure')
+                      AND (i_units = 'Oz' OR i_units = 'Bunch')
+                      AND (i_size = 'petite' OR i_size = 'petite'))
+                  OR (i_category = 'Men'
+                      AND (i_color = 'slate' OR i_color = 'khaki')
+                      AND (i_units = 'Ton' OR i_units = 'Dozen')
+                      AND (i_size = 'medium' OR i_size = 'extra large'))))
+             ) > 0
+      ORDER BY i_product_name
+      LIMIT 100""",
+
+    // Q44: best/worst performing items by average net profit at one
+    // store, ranked from both ends. The exact-decimal average keeps the
+    // rank keys order-independent across engines.
+    "tpcds_q44" -> s"""
+      SELECT asceding.rnk AS rnk,
+             i1.i_product_name AS best_performing,
+             i2.i_product_name AS worst_performing
+      FROM
+        (SELECT * FROM
+          (SELECT item_sk, rank() OVER (ORDER BY rank_col ASC) rnk
+           FROM
+             (SELECT ss_item_sk item_sk,
+                     ${avgd("ss_net_profit")} rank_col
+              FROM store_sales ss1
+              WHERE ss_store_sk = 4
+              GROUP BY ss_item_sk
+              HAVING ${avgd("ss_net_profit")} > 0.9 *
+                (SELECT ${avgd("ss_net_profit")} rank_col
+                 FROM store_sales
+                 WHERE ss_store_sk = 4 AND ss_addr_sk IS NULL
+                 GROUP BY ss_store_sk)) V1) V11
+         WHERE rnk < 11) asceding,
+        (SELECT * FROM
+          (SELECT item_sk, rank() OVER (ORDER BY rank_col DESC) rnk
+           FROM
+             (SELECT ss_item_sk item_sk,
+                     ${avgd("ss_net_profit")} rank_col
+              FROM store_sales ss1
+              WHERE ss_store_sk = 4
+              GROUP BY ss_item_sk
+              HAVING ${avgd("ss_net_profit")} > 0.9 *
+                (SELECT ${avgd("ss_net_profit")} rank_col
+                 FROM store_sales
+                 WHERE ss_store_sk = 4 AND ss_addr_sk IS NULL
+                 GROUP BY ss_store_sk)) V2) V21
+         WHERE rnk < 11) descending,
+        item i1, item i2
+      WHERE asceding.rnk = descending.rnk
+        AND i1.i_item_sk = asceding.item_sk
+        AND i2.i_item_sk = descending.item_sk
+      ORDER BY asceding.rnk, best_performing, worst_performing
       LIMIT 100""")
 
   /** Sessions (keyed weakly) whose star schema is already materialized,
@@ -2894,7 +3438,11 @@ object Tpcds {
         // repeatedly; the pure row-number sequences are cheaper to
         // recompute than to store. Re-issuing CACHE TABLE for an identical
         // view plan is a CacheManager no-op (keyed on the plan, not name).
-        if (!Set("dd_seq", "cust_seq")(name)) s.sql(s"CACHE TABLE $name")
+        // inventory stays uncached too: the weekly grid is 36M rows at
+        // sf0.1 and every query over it carries a selective date filter
+        // that prunes the derivation far below the cached full scan.
+        if (!Set("dd_seq", "cust_seq", "inventory")(name))
+          s.sql(s"CACHE TABLE $name")
       }
       if (dir.equals(starReady.get(s))) {
         // `customer` is the ONLY star-schema name that collides with a base
