@@ -520,6 +520,8 @@ object Tpcds {
                % 30000 AS DOUBLE) / 100 AS cs_coupon_amt,
              CAST((l_orderkey * 211 + l_linenumber * 107 + l_partkey * 41)
                % 1000000 + 100 AS DOUBLE) / 100 AS cs_net_paid,
+             CAST((l_orderkey * 449 + l_linenumber * 457 + l_partkey * 61)
+               % 1100000 + 100 AS DOUBLE) / 100 AS cs_net_paid_inc_tax,
              CAST((l_orderkey * 223 + l_linenumber * 131 + l_partkey * 47)
                % 60000 - 30000 AS DOUBLE) / 100 AS cs_net_profit
       FROM lineitem
@@ -641,8 +643,13 @@ object Tpcds {
                AS wr_web_page_sk,
              CAST((ws_order_number * 433 + ws_item_sk * 61) % 70 + 1 AS INT)
                AS wr_refunded_cdemo_sk,
-             CAST((ws_order_number * 439 + ws_item_sk * 67) % 70 + 1 AS INT)
-               AS wr_returning_cdemo_sk,
+             -- the returner is usually the refunded customer (q85 probes
+             -- matched demographic pairs); ~20% differ
+             CASE WHEN (ws_order_number * 439 + ws_item_sk * 67) % 5 = 0
+                  THEN CAST((ws_order_number * 439 + ws_item_sk * 67) % 70
+                    + 1 AS INT)
+                  ELSE CAST((ws_order_number * 433 + ws_item_sk * 61) % 70
+                    + 1 AS INT) END AS wr_returning_cdemo_sk,
              CAST((ws_order_number * 11 + ws_item_sk * 3) % 10 + 1 AS INT)
                AS wr_reason_sk,
              ws_order_number AS wr_order_number,
@@ -3405,6 +3412,1132 @@ object Tpcds {
         AND i1.i_item_sk = asceding.item_sk
         AND i2.i_item_sk = descending.item_sk
       ORDER BY asceding.rnk, best_performing, worst_performing
+      LIMIT 100""",
+
+    // Q49: worst return ratios per channel, double-ranked. Ref
+    // wr/cr/sr_return_amt > 10000 -> > 100 (fixture return amounts are
+    // 1..501); ref 2001-12 -> 2001-10 (fixture shipments end 2001-11-04);
+    // ratios computed in DOUBLE (Spark and DuckDB disagree on decimal
+    // division scales) from exact decimal sums.
+    "tpcds_q49" -> s"""
+      SELECT channel AS channel, item AS item,
+             return_ratio AS return_ratio, return_rank AS return_rank,
+             currency_rank AS currency_rank
+      FROM
+        (SELECT 'web' AS channel, web.item, web.return_ratio,
+                web.return_rank, web.currency_rank
+         FROM
+           (SELECT item, return_ratio, currency_ratio,
+                   rank() OVER (ORDER BY return_ratio) AS return_rank,
+                   rank() OVER (ORDER BY currency_ratio) AS currency_rank
+            FROM
+              (SELECT ws.ws_item_sk AS item,
+                      CAST(sum(coalesce(wr.wr_return_quantity, 0)) AS DOUBLE)
+                        / sum(coalesce(ws.ws_quantity, 0)) AS return_ratio,
+                      ${sumd(dmoney("coalesce(wr.wr_return_amt, 0)"))}
+                        / ${sumd(dmoney("coalesce(ws.ws_net_paid, 0)"))}
+                        AS currency_ratio
+               FROM web_sales ws
+               LEFT OUTER JOIN web_returns wr
+                 ON (ws.ws_order_number = wr.wr_order_number
+                     AND ws.ws_item_sk = wr.wr_item_sk), date_dim
+               WHERE wr.wr_return_amt > 100
+                 AND ws.ws_net_profit > 1
+                 AND ws.ws_net_paid > 0
+                 AND ws.ws_quantity > 0
+                 AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2001 AND d_moy = 10
+               GROUP BY ws.ws_item_sk) in_web) web
+         WHERE (web.return_rank <= 10 OR web.currency_rank <= 10)
+         UNION
+         SELECT 'catalog' AS channel, catalog.item, catalog.return_ratio,
+                catalog.return_rank, catalog.currency_rank
+         FROM
+           (SELECT item, return_ratio, currency_ratio,
+                   rank() OVER (ORDER BY return_ratio) AS return_rank,
+                   rank() OVER (ORDER BY currency_ratio) AS currency_rank
+            FROM
+              (SELECT cs.cs_item_sk AS item,
+                      CAST(sum(coalesce(cr.cr_return_quantity, 0)) AS DOUBLE)
+                        / sum(coalesce(cs.cs_quantity, 0)) AS return_ratio,
+                      ${sumd(dmoney("coalesce(cr.cr_return_amount, 0)"))}
+                        / ${sumd(dmoney("coalesce(cs.cs_net_paid, 0)"))}
+                        AS currency_ratio
+               FROM catalog_sales cs
+               LEFT OUTER JOIN catalog_returns cr
+                 ON (cs.cs_order_number = cr.cr_order_number
+                     AND cs.cs_item_sk = cr.cr_item_sk), date_dim
+               WHERE cr.cr_return_amount > 100
+                 AND cs.cs_net_profit > 1
+                 AND cs.cs_net_paid > 0
+                 AND cs.cs_quantity > 0
+                 AND cs_sold_date_sk = d_date_sk
+                 AND d_year = 2001 AND d_moy = 10
+               GROUP BY cs.cs_item_sk) in_cat) catalog
+         WHERE (catalog.return_rank <= 10 OR catalog.currency_rank <= 10)
+         UNION
+         SELECT 'store' AS channel, store.item, store.return_ratio,
+                store.return_rank, store.currency_rank
+         FROM
+           (SELECT item, return_ratio, currency_ratio,
+                   rank() OVER (ORDER BY return_ratio) AS return_rank,
+                   rank() OVER (ORDER BY currency_ratio) AS currency_rank
+            FROM
+              (SELECT sts.ss_item_sk AS item,
+                      CAST(sum(coalesce(sr.sr_return_quantity, 0)) AS DOUBLE)
+                        / sum(coalesce(sts.ss_quantity, 0)) AS return_ratio,
+                      ${sumd(dmoney("coalesce(sr.sr_return_amt, 0)"))}
+                        / ${sumd(dmoney("coalesce(sts.ss_net_paid, 0)"))}
+                        AS currency_ratio
+               FROM store_sales sts
+               LEFT OUTER JOIN store_returns sr
+                 ON (sts.ss_ticket_number = sr.sr_ticket_number
+                     AND sts.ss_item_sk = sr.sr_item_sk), date_dim
+               WHERE sr.sr_return_amt > 100
+                 AND sts.ss_net_profit > 1
+                 AND sts.ss_net_paid > 0
+                 AND sts.ss_quantity > 0
+                 AND ss_sold_date_sk = d_date_sk
+                 AND d_year = 2001 AND d_moy = 10
+               GROUP BY sts.ss_item_sk) in_store) store
+         WHERE (store.return_rank <= 10 OR store.currency_rank <= 10)) sq1
+      ORDER BY 1, 4, 5, 2
+      LIMIT 100""",
+
+    // Q53: manufacturer quarterly sales vs their average. Ref month_seq
+    // 1200..1211 -> 120..131; category/class/brand literals remapped to
+    // the fixture vocabulary; d_qoy carried into the output as the
+    // unique LIMIT tiebreak.
+    "tpcds_q53" -> s"""
+      SELECT * FROM
+        (SELECT i_manufact_id AS i_manufact_id, d_qoy AS d_qoy,
+                ${sumd(dmoney("ss_sales_price"))} sum_sales,
+                avg(${sumd(dmoney("ss_sales_price"))})
+                  OVER (PARTITION BY i_manufact_id) avg_quarterly_sales
+         FROM item, store_sales, date_dim, store
+         WHERE ss_item_sk = i_item_sk
+           AND ss_sold_date_sk = d_date_sk
+           AND ss_store_sk = s_store_sk
+           AND d_month_seq IN (120, 121, 122, 123, 124, 125, 126, 127,
+                               128, 129, 130, 131)
+           AND ((i_category IN ('Books', 'Children', 'Electronics')
+                 AND i_class IN ('computers', 'dresses', 'fiction')
+                 AND i_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4'))
+             OR (i_category IN ('Women', 'Music', 'Men')
+                 AND i_class IN ('accessories', 'basketball', 'guns')
+                 AND i_brand IN ('Brand#5', 'Brand#6', 'Brand#7',
+                                 'Brand#8')))
+         GROUP BY i_manufact_id, d_qoy) tmp1
+      WHERE CASE WHEN avg_quarterly_sales > 0
+                 THEN ABS(sum_sales - avg_quarterly_sales)
+                      / avg_quarterly_sales
+                 ELSE NULL END > 0.1
+      ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id, d_qoy
+      LIMIT 100""",
+
+    // Q54: revenue segments of customers who bought the target category
+    // cross-channel. Ref i_class 'maternity' -> 'dresses' (fixture
+    // class vocabulary); ref county+state locality -> state-only (the
+    // fixture county/state grids only align for ~0 customers).
+    "tpcds_q54" -> s"""
+      WITH my_customers AS
+        (SELECT DISTINCT c_customer_sk, c_current_addr_sk
+         FROM
+           (SELECT cs_sold_date_sk sold_date_sk,
+                   cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+            FROM catalog_sales
+            UNION ALL
+            SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+            FROM web_sales) cs_or_ws_sales, item, date_dim, customer
+         WHERE sold_date_sk = d_date_sk
+           AND item_sk = i_item_sk
+           AND i_category = 'Women'
+           AND i_class = 'dresses'
+           AND c_customer_sk = cs_or_ws_sales.customer_sk
+           AND d_moy = 12 AND d_year = 1998),
+      my_revenue AS
+        (SELECT c_customer_sk,
+                ${sumd(dmoney("ss_ext_sales_price"))} AS revenue
+         FROM my_customers, store_sales, customer_address, store, date_dim
+         WHERE c_current_addr_sk = ca_address_sk
+           AND ca_state = s_state
+           AND ss_sold_date_sk = d_date_sk
+           AND c_customer_sk = ss_customer_sk
+           AND d_month_seq BETWEEN
+             (SELECT DISTINCT d_month_seq + 1 FROM date_dim
+              WHERE d_year = 1998 AND d_moy = 12)
+             AND
+             (SELECT DISTINCT d_month_seq + 3 FROM date_dim
+              WHERE d_year = 1998 AND d_moy = 12)
+         GROUP BY c_customer_sk),
+      segments AS
+        (SELECT CAST(ROUND(revenue / 50) AS INT) AS segment
+         FROM my_revenue)
+      SELECT segment AS segment,
+             CAST(count(*) AS BIGINT) AS num_customers,
+             segment * 50 AS segment_base
+      FROM segments
+      GROUP BY segment
+      ORDER BY segment NULLS FIRST, num_customers NULLS FIRST, segment_base
+      LIMIT 100""",
+
+    // Q57: call-center monthly sales outliers vs the yearly average,
+    // with lag/lead month context (the catalog twin of Q47).
+    "tpcds_q57" -> s"""
+      WITH v1 AS
+        (SELECT i_category, i_brand, cc_name, d_year, d_moy,
+                ${sumd(dmoney("cs_sales_price"))} sum_sales,
+                avg(${sumd(dmoney("cs_sales_price"))})
+                  OVER (PARTITION BY i_category, i_brand, cc_name, d_year)
+                  avg_monthly_sales,
+                rank() OVER (PARTITION BY i_category, i_brand, cc_name
+                             ORDER BY d_year, d_moy) rn
+         FROM item, catalog_sales, date_dim, call_center
+         WHERE cs_item_sk = i_item_sk
+           AND cs_sold_date_sk = d_date_sk
+           AND cc_call_center_sk = cs_call_center_sk
+           AND (d_year = 1999
+                OR (d_year = 1999 - 1 AND d_moy = 12)
+                OR (d_year = 1999 + 1 AND d_moy = 1))
+         GROUP BY i_category, i_brand, cc_name, d_year, d_moy),
+      v2 AS
+        (SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year,
+                v1.d_moy, v1.avg_monthly_sales, v1.sum_sales,
+                v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+         FROM v1, v1 v1_lag, v1 v1_lead
+         WHERE v1.i_category = v1_lag.i_category
+           AND v1.i_category = v1_lead.i_category
+           AND v1.i_brand = v1_lag.i_brand
+           AND v1.i_brand = v1_lead.i_brand
+           AND v1.cc_name = v1_lag.cc_name
+           AND v1.cc_name = v1_lead.cc_name
+           AND v1.rn = v1_lag.rn + 1
+           AND v1.rn = v1_lead.rn - 1)
+      SELECT i_category AS i_category, i_brand AS i_brand,
+             cc_name AS cc_name, d_year AS d_year, d_moy AS d_moy,
+             avg_monthly_sales AS avg_monthly_sales,
+             sum_sales AS sum_sales, psum AS psum, nsum AS nsum
+      FROM v2
+      WHERE d_year = 1999
+        AND avg_monthly_sales > 0
+        AND CASE WHEN avg_monthly_sales > 0
+                 THEN abs(sum_sales - avg_monthly_sales)
+                      / avg_monthly_sales
+                 ELSE NULL END > 0.1
+      ORDER BY sum_sales - avg_monthly_sales NULLS FIRST,
+               1, 2, 3, 4, 5, 6, 7, 8, 9
+      LIMIT 100""",
+
+    // Q58: items selling evenly across all three channels in one week.
+    // Ref evenness band 0.9..1.1 -> 0.5..2.0: fixture items see 1-2
+    // sales per channel-week, so the tight band selects nothing.
+    "tpcds_q58" -> s"""
+      WITH ss_items AS
+        (SELECT i_item_id item_id,
+                ${sumd(dmoney("ss_ext_sales_price"))} ss_item_rev
+         FROM store_sales, item, date_dim
+         WHERE ss_item_sk = i_item_sk
+           AND d_date IN (SELECT d_date FROM date_dim
+                          WHERE d_week_seq = (SELECT d_week_seq
+                                              FROM date_dim
+                                              WHERE d_date = '2000-01-03'))
+           AND ss_sold_date_sk = d_date_sk
+         GROUP BY i_item_id),
+      cs_items AS
+        (SELECT i_item_id item_id,
+                ${sumd(dmoney("cs_ext_sales_price"))} cs_item_rev
+         FROM catalog_sales, item, date_dim
+         WHERE cs_item_sk = i_item_sk
+           AND d_date IN (SELECT d_date FROM date_dim
+                          WHERE d_week_seq = (SELECT d_week_seq
+                                              FROM date_dim
+                                              WHERE d_date = '2000-01-03'))
+           AND cs_sold_date_sk = d_date_sk
+         GROUP BY i_item_id),
+      ws_items AS
+        (SELECT i_item_id item_id,
+                ${sumd(dmoney("ws_ext_sales_price"))} ws_item_rev
+         FROM web_sales, item, date_dim
+         WHERE ws_item_sk = i_item_sk
+           AND d_date IN (SELECT d_date FROM date_dim
+                          WHERE d_week_seq = (SELECT d_week_seq
+                                              FROM date_dim
+                                              WHERE d_date = '2000-01-03'))
+           AND ws_sold_date_sk = d_date_sk
+         GROUP BY i_item_id)
+      SELECT ss_items.item_id AS item_id,
+             ss_item_rev AS ss_item_rev,
+             ss_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3)
+               * 100 AS ss_dev,
+             cs_item_rev AS cs_item_rev,
+             cs_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3)
+               * 100 AS cs_dev,
+             ws_item_rev AS ws_item_rev,
+             ws_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3)
+               * 100 AS ws_dev,
+             (ss_item_rev + cs_item_rev + ws_item_rev) / 3 AS average
+      FROM ss_items, cs_items, ws_items
+      WHERE ss_items.item_id = cs_items.item_id
+        AND ss_items.item_id = ws_items.item_id
+        AND ss_item_rev BETWEEN 0.5 * cs_item_rev AND 2.0 * cs_item_rev
+        AND ss_item_rev BETWEEN 0.5 * ws_item_rev AND 2.0 * ws_item_rev
+        AND cs_item_rev BETWEEN 0.5 * ss_item_rev AND 2.0 * ss_item_rev
+        AND cs_item_rev BETWEEN 0.5 * ws_item_rev AND 2.0 * ws_item_rev
+        AND ws_item_rev BETWEEN 0.5 * ss_item_rev AND 2.0 * ss_item_rev
+        AND ws_item_rev BETWEEN 0.5 * cs_item_rev AND 2.0 * cs_item_rev
+      ORDER BY ss_items.item_id NULLS FIRST, ss_item_rev NULLS FIRST
+      LIMIT 100""",
+
+    // Q62: web shipping latency pivot per warehouse/mode/site. Ref
+    // month_seq 1200..1211 -> 120..131; the spaced output names become
+    // identifier-safe aliases (driver compares by column name).
+    "tpcds_q62" -> s"""
+      SELECT w_substr AS w_substr, sm_type AS sm_type, web_name AS web_name,
+             CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk <= 30)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS days_30,
+             CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 30)
+                            AND (ws_ship_date_sk - ws_sold_date_sk <= 60)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS days_31_60,
+             CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 60)
+                            AND (ws_ship_date_sk - ws_sold_date_sk <= 90)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS days_61_90,
+             CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 90)
+                            AND (ws_ship_date_sk - ws_sold_date_sk <= 120)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS days_91_120,
+             CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 120)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS days_gt_120
+      FROM web_sales,
+        (SELECT SUBSTRING(w_warehouse_name, 1, 20) w_substr, *
+         FROM warehouse) sq1,
+        ship_mode, web_site, date_dim
+      WHERE d_month_seq BETWEEN 120 AND 120 + 11
+        AND ws_ship_date_sk = d_date_sk
+        AND ws_warehouse_sk = w_warehouse_sk
+        AND ws_ship_mode_sk = sm_ship_mode_sk
+        AND ws_web_site_sk = web_site_sk
+      GROUP BY w_substr, sm_type, web_name
+      ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST
+      LIMIT 100""",
+
+    // Q63: manager monthly sales vs their average (the manager twin of
+    // Q53); same fixture vocabulary remap, d_moy kept as tiebreak.
+    "tpcds_q63" -> s"""
+      SELECT * FROM
+        (SELECT i_manager_id AS i_manager_id, d_moy AS d_moy,
+                ${sumd(dmoney("ss_sales_price"))} sum_sales,
+                avg(${sumd(dmoney("ss_sales_price"))})
+                  OVER (PARTITION BY i_manager_id) avg_monthly_sales
+         FROM item, store_sales, date_dim, store
+         WHERE ss_item_sk = i_item_sk
+           AND ss_sold_date_sk = d_date_sk
+           AND ss_store_sk = s_store_sk
+           AND d_month_seq IN (120, 121, 122, 123, 124, 125, 126, 127,
+                               128, 129, 130, 131)
+           AND ((i_category IN ('Books', 'Children', 'Electronics')
+                 AND i_class IN ('computers', 'dresses', 'fiction')
+                 AND i_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4'))
+             OR (i_category IN ('Women', 'Music', 'Men')
+                 AND i_class IN ('accessories', 'basketball', 'guns')
+                 AND i_brand IN ('Brand#5', 'Brand#6', 'Brand#7',
+                                 'Brand#8')))
+         GROUP BY i_manager_id, d_moy) tmp1
+      WHERE CASE WHEN avg_monthly_sales > 0
+                 THEN ABS(sum_sales - avg_monthly_sales)
+                      / avg_monthly_sales
+                 ELSE NULL END > 0.1
+      ORDER BY i_manager_id, avg_monthly_sales, sum_sales, d_moy
+      LIMIT 100""",
+
+    // Q66: warehouse monthly sales pivot over both shipped channels,
+    // restricted to two carriers and a time-of-day band. The inner
+    // per-month sums run through the decimal policy once and the outer
+    // channel-union re-sum once more.
+    "tpcds_q66" -> s"""
+      SELECT w_warehouse_name AS w_warehouse_name,
+             w_warehouse_sq_ft AS w_warehouse_sq_ft,
+             w_city AS w_city, w_county AS w_county, w_state AS w_state,
+             w_country AS w_country, ship_carriers AS ship_carriers,
+             year_ AS year_,
+             ${sumd(sql.dbig("jan_sales"))} AS jan_sales,
+             ${sumd(sql.dbig("feb_sales"))} AS feb_sales,
+             ${sumd(sql.dbig("mar_sales"))} AS mar_sales,
+             ${sumd(sql.dbig("apr_sales"))} AS apr_sales,
+             ${sumd(sql.dbig("may_sales"))} AS may_sales,
+             ${sumd(sql.dbig("jun_sales"))} AS jun_sales,
+             ${sumd(sql.dbig("jul_sales"))} AS jul_sales,
+             ${sumd(sql.dbig("aug_sales"))} AS aug_sales,
+             ${sumd(sql.dbig("sep_sales"))} AS sep_sales,
+             ${sumd(sql.dbig("oct_sales"))} AS oct_sales,
+             ${sumd(sql.dbig("nov_sales"))} AS nov_sales,
+             ${sumd(sql.dbig("dec_sales"))} AS dec_sales,
+             ${sumd(sql.dbig("jan_sales / w_warehouse_sq_ft"))} AS jan_sales_per_sq_foot,
+             ${sumd(sql.dbig("feb_sales / w_warehouse_sq_ft"))} AS feb_sales_per_sq_foot,
+             ${sumd(sql.dbig("mar_sales / w_warehouse_sq_ft"))} AS mar_sales_per_sq_foot,
+             ${sumd(sql.dbig("apr_sales / w_warehouse_sq_ft"))} AS apr_sales_per_sq_foot,
+             ${sumd(sql.dbig("may_sales / w_warehouse_sq_ft"))} AS may_sales_per_sq_foot,
+             ${sumd(sql.dbig("jun_sales / w_warehouse_sq_ft"))} AS jun_sales_per_sq_foot,
+             ${sumd(sql.dbig("jul_sales / w_warehouse_sq_ft"))} AS jul_sales_per_sq_foot,
+             ${sumd(sql.dbig("aug_sales / w_warehouse_sq_ft"))} AS aug_sales_per_sq_foot,
+             ${sumd(sql.dbig("sep_sales / w_warehouse_sq_ft"))} AS sep_sales_per_sq_foot,
+             ${sumd(sql.dbig("oct_sales / w_warehouse_sq_ft"))} AS oct_sales_per_sq_foot,
+             ${sumd(sql.dbig("nov_sales / w_warehouse_sq_ft"))} AS nov_sales_per_sq_foot,
+             ${sumd(sql.dbig("dec_sales / w_warehouse_sq_ft"))} AS dec_sales_per_sq_foot,
+             ${sumd(sql.dbig("jan_net"))} AS jan_net,
+             ${sumd(sql.dbig("feb_net"))} AS feb_net,
+             ${sumd(sql.dbig("mar_net"))} AS mar_net,
+             ${sumd(sql.dbig("apr_net"))} AS apr_net,
+             ${sumd(sql.dbig("may_net"))} AS may_net,
+             ${sumd(sql.dbig("jun_net"))} AS jun_net,
+             ${sumd(sql.dbig("jul_net"))} AS jul_net,
+             ${sumd(sql.dbig("aug_net"))} AS aug_net,
+             ${sumd(sql.dbig("sep_net"))} AS sep_net,
+             ${sumd(sql.dbig("oct_net"))} AS oct_net,
+             ${sumd(sql.dbig("nov_net"))} AS nov_net,
+             ${sumd(sql.dbig("dec_net"))} AS dec_net
+      FROM
+        (SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+                w_state, w_country,
+                'DHL,BARIAN' AS ship_carriers, d_year AS year_,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 1 THEN ws_ext_sales_price * ws_quantity ELSE 0 END"))} AS jan_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 2 THEN ws_ext_sales_price * ws_quantity ELSE 0 END"))} AS feb_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 3 THEN ws_ext_sales_price * ws_quantity ELSE 0 END"))} AS mar_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 4 THEN ws_ext_sales_price * ws_quantity ELSE 0 END"))} AS apr_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 5 THEN ws_ext_sales_price * ws_quantity ELSE 0 END"))} AS may_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 6 THEN ws_ext_sales_price * ws_quantity ELSE 0 END"))} AS jun_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 7 THEN ws_ext_sales_price * ws_quantity ELSE 0 END"))} AS jul_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 8 THEN ws_ext_sales_price * ws_quantity ELSE 0 END"))} AS aug_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 9 THEN ws_ext_sales_price * ws_quantity ELSE 0 END"))} AS sep_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 10 THEN ws_ext_sales_price * ws_quantity ELSE 0 END"))} AS oct_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 11 THEN ws_ext_sales_price * ws_quantity ELSE 0 END"))} AS nov_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 12 THEN ws_ext_sales_price * ws_quantity ELSE 0 END"))} AS dec_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 1 THEN ws_net_paid * ws_quantity ELSE 0 END"))} AS jan_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 2 THEN ws_net_paid * ws_quantity ELSE 0 END"))} AS feb_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 3 THEN ws_net_paid * ws_quantity ELSE 0 END"))} AS mar_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 4 THEN ws_net_paid * ws_quantity ELSE 0 END"))} AS apr_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 5 THEN ws_net_paid * ws_quantity ELSE 0 END"))} AS may_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 6 THEN ws_net_paid * ws_quantity ELSE 0 END"))} AS jun_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 7 THEN ws_net_paid * ws_quantity ELSE 0 END"))} AS jul_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 8 THEN ws_net_paid * ws_quantity ELSE 0 END"))} AS aug_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 9 THEN ws_net_paid * ws_quantity ELSE 0 END"))} AS sep_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 10 THEN ws_net_paid * ws_quantity ELSE 0 END"))} AS oct_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 11 THEN ws_net_paid * ws_quantity ELSE 0 END"))} AS nov_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 12 THEN ws_net_paid * ws_quantity ELSE 0 END"))} AS dec_net
+         FROM web_sales, warehouse, date_dim, time_dim, ship_mode
+         WHERE ws_warehouse_sk = w_warehouse_sk
+           AND ws_sold_date_sk = d_date_sk
+           AND ws_sold_time_sk = t_time_sk
+           AND ws_ship_mode_sk = sm_ship_mode_sk
+           AND d_year = 2001
+           AND t_time BETWEEN 30838 AND 30838 + 28800
+           AND sm_carrier IN ('DHL', 'BARIAN')
+         GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+                  w_state, w_country, d_year
+         UNION ALL
+         SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+                w_state, w_country,
+                'DHL,BARIAN' AS ship_carriers, d_year AS year_,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 1 THEN cs_sales_price * cs_quantity ELSE 0 END"))} AS jan_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 2 THEN cs_sales_price * cs_quantity ELSE 0 END"))} AS feb_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 3 THEN cs_sales_price * cs_quantity ELSE 0 END"))} AS mar_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 4 THEN cs_sales_price * cs_quantity ELSE 0 END"))} AS apr_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 5 THEN cs_sales_price * cs_quantity ELSE 0 END"))} AS may_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 6 THEN cs_sales_price * cs_quantity ELSE 0 END"))} AS jun_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 7 THEN cs_sales_price * cs_quantity ELSE 0 END"))} AS jul_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 8 THEN cs_sales_price * cs_quantity ELSE 0 END"))} AS aug_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 9 THEN cs_sales_price * cs_quantity ELSE 0 END"))} AS sep_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 10 THEN cs_sales_price * cs_quantity ELSE 0 END"))} AS oct_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 11 THEN cs_sales_price * cs_quantity ELSE 0 END"))} AS nov_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 12 THEN cs_sales_price * cs_quantity ELSE 0 END"))} AS dec_sales,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 1 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END"))} AS jan_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 2 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END"))} AS feb_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 3 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END"))} AS mar_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 4 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END"))} AS apr_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 5 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END"))} AS may_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 6 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END"))} AS jun_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 7 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END"))} AS jul_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 8 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END"))} AS aug_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 9 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END"))} AS sep_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 10 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END"))} AS oct_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 11 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END"))} AS nov_net,
+                ${sumd(sql.dbig("CASE WHEN d_moy = 12 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END"))} AS dec_net
+         FROM catalog_sales, warehouse, date_dim, time_dim, ship_mode
+         WHERE cs_warehouse_sk = w_warehouse_sk
+           AND cs_sold_date_sk = d_date_sk
+           AND cs_sold_time_sk = t_time_sk
+           AND cs_ship_mode_sk = sm_ship_mode_sk
+           AND d_year = 2001
+           AND t_time BETWEEN 30838 AND 30838 + 28800
+           AND sm_carrier IN ('DHL', 'BARIAN')
+         GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+                  w_state, w_country, d_year) x
+      GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+               w_state, w_country, ship_carriers, year_
+      ORDER BY w_warehouse_name NULLS FIRST
+      LIMIT 100""",
+
+    // Q67: top-100 sales ranks within category over the full 8-level
+    // ROLLUP of the item/time/store hierarchy.
+    "tpcds_q67" -> s"""
+      SELECT * FROM
+        (SELECT i_category AS i_category, i_class AS i_class,
+                i_brand AS i_brand, i_product_name AS i_product_name,
+                d_year AS d_year, d_qoy AS d_qoy, d_moy AS d_moy,
+                s_store_id AS s_store_id, sumsales AS sumsales,
+                rank() OVER (PARTITION BY i_category
+                             ORDER BY sumsales DESC) rk
+         FROM
+           (SELECT i_category, i_class, i_brand, i_product_name, d_year,
+                   d_qoy, d_moy, s_store_id,
+                   ${sumd(sql.dbig("coalesce(ss_sales_price * ss_quantity, 0)"))}
+                     sumsales
+            FROM store_sales, date_dim, store, item
+            WHERE ss_sold_date_sk = d_date_sk
+              AND ss_item_sk = i_item_sk
+              AND ss_store_sk = s_store_sk
+              AND d_month_seq BETWEEN 120 AND 120 + 11
+            GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name,
+                            d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+      WHERE rk <= 100
+      ORDER BY i_category NULLS FIRST, i_class NULLS FIRST,
+               i_brand NULLS FIRST, i_product_name NULLS FIRST,
+               d_year NULLS FIRST, d_qoy NULLS FIRST, d_moy NULLS FIRST,
+               s_store_id NULLS FIRST, sumsales NULLS FIRST, rk NULLS FIRST
+      LIMIT 100""",
+
+    // Q69: demographics of store-only customers in a quarter (EXISTS +
+    // double NOT EXISTS).
+    "tpcds_q69" -> s"""
+      SELECT cd_gender AS cd_gender, cd_marital_status AS cd_marital_status,
+             cd_education_status AS cd_education_status,
+             CAST(count(*) AS BIGINT) AS cnt1,
+             cd_purchase_estimate AS cd_purchase_estimate,
+             CAST(count(*) AS BIGINT) AS cnt2,
+             cd_credit_rating AS cd_credit_rating,
+             CAST(count(*) AS BIGINT) AS cnt3
+      FROM customer c, customer_address ca, customer_demographics
+      WHERE c.c_current_addr_sk = ca.ca_address_sk
+        AND ca_state IN ('KY', 'GA', 'NM')
+        AND cd_demo_sk = c.c_current_cdemo_sk
+        AND EXISTS
+          (SELECT * FROM store_sales, date_dim
+           WHERE c.c_customer_sk = ss_customer_sk
+             AND ss_sold_date_sk = d_date_sk
+             AND d_year = 2001 AND d_moy BETWEEN 4 AND 4 + 2)
+        AND (NOT EXISTS
+               (SELECT * FROM web_sales, date_dim
+                WHERE c.c_customer_sk = ws_bill_customer_sk
+                  AND ws_sold_date_sk = d_date_sk
+                  AND d_year = 2001 AND d_moy BETWEEN 4 AND 4 + 2)
+             AND NOT EXISTS
+               (SELECT * FROM catalog_sales, date_dim
+                WHERE c.c_customer_sk = cs_ship_customer_sk
+                  AND cs_sold_date_sk = d_date_sk
+                  AND d_year = 2001 AND d_moy BETWEEN 4 AND 4 + 2))
+      GROUP BY cd_gender, cd_marital_status, cd_education_status,
+               cd_purchase_estimate, cd_credit_rating
+      ORDER BY cd_gender, cd_marital_status, cd_education_status,
+               cd_purchase_estimate, cd_credit_rating
+      LIMIT 100""",
+
+    // Q70: state/county profit ROLLUP restricted to top-5-ranked states,
+    // ranked within each hierarchy level.
+    // (grouping() moved into the aggregate subquery: Spark cannot
+    // resolve grouping() inside a window PARTITION BY when the query
+    // also carries an IN-subquery predicate.)
+    "tpcds_q70" -> s"""
+      SELECT total_sum AS total_sum, s_state AS s_state,
+             s_county AS s_county, lochierarchy AS lochierarchy,
+             rank() OVER (PARTITION BY lochierarchy,
+                            CASE WHEN g_county = 0 THEN s_state END
+                          ORDER BY total_sum DESC) AS rank_within_parent
+      FROM
+        (SELECT ${sumd(dmoney("ss_net_profit"))} AS total_sum,
+                s_state, s_county,
+                grouping(s_state) + grouping(s_county) AS lochierarchy,
+                grouping(s_county) AS g_county
+         FROM store_sales, date_dim d1, store
+         WHERE d1.d_month_seq BETWEEN 120 AND 120 + 11
+           AND d1.d_date_sk = ss_sold_date_sk
+           AND s_store_sk = ss_store_sk
+           AND s_state IN
+             (SELECT s_state FROM
+               (SELECT s_state AS s_state,
+                       rank() OVER (PARTITION BY s_state
+                                    ORDER BY ${sumd(dmoney("ss_net_profit"))}
+                                      DESC) AS ranking
+                FROM store_sales, store, date_dim
+                WHERE d_month_seq BETWEEN 120 AND 120 + 11
+                  AND d_date_sk = ss_sold_date_sk
+                  AND s_store_sk = ss_store_sk
+                GROUP BY s_state) tmp1
+              WHERE ranking <= 5)
+         GROUP BY ROLLUP(s_state, s_county)) agg
+      ORDER BY lochierarchy DESC,
+               CASE WHEN lochierarchy = 0 THEN s_state END,
+               rank_within_parent, s_state NULLS FIRST,
+               s_county NULLS FIRST
+      LIMIT 100""",
+
+    // Q72: catalog orders short on inventory in the sale week (the big
+    // 3-fact join: catalog_sales x inventory x returns + 3 date roles).
+    "tpcds_q72" -> s"""
+      SELECT i_item_desc AS i_item_desc,
+             w_warehouse_name AS w_warehouse_name,
+             d1.d_week_seq AS d_week_seq,
+             CAST(sum(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS no_promo,
+             CAST(sum(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS promo,
+             CAST(count(*) AS BIGINT) AS total_cnt
+      FROM catalog_sales
+      JOIN inventory ON (cs_item_sk = inv_item_sk)
+      JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
+      JOIN item ON (i_item_sk = cs_item_sk)
+      JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
+      JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
+      JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+      JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
+      JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+      LEFT OUTER JOIN promotion ON (cs_promo_sk = p_promo_sk)
+      LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
+        AND cr_order_number = cs_order_number)
+      WHERE d1.d_week_seq = d2.d_week_seq
+        AND inv_quantity_on_hand < cs_quantity
+        AND d3.d_date > d1.d_date + 5
+        AND hd_buy_potential = '>10000'
+        AND d1.d_year = 1999
+        AND cd_marital_status = 'D'
+      GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+      ORDER BY total_cnt DESC NULLS FIRST, i_item_desc NULLS FIRST,
+               w_warehouse_name NULLS FIRST, d_week_seq NULLS FIRST
+      LIMIT 100""",
+
+    // Q75: year-over-year sales decline per item attribute tuple across
+    // all channels. Ref years 2002/2001 -> 2001/2000 (fixture calendar);
+    // the decline ratio compared in DOUBLE.
+    "tpcds_q75" -> s"""
+      WITH all_sales AS
+        (SELECT d_year, i_brand_id, i_class_id, i_category_id,
+                i_manufact_id,
+                CAST(SUM(sales_cnt) AS BIGINT) AS sales_cnt,
+                ${sumd(sql.dbig("sales_amt"))} AS sales_amt
+         FROM
+           (SELECT d_year, i_brand_id, i_class_id, i_category_id,
+                   i_manufact_id,
+                   cs_quantity - COALESCE(cr_return_quantity, 0)
+                     AS sales_cnt,
+                   cs_ext_sales_price - COALESCE(cr_return_amount, 0.0)
+                     AS sales_amt
+            FROM catalog_sales
+            JOIN item ON i_item_sk = cs_item_sk
+            JOIN date_dim ON d_date_sk = cs_sold_date_sk
+            LEFT JOIN catalog_returns ON (cs_order_number = cr_order_number
+                                          AND cs_item_sk = cr_item_sk)
+            WHERE i_category = 'Books'
+            UNION
+            SELECT d_year, i_brand_id, i_class_id, i_category_id,
+                   i_manufact_id,
+                   ss_quantity - COALESCE(sr_return_quantity, 0),
+                   ss_ext_sales_price - COALESCE(sr_return_amt, 0.0)
+            FROM store_sales
+            JOIN item ON i_item_sk = ss_item_sk
+            JOIN date_dim ON d_date_sk = ss_sold_date_sk
+            LEFT JOIN store_returns ON (ss_ticket_number = sr_ticket_number
+                                        AND ss_item_sk = sr_item_sk)
+            WHERE i_category = 'Books'
+            UNION
+            SELECT d_year, i_brand_id, i_class_id, i_category_id,
+                   i_manufact_id,
+                   ws_quantity - COALESCE(wr_return_quantity, 0),
+                   ws_ext_sales_price - COALESCE(wr_return_amt, 0.0)
+            FROM web_sales
+            JOIN item ON i_item_sk = ws_item_sk
+            JOIN date_dim ON d_date_sk = ws_sold_date_sk
+            LEFT JOIN web_returns ON (ws_order_number = wr_order_number
+                                      AND ws_item_sk = wr_item_sk)
+            WHERE i_category = 'Books') sales_detail
+         GROUP BY d_year, i_brand_id, i_class_id, i_category_id,
+                  i_manufact_id)
+      SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS year_,
+             curr_yr.i_brand_id AS i_brand_id,
+             curr_yr.i_class_id AS i_class_id,
+             curr_yr.i_category_id AS i_category_id,
+             curr_yr.i_manufact_id AS i_manufact_id,
+             prev_yr.sales_cnt AS prev_yr_cnt,
+             curr_yr.sales_cnt AS curr_yr_cnt,
+             curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+             curr_yr.sales_amt - prev_yr.sales_amt AS sales_amt_diff
+      FROM all_sales curr_yr, all_sales prev_yr
+      WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+        AND curr_yr.i_class_id = prev_yr.i_class_id
+        AND curr_yr.i_category_id = prev_yr.i_category_id
+        AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+        AND curr_yr.d_year = 2001
+        AND prev_yr.d_year = 2001 - 1
+        AND CAST(curr_yr.sales_cnt AS DOUBLE)
+            / CAST(prev_yr.sales_cnt AS DOUBLE) < 0.9
+      ORDER BY sales_cnt_diff, sales_amt_diff,
+               i_brand_id, i_class_id, i_category_id, i_manufact_id
+      LIMIT 100""",
+
+    // Q77: per-channel sales vs returns ROLLUP over a 30-day window
+    // (the catalog branch cross-joins cs x cr exactly as the reference
+    // text does).
+    "tpcds_q77" -> s"""
+      WITH ss AS
+        (SELECT s_store_sk,
+                ${sumd(dmoney("ss_ext_sales_price"))} AS sales,
+                ${sumd(dmoney("ss_net_profit"))} AS profit
+         FROM store_sales, date_dim, store
+         WHERE ss_sold_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-08-23' AS DATE)
+                          AND CAST('2000-09-22' AS DATE)
+           AND ss_store_sk = s_store_sk
+         GROUP BY s_store_sk),
+      sr AS
+        (SELECT s_store_sk,
+                ${sumd(dmoney("sr_return_amt"))} AS returns_,
+                ${sumd(dmoney("sr_net_loss"))} AS profit_loss
+         FROM store_returns, date_dim, store
+         WHERE sr_returned_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-08-23' AS DATE)
+                          AND CAST('2000-09-22' AS DATE)
+           AND sr_store_sk = s_store_sk
+         GROUP BY s_store_sk),
+      cs AS
+        (SELECT cs_call_center_sk,
+                ${sumd(dmoney("cs_ext_sales_price"))} AS sales,
+                ${sumd(dmoney("cs_net_profit"))} AS profit
+         FROM catalog_sales, date_dim
+         WHERE cs_sold_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-08-23' AS DATE)
+                          AND CAST('2000-09-22' AS DATE)
+         GROUP BY cs_call_center_sk),
+      cr AS
+        (SELECT cr_call_center_sk,
+                ${sumd(dmoney("cr_return_amount"))} AS returns_,
+                ${sumd(dmoney("cr_net_loss"))} AS profit_loss
+         FROM catalog_returns, date_dim
+         WHERE cr_returned_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-08-23' AS DATE)
+                          AND CAST('2000-09-22' AS DATE)
+         GROUP BY cr_call_center_sk),
+      ws AS
+        (SELECT wp_web_page_sk,
+                ${sumd(dmoney("ws_ext_sales_price"))} AS sales,
+                ${sumd(dmoney("ws_net_profit"))} AS profit
+         FROM web_sales, date_dim, web_page
+         WHERE ws_sold_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-08-23' AS DATE)
+                          AND CAST('2000-09-22' AS DATE)
+           AND ws_web_page_sk = wp_web_page_sk
+         GROUP BY wp_web_page_sk),
+      wr AS
+        (SELECT wp_web_page_sk,
+                ${sumd(dmoney("wr_return_amt"))} AS returns_,
+                ${sumd(dmoney("wr_net_loss"))} AS profit_loss
+         FROM web_returns, date_dim, web_page
+         WHERE wr_returned_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-08-23' AS DATE)
+                          AND CAST('2000-09-22' AS DATE)
+           AND wr_web_page_sk = wp_web_page_sk
+         GROUP BY wp_web_page_sk)
+      SELECT channel AS channel, id AS id,
+             ${sumd(sql.dbig("sales"))} AS sales,
+             ${sumd(sql.dbig("returns_"))} AS returns_,
+             ${sumd(sql.dbig("profit"))} AS profit
+      FROM
+        (SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
+                coalesce(returns_, 0) AS returns_,
+                (profit - coalesce(profit_loss, 0)) AS profit
+         FROM ss
+         LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+         UNION ALL
+         SELECT 'catalog channel', cs_call_center_sk, sales, returns_,
+                (profit - profit_loss)
+         FROM cs, cr
+         UNION ALL
+         SELECT 'web channel', ws.wp_web_page_sk, sales,
+                coalesce(returns_, 0),
+                (profit - coalesce(profit_loss, 0))
+         FROM ws
+         LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
+      GROUP BY ROLLUP(channel, id)
+      ORDER BY channel NULLS FIRST, id NULLS FIRST, returns_ DESC
+      LIMIT 100""",
+
+    // Q80: promo-filtered channel sales/returns/profit ROLLUP over a
+    // 30-day window.
+    "tpcds_q80" -> s"""
+      WITH ssr AS
+        (SELECT s_store_id AS store_id,
+                ${sumd(dmoney("ss_ext_sales_price"))} AS sales,
+                ${sumd(dmoney("coalesce(sr_return_amt, 0)"))} AS returns_,
+                ${sumd(dmoney("ss_net_profit - coalesce(sr_net_loss, 0)"))}
+                  AS profit
+         FROM store_sales
+         LEFT OUTER JOIN store_returns ON (ss_item_sk = sr_item_sk
+           AND ss_ticket_number = sr_ticket_number),
+           date_dim, store, item, promotion
+         WHERE ss_sold_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-08-23' AS DATE)
+                          AND CAST('2000-09-22' AS DATE)
+           AND ss_store_sk = s_store_sk
+           AND ss_item_sk = i_item_sk
+           AND i_current_price > 50
+           AND ss_promo_sk = p_promo_sk
+           AND p_channel_tv = 'N'
+         GROUP BY s_store_id),
+      csr AS
+        (SELECT cp_catalog_page_id AS catalog_page_id,
+                ${sumd(dmoney("cs_ext_sales_price"))} AS sales,
+                ${sumd(dmoney("coalesce(cr_return_amount, 0)"))} AS returns_,
+                ${sumd(dmoney("cs_net_profit - coalesce(cr_net_loss, 0)"))}
+                  AS profit
+         FROM catalog_sales
+         LEFT OUTER JOIN catalog_returns ON (cs_item_sk = cr_item_sk
+           AND cs_order_number = cr_order_number),
+           date_dim, catalog_page, item, promotion
+         WHERE cs_sold_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-08-23' AS DATE)
+                          AND CAST('2000-09-22' AS DATE)
+           AND cs_catalog_page_sk = cp_catalog_page_sk
+           AND cs_item_sk = i_item_sk
+           AND i_current_price > 50
+           AND cs_promo_sk = p_promo_sk
+           AND p_channel_tv = 'N'
+         GROUP BY cp_catalog_page_id),
+      wsr AS
+        (SELECT web_site_id,
+                ${sumd(dmoney("ws_ext_sales_price"))} AS sales,
+                ${sumd(dmoney("coalesce(wr_return_amt, 0)"))} AS returns_,
+                ${sumd(dmoney("ws_net_profit - coalesce(wr_net_loss, 0)"))}
+                  AS profit
+         FROM web_sales
+         LEFT OUTER JOIN web_returns ON (ws_item_sk = wr_item_sk
+           AND ws_order_number = wr_order_number),
+           date_dim, web_site, item, promotion
+         WHERE ws_sold_date_sk = d_date_sk
+           AND d_date BETWEEN CAST('2000-08-23' AS DATE)
+                          AND CAST('2000-09-22' AS DATE)
+           AND ws_web_site_sk = web_site_sk
+           AND ws_item_sk = i_item_sk
+           AND i_current_price > 50
+           AND ws_promo_sk = p_promo_sk
+           AND p_channel_tv = 'N'
+         GROUP BY web_site_id)
+      SELECT channel AS channel, id AS id,
+             ${sumd(sql.dbig("sales"))} AS sales,
+             ${sumd(sql.dbig("returns_"))} AS returns_,
+             ${sumd(sql.dbig("profit"))} AS profit
+      FROM
+        (SELECT 'store channel' AS channel,
+                concat('store', store_id) AS id, sales, returns_, profit
+         FROM ssr
+         UNION ALL
+         SELECT 'catalog channel', concat('catalog_page', catalog_page_id),
+                sales, returns_, profit
+         FROM csr
+         UNION ALL
+         SELECT 'web channel', concat('web_site', web_site_id),
+                sales, returns_, profit
+         FROM wsr) x
+      GROUP BY ROLLUP(channel, id)
+      ORDER BY channel NULLS FIRST, id NULLS FIRST
+      LIMIT 100""",
+
+    // Q83: return quantities by item across the three channels for three
+    // chosen weeks; ratios in DOUBLE.
+    "tpcds_q83" -> s"""
+      WITH sr_items AS
+        (SELECT i_item_id item_id,
+                CAST(sum(sr_return_quantity) AS BIGINT) sr_item_qty
+         FROM store_returns, item, date_dim
+         WHERE sr_item_sk = i_item_sk
+           AND d_date IN
+             (SELECT d_date FROM date_dim
+              WHERE d_week_seq IN
+                (SELECT d_week_seq FROM date_dim
+                 WHERE d_date IN ('2000-06-30', '2000-09-27',
+                                  '2000-11-17')))
+           AND sr_returned_date_sk = d_date_sk
+         GROUP BY i_item_id),
+      cr_items AS
+        (SELECT i_item_id item_id,
+                CAST(sum(cr_return_quantity) AS BIGINT) cr_item_qty
+         FROM catalog_returns, item, date_dim
+         WHERE cr_item_sk = i_item_sk
+           AND d_date IN
+             (SELECT d_date FROM date_dim
+              WHERE d_week_seq IN
+                (SELECT d_week_seq FROM date_dim
+                 WHERE d_date IN ('2000-06-30', '2000-09-27',
+                                  '2000-11-17')))
+           AND cr_returned_date_sk = d_date_sk
+         GROUP BY i_item_id),
+      wr_items AS
+        (SELECT i_item_id item_id,
+                CAST(sum(wr_return_quantity) AS BIGINT) wr_item_qty
+         FROM web_returns, item, date_dim
+         WHERE wr_item_sk = i_item_sk
+           AND d_date IN
+             (SELECT d_date FROM date_dim
+              WHERE d_week_seq IN
+                (SELECT d_week_seq FROM date_dim
+                 WHERE d_date IN ('2000-06-30', '2000-09-27',
+                                  '2000-11-17')))
+           AND wr_returned_date_sk = d_date_sk
+         GROUP BY i_item_id)
+      SELECT sr_items.item_id AS item_id,
+             sr_item_qty AS sr_item_qty,
+             CAST(sr_item_qty AS DOUBLE)
+               / (sr_item_qty + cr_item_qty + wr_item_qty)
+               / 3 * 100 AS sr_dev,
+             cr_item_qty AS cr_item_qty,
+             CAST(cr_item_qty AS DOUBLE)
+               / (sr_item_qty + cr_item_qty + wr_item_qty)
+               / 3 * 100 AS cr_dev,
+             wr_item_qty AS wr_item_qty,
+             CAST(wr_item_qty AS DOUBLE)
+               / (sr_item_qty + cr_item_qty + wr_item_qty)
+               / 3 * 100 AS wr_dev,
+             (sr_item_qty + cr_item_qty + wr_item_qty)
+               / CAST(3 AS DOUBLE) AS average
+      FROM sr_items, cr_items, wr_items
+      WHERE sr_items.item_id = cr_items.item_id
+        AND sr_items.item_id = wr_items.item_id
+      ORDER BY sr_items.item_id NULLS FIRST, sr_item_qty NULLS FIRST
+      LIMIT 100""",
+
+    // Q85: web returns by reason for matched refund/return demographic
+    // pairs. Ref states remapped into the fixture grid (NJ/WI/CT/LA/AR
+    // do not occur); sales/profit bands kept.
+    "tpcds_q85" -> s"""
+      SELECT SUBSTRING(r_reason_desc, 1, 20) AS r_reason_desc,
+             avg(ws_quantity) AS avg1,
+             ${avgd("wr_refunded_cash")} AS avg2,
+             ${avgd("wr_fee")} AS avg3
+      FROM web_sales, web_returns, web_page, customer_demographics cd1,
+           customer_demographics cd2, customer_address, date_dim, reason
+      WHERE ws_web_page_sk = wp_web_page_sk
+        AND ws_item_sk = wr_item_sk
+        AND ws_order_number = wr_order_number
+        AND ws_sold_date_sk = d_date_sk
+        AND d_year = 2000
+        AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+        AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+        AND ca_address_sk = wr_refunded_addr_sk
+        AND r_reason_sk = wr_reason_sk
+        AND ((cd1.cd_marital_status = 'M'
+              AND cd1.cd_marital_status = cd2.cd_marital_status
+              AND cd1.cd_education_status = 'Advanced Degree'
+              AND cd1.cd_education_status = cd2.cd_education_status
+              AND ws_sales_price BETWEEN 100.00 AND 150.00)
+          OR (cd1.cd_marital_status = 'S'
+              AND cd1.cd_marital_status = cd2.cd_marital_status
+              AND cd1.cd_education_status = 'College'
+              AND cd1.cd_education_status = cd2.cd_education_status
+              AND ws_sales_price BETWEEN 50.00 AND 100.00)
+          OR (cd1.cd_marital_status = 'W'
+              AND cd1.cd_marital_status = cd2.cd_marital_status
+              AND cd1.cd_education_status = '2 yr Degree'
+              AND cd1.cd_education_status = cd2.cd_education_status
+              AND ws_sales_price BETWEEN 150.00 AND 200.00))
+        AND ((ca_country = 'United States'
+              AND ca_state IN ('IN', 'OH', 'KY')
+              AND ws_net_profit BETWEEN 100 AND 200)
+          OR (ca_country = 'United States'
+              AND ca_state IN ('OR', 'NM', 'MS')
+              AND ws_net_profit BETWEEN 150 AND 300)
+          OR (ca_country = 'United States'
+              AND ca_state IN ('IA', 'MO', 'IL')
+              AND ws_net_profit BETWEEN 50 AND 250))
+      GROUP BY r_reason_desc
+      ORDER BY SUBSTRING(r_reason_desc, 1, 20), avg(ws_quantity),
+               ${avgd("wr_refunded_cash")}, ${avgd("wr_fee")}
+      LIMIT 100""",
+
+    // Q86: web revenue ROLLUP over the item hierarchy with per-level
+    // ranks (grouping() in a subquery, as in q70).
+    "tpcds_q86" -> s"""
+      SELECT total_sum AS total_sum, i_category AS i_category,
+             i_class AS i_class, lochierarchy AS lochierarchy,
+             rank() OVER (PARTITION BY lochierarchy,
+                            CASE WHEN g_class = 0 THEN i_category END
+                          ORDER BY total_sum DESC) AS rank_within_parent
+      FROM
+        (SELECT ${sumd(dmoney("ws_net_paid"))} AS total_sum,
+                i_category, i_class,
+                grouping(i_category) + grouping(i_class) AS lochierarchy,
+                grouping(i_class) AS g_class
+         FROM web_sales, date_dim d1, item
+         WHERE d1.d_month_seq BETWEEN 120 AND 120 + 11
+           AND d1.d_date_sk = ws_sold_date_sk
+           AND i_item_sk = ws_item_sk
+         GROUP BY ROLLUP(i_category, i_class)) agg
+      ORDER BY lochierarchy DESC NULLS FIRST,
+               CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+               rank_within_parent NULLS FIRST,
+               i_category NULLS FIRST, i_class NULLS FIRST
+      LIMIT 100""",
+
+    // Q90: web AM/PM order ratio for one page-size band. Ref char_count
+    // 5000..5200 -> 5000..6000 (the fixture page grid has no value in
+    // the 200-wide band); ratio in DOUBLE.
+    "tpcds_q90" -> s"""
+      SELECT CASE WHEN pmc = 0 THEN NULL
+                  ELSE CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE) END
+               AS am_pm_ratio
+      FROM
+        (SELECT count(*) amc
+         FROM web_sales, household_demographics, time_dim, web_page
+         WHERE ws_sold_time_sk = time_dim.t_time_sk
+           AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+           AND ws_web_page_sk = web_page.wp_web_page_sk
+           AND time_dim.t_hour BETWEEN 8 AND 8 + 1
+           AND household_demographics.hd_dep_count = 6
+           AND web_page.wp_char_count BETWEEN 5000 AND 6000) at_,
+        (SELECT count(*) pmc
+         FROM web_sales, household_demographics, time_dim, web_page
+         WHERE ws_sold_time_sk = time_dim.t_time_sk
+           AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+           AND ws_web_page_sk = web_page.wp_web_page_sk
+           AND time_dim.t_hour BETWEEN 19 AND 19 + 1
+           AND household_demographics.hd_dep_count = 6
+           AND web_page.wp_char_count BETWEEN 5000 AND 6000) pt
+      ORDER BY am_pm_ratio
+      LIMIT 100""",
+
+    // Q91: call-center return losses for two demographic cuts. Ref
+    // ca_gmt_offset -7 -> -5 (fixture offsets are -5/-6) and
+    // buy_potential 'Unknown%' -> '>1000%': the fixture cd/hd/address
+    // grids are modular, and the Unknown band intersects the cd cuts
+    // on no residue class (provably empty at every sf). Extra ORDER BY
+    // keys pin the grouped-but-unprojected cd columns.
+    "tpcds_q91" -> s"""
+      SELECT cc_call_center_id AS call_center,
+             cc_name AS call_center_name,
+             cc_manager AS manager,
+             ${sumd(dmoney("cr_net_loss"))} AS returns_loss
+      FROM call_center, catalog_returns, date_dim, customer,
+           customer_address, customer_demographics,
+           household_demographics
+      WHERE cr_call_center_sk = cc_call_center_sk
+        AND cr_returned_date_sk = d_date_sk
+        AND cr_returning_customer_sk = c_customer_sk
+        AND cd_demo_sk = c_current_cdemo_sk
+        AND hd_demo_sk = c_current_hdemo_sk
+        AND ca_address_sk = c_current_addr_sk
+        AND d_year = 1998
+        AND d_moy = 11
+        AND ((cd_marital_status = 'M'
+              AND cd_education_status = 'Unknown')
+          OR (cd_marital_status = 'W'
+              AND cd_education_status = 'Advanced Degree'))
+        AND hd_buy_potential LIKE '>1000%'
+        AND ca_gmt_offset = -5
+      GROUP BY cc_call_center_id, cc_name, cc_manager,
+               cd_marital_status, cd_education_status
+      ORDER BY ${sumd(dmoney("cr_net_loss"))} DESC,
+               cc_call_center_id, cd_marital_status,
+               cd_education_status""",
+
+    // Q94: web orders shipped from multiple warehouses with no returns.
+    "tpcds_q94" -> s"""
+      SELECT CAST(count(DISTINCT ws_order_number) AS BIGINT)
+               AS order_count,
+             ${sumd(dmoney("ws_ext_ship_cost"))} AS total_shipping_cost,
+             ${sumd(dmoney("ws_net_profit"))} AS total_net_profit
+      FROM web_sales ws1, date_dim, customer_address, web_site
+      WHERE d_date BETWEEN '1999-02-01' AND CAST('1999-04-02' AS DATE)
+        AND ws1.ws_ship_date_sk = d_date_sk
+        AND ws1.ws_ship_addr_sk = ca_address_sk
+        AND ca_state = 'IL'
+        AND ws1.ws_web_site_sk = web_site_sk
+        AND web_company_name = 'pri'
+        AND EXISTS
+          (SELECT * FROM web_sales ws2
+           WHERE ws1.ws_order_number = ws2.ws_order_number
+             AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+        AND NOT EXISTS
+          (SELECT * FROM web_returns wr1
+           WHERE ws1.ws_order_number = wr1.wr_order_number)
+      ORDER BY order_count
+      LIMIT 100""",
+
+    // Q95: web orders shipped from multiple warehouses WITH returns
+    // (the returned twin of Q94, via a shared self-join CTE).
+    "tpcds_q95" -> s"""
+      WITH ws_wh AS
+        (SELECT ws1.ws_order_number, ws1.ws_warehouse_sk wh1,
+                ws2.ws_warehouse_sk wh2
+         FROM web_sales ws1, web_sales ws2
+         WHERE ws1.ws_order_number = ws2.ws_order_number
+           AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      SELECT CAST(count(DISTINCT ws_order_number) AS BIGINT)
+               AS order_count,
+             ${sumd(dmoney("ws_ext_ship_cost"))} AS total_shipping_cost,
+             ${sumd(dmoney("ws_net_profit"))} AS total_net_profit
+      FROM web_sales ws1, date_dim, customer_address, web_site
+      WHERE d_date BETWEEN '1999-02-01' AND CAST('1999-04-02' AS DATE)
+        AND ws1.ws_ship_date_sk = d_date_sk
+        AND ws1.ws_ship_addr_sk = ca_address_sk
+        AND ca_state = 'IL'
+        AND ws1.ws_web_site_sk = web_site_sk
+        AND web_company_name = 'pri'
+        AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+        AND ws1.ws_order_number IN
+          (SELECT wr_order_number
+           FROM web_returns, ws_wh
+           WHERE wr_order_number = ws_wh.ws_order_number)
+      ORDER BY order_count
+      LIMIT 100""",
+
+    // Q96: store traffic in one evening half-hour for one dependent
+    // count. Ref s_store_name 'ese' -> 'Store_5' (fixture names).
+    "tpcds_q96" -> s"""
+      SELECT CAST(count(*) AS BIGINT) AS cnt
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 20
+        AND time_dim.t_minute >= 30
+        AND household_demographics.hd_dep_count = 7
+        AND store.s_store_name = 'Store_5'
+      ORDER BY cnt
+      LIMIT 100""",
+
+    // Q99: catalog shipping latency pivot per warehouse/mode/call
+    // center (the catalog twin of Q62).
+    "tpcds_q99" -> s"""
+      SELECT w_substr AS w_substr, sm_type AS sm_type,
+             LOWER(cc_name) AS cc_name_lower,
+             CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk <= 30)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS days_30,
+             CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 30)
+                            AND (cs_ship_date_sk - cs_sold_date_sk <= 60)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS days_31_60,
+             CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 60)
+                            AND (cs_ship_date_sk - cs_sold_date_sk <= 90)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS days_61_90,
+             CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 90)
+                            AND (cs_ship_date_sk - cs_sold_date_sk <= 120)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS days_91_120,
+             CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 120)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS days_gt_120
+      FROM catalog_sales,
+        (SELECT SUBSTRING(w_warehouse_name, 1, 20) w_substr, *
+         FROM warehouse) AS sq1,
+        ship_mode, call_center, date_dim
+      WHERE d_month_seq BETWEEN 120 AND 120 + 11
+        AND cs_ship_date_sk = d_date_sk
+        AND cs_warehouse_sk = w_warehouse_sk
+        AND cs_ship_mode_sk = sm_ship_mode_sk
+        AND cs_call_center_sk = cc_call_center_sk
+      GROUP BY w_substr, sm_type, cc_name
+      ORDER BY w_substr NULLS FIRST, sm_type NULLS FIRST,
+               cc_name_lower NULLS FIRST
       LIMIT 100""")
 
   /** Sessions (keyed weakly) whose star schema is already materialized,

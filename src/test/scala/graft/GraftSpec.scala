@@ -27,7 +27,12 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     // HAVING count>100 (q27/q28), OFFSET 10 past the tiny group count
     // (q38/q39), 2-day date window + counter filters (q42) — all
     // non-empty at the sf0.01 gate
-    "cbx_q27", "cbx_q28", "cbx_q38", "cbx_q39", "cbx_q42")
+    "cbx_q27", "cbx_q28", "cbx_q38", "cbx_q39", "cbx_q42",
+    // month-window item-cut + locality join (q54), three-channel
+    // evenness probe (q58), matched demographic pairs (q85), double
+    // demographic cut on one return month (q91): each needs more rows
+    // than the 6k-lineitem fixture carries; 1/8/1/4 rows at sf0.01
+    "tpcds_q54", "tpcds_q58", "tpcds_q85", "tpcds_q91")
 
   test("every catalog query executes and returns rows at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
