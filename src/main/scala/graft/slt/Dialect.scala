@@ -934,6 +934,182 @@ object Dialect {
     ts
   }
 
+  /** Index of the `)` matching the `(` at `open`. */
+  private def matchingClose(ts: Vector[Tok], open: Int): Int = {
+    var d = 0
+    var i = open
+    while (i < ts.length) {
+      ts(i) match {
+        case Punct("(") => d += 1
+        case Punct(")") => d -= 1; if (d == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    ts.length - 1
+  }
+
+  /** Non-first FROM items of the form `(VALUES (…), (…))` become
+    * `(SELECT … AS col1, … UNION ALL SELECT …)` so that (a) the reference's
+    * lateral column references into VALUES (`(VALUES (2)) v(a), (VALUES
+    * (a+1))` — values/lateral_values.slt) resolve, via the implicit-LATERAL
+    * pass that runs right after, and (b) anonymous columns keep Spark's
+    * `colN` names (displayed back as `columnN`). Spark's own inline-table
+    * VALUES only admits foldable expressions, so the SELECT form is the
+    * only way to express the correlation; for uncorrelated VALUES the two
+    * forms are equivalent. The first FROM item stays a plain VALUES (no
+    * preceding row to correlate to; LATERAL would be invalid there). */
+  private def rewriteFromValues(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    val fromEnders = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+      "UNION", "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "OFFSET")
+    var i = 0
+    var depth = 0
+    val inFrom = mutable.Map.empty[Int, Boolean].withDefaultValue(false)
+    while (i < ts.length) {
+      ts(i) match {
+        case Punct("(") => depth += 1; inFrom(depth) = false
+        case Punct(")") => inFrom(depth) = false; depth -= 1
+        case Ident(w) if w.toUpperCase == "FROM" => inFrom(depth) = true
+        case Ident(w) if fromEnders.contains(w.toUpperCase) =>
+          inFrom(depth) = false
+        case t if inFrom(depth) && (t == Punct(",") ||
+            (t match {
+              case Ident(w) => Set("JOIN", "LATERAL").contains(w.toUpperCase)
+              case _ => false
+            })) =>
+          (nextSigOpt(ts, i), nextSig2Opt(ts, i)) match {
+            case (Some((pi, Punct("("))), Some((vi, Ident(v))))
+                if v.toUpperCase == "VALUES" && vi == nextSig(ts, pi) =>
+              val close = matchingClose(ts, pi)
+              // parse rows: `( … )` groups separated by top-level commas
+              val rows = mutable.ArrayBuffer[Vector[Tok]]()
+              var j = nextSig(ts, vi)
+              while (j < close) {
+                ts(j) match {
+                  case Punct("(") =>
+                    val rc = matchingClose(ts, j)
+                    rows += ts.slice(j + 1, rc)
+                    j = rc + 1
+                  case _ => j += 1
+                }
+              }
+              // only rewrite when a row references an identifier (i.e. a
+              // potential lateral reference) — literal-only VALUES keep
+              // Spark's native inline-table form (equality_join.slt uses
+              // `JOIN (VALUES …) ON …`, which must not become LATERAL)
+              val correlated = rows.exists(_.exists {
+                case Ident(w) =>
+                  !Set("NULL", "TRUE", "FALSE").contains(w.toUpperCase)
+                case _ => false
+              })
+              if (rows.nonEmpty && correlated) {
+                // split a row on top-level commas
+                def cells(row: Vector[Tok]): Vector[Vector[Tok]] = {
+                  val out = mutable.ArrayBuffer[Vector[Tok]]()
+                  var d = 0
+                  var last = 0
+                  row.zipWithIndex.foreach {
+                    case (Punct("("), _) | (Punct("["), _) => d += 1
+                    case (Punct(")"), _) | (Punct("]"), _) => d -= 1
+                    case (Punct(","), k) if d == 0 =>
+                      out += row.slice(last, k); last = k + 1
+                    case _ =>
+                  }
+                  out += row.slice(last, row.length)
+                  out.toVector
+                }
+                val sel = mutable.ArrayBuffer[Tok]()
+                rows.zipWithIndex.foreach { case (row, r) =>
+                  if (r > 0)
+                    sel ++= Vector(Ws(" "), Ident("UNION"), Ws(" "),
+                      Ident("ALL"), Ws(" "))
+                  sel += Ident("SELECT")
+                  sel += Ws(" ")
+                  val cs = cells(row)
+                  cs.zipWithIndex.foreach { case (c, k) =>
+                    if (k > 0) { sel += Punct(","); sel += Ws(" ") }
+                    sel ++= c
+                    if (r == 0) { // first row names the columns
+                      sel ++= Vector(Ws(" "), Ident("AS"), Ws(" "),
+                        Ident(s"col${k + 1}"))
+                    }
+                  }
+                }
+                ts = ts.slice(0, pi + 1) ++ sel.toVector ++
+                  ts.slice(close, ts.length)
+              }
+              // resume AT the `(` so depth tracking still sees it
+              i = pi - 1
+            case _ =>
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    ts
+  }
+
+  /** A table function whose argument references a column of an earlier
+    * FROM item (`…, generate_series(1, 6, a)` — values/lateral_values.slt)
+    * cannot be expressed as a Spark TVF call; rewrite to a LATERAL
+    * generator subquery. Applied only when an argument is a bare
+    * identifier (a potential lateral reference) — literal-only calls keep
+    * the registered TVF path. */
+  private def rewriteCorrelatedSeries(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    val fromEnders = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+      "UNION", "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "OFFSET")
+    var i = 0
+    var depth = 0
+    val inFrom = mutable.Map.empty[Int, Boolean].withDefaultValue(false)
+    while (i < ts.length) {
+      ts(i) match {
+        case Punct("(") => depth += 1; inFrom(depth) = false
+        case Punct(")") => inFrom(depth) = false; depth -= 1
+        case Ident(w) if w.toUpperCase == "FROM" => inFrom(depth) = true
+        case Ident(w) if fromEnders.contains(w.toUpperCase) =>
+          inFrom(depth) = false
+        case t if inFrom(depth) && (t == Punct(",") ||
+            (t match {
+              case Ident(w) => w.toUpperCase == "JOIN"
+              case _ => false
+            })) =>
+          nextSigOpt(ts, i) match {
+            case Some((fi, Ident(f))) if f.equalsIgnoreCase("generate_series") &&
+                nextSigOpt(ts, fi).exists(_._2 == Punct("(")) =>
+              val pi = nextSig(ts, fi)
+              val close = matchingClose(ts, pi)
+              val args = ts.slice(pi + 1, close)
+              // correlated iff some argument token is a bare identifier
+              // (not a function call — i.e. not followed by `(`)
+              val correlated = args.zipWithIndex.exists { case (tok, k) =>
+                tok match {
+                  case Ident(_) =>
+                    val nxt = args.drop(k + 1).find(!_.isInstanceOf[Ws])
+                    !nxt.contains(Punct("("))
+                  case _ => false
+                }
+              }
+              if (correlated) {
+                val repl = Vector(Ident("LATERAL"), Ws(" "), Punct("("),
+                  Ident("SELECT"), Ws(" "), Ident("explode"), Punct("("),
+                  Ident("sequence"), Punct("(")) ++ args ++
+                  Vector(Punct(")"), Punct(")"), Ws(" "), Ident("AS"),
+                    Ws(" "), Ident("generate_series"), Punct(")"))
+                ts = ts.slice(0, fi) ++ repl ++ ts.slice(close + 1, ts.length)
+                // skip past the balanced replacement (net-zero depth)
+                i = fi + repl.length - 1
+              } else i = close
+            case _ =>
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    ts
+  }
+
   /** Implicit lateral correlation: in a FROM clause, `, (SELECT …)` and
     * `JOIN (SELECT …)` become `, LATERAL (SELECT …)` / `JOIN LATERAL (…)` —
     * the reference allows correlated FROM subqueries without the keyword;
@@ -1223,8 +1399,9 @@ object Dialect {
     val base = rewriteCastRange(rewriteChaining(base0, chaining))
     var ts = mapIdents(rewriteTypedLiterals(rewriteExtractField(
       dropUnsupportedQualifiers(rewriteIndexing(
-        rewriteListLiterals(rewriteImplicitLateral(rewriteGroupingNoRollup(
-          rewriteGroupingMulti(base)))))))))
+        rewriteListLiterals(rewriteImplicitLateral(rewriteCorrelatedSeries(
+          rewriteFromValues(rewriteGroupingNoRollup(
+            rewriteGroupingMulti(base)))))))))))
     var guard = 0
     var more = true
     while (more && guard < 200) {

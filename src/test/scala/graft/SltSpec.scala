@@ -42,6 +42,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "cast/date.slt",
     "cast/decimal.slt",
     "cast/implicit_cast_int_lit.slt",
+    "cast/interval.slt",
     "cast/implicit_cast_scalar_agg.slt",
     "cast/implicit_cast_string_lit.slt",
     "cast/nested_casts.slt",
@@ -178,6 +179,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "join/inner_join_large_result.slt",
     "join/inner_join_using.slt",
     "join/join_empty.slt",
+    "join/lateral_join.slt",
     "join/lateral_left_join.slt",
     "join/left_join_with_right_filter.slt",
     "join/left_outer.slt",
@@ -211,6 +213,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "parallelism/arbitrary_values.slt",
     "select/from_missing.slt",
     "select/from_values_no_parens.slt",
+    "setops/union.slt",
     "setops/union_distinct.slt",
     "show/show_databases.slt",
     "show/show_schemas.slt",
@@ -229,21 +232,30 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "subqueries/subquery_alias.slt",
     "time/date_arith.slt",
     "time/date_cmp.slt",
+    "time/interval_arith.slt",
     "values/implicit_cast.slt",
+    "values/lateral_values.slt",
     "values/num_columns.slt",
+    "values/values_aliases.slt",
     "vars/reset.slt",
     "vars/set_batch_size.slt",
     "vars/set_partitions.slt",
     "vars/set_var.slt",
     "vars/verify_optimized_plan.slt",
+    "views/create_view.slt",
+    "views/temp_view.slt",
     "views/view_in_subquery.slt",
     "views/view_qualified_reference.slt",
     "window/basic.slt")
 
-  /** Connector suites (slt/csv, slt/parquet, slt/tpch_gen, slt/iceberg)
-    * resolved through the GraftSession path/TVF rewrite — 72 files green as
-    * of round 4 (the rest need the uncloned parquet-testing submodule,
-    * S3 egress, or duplicate/empty view column names Spark rejects). */
+  /** Connector suites (slt/csv, slt/parquet, slt/tpch_gen, slt/iceberg,
+    * slt/delta) resolved through the GraftSession path/TVF rewrite.
+    * HONEST COUNT (SLT.md "Connector suites"): 44 of these files are
+    * substantive; the 29 parquet-testing files below marked
+    * [vacuous] contain only `SET verify_optimized_plan` statements because
+    * the reference's parquet-testing data submodule is empty and its
+    * queries are commented out upstream as TODO — they are kept so a
+    * future data drop fails loudly, and count for nothing. */
   val connectorRoot = "/root/reference/slt"
   val connectorAllowlist: Seq[String] = Seq(
     "csv/copy_to.slt",
@@ -274,6 +286,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "parquet/file_infer.slt",
     "parquet/file_metadata.slt",
     "parquet/glob_numbers.slt",
+    // ---- [vacuous: ref-TODO, no data] the 29 parquet-testing files ----
     "parquet/parquet-testing/bad/ARROW-GH-41317.slt",
     "parquet/parquet-testing/bad/ARROW-GH-41321.slt",
     "parquet/parquet-testing/bad/ARROW-GH-45185.slt",
@@ -303,6 +316,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "parquet/parquet-testing/repeated_no_annotation.slt",
     "parquet/parquet-testing/repeated_primitive_no_list.slt",
     "parquet/parquet-testing/unknown-logical-type.slt",
+    // ---- [end vacuous block] ----
     "parquet/parquet_testing.slt",
     "parquet/read_file_list.slt",
     "parquet/read_parquet_local.slt",
@@ -317,7 +331,66 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "iceberg/iceberg_data_files.slt",
     "iceberg/iceberg_manifest_list.slt",
     "iceberg/iceberg_metadata.slt",
-    "iceberg/iceberg_snapshots.slt")
+    "iceberg/iceberg_snapshots.slt",
+    // local half only: the trailing s3:// record is skipped-with-reason
+    // (zero-egress env; FileResult.skipped)
+    "delta/simple.slt")
+
+  /** slt/tpchbench: the reference's own TPC-H end-to-end suite
+    * (describe.slt + q01..q22). Its data goldens were captured against
+    * the dbgen sf0.1 parquet in the testdata submodule, which is EMPTY in
+    * this tree — so DESCRIBE goldens (schemas + the reference's aggregate
+    * type-widening rules) are compared in full, while data goldens run
+    * execute-only (counted as skipped; SLT.md documents the split). The
+    * tables are the tpch_gen TVF outputs cast to the benchmark parquet
+    * schema that describe.slt itself records. */
+  val tpchbenchRoot = "/root/reference/slt/tpchbench"
+  val tpchbenchFiles: Seq[String] =
+    Seq("describe.slt") ++ (1 to 22).map(i => f"q$i%02d.slt")
+
+  private def setupTpchBench(s: org.apache.spark.sql.SparkSession): Unit = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tpchbenchRoot/describe.slt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val block = "(?s)describe (\\w+)\\s*\\n----\\n(.*?)(?=\\n\\n|\\z)".r
+    def sparkType(t: String): String = t match {
+      case "Int32" => "INT"
+      case "Int64" => "BIGINT"
+      case "Utf8" => "STRING"
+      case "Date32" => "DATE"
+      case d if d.startsWith("Decimal") =>
+        d.replaceAll("Decimal(64|128)", "DECIMAL")
+      case other => other
+    }
+    block.findAllMatchIn(txt).foreach { m =>
+      val table = m.group(1)
+      val cols = m.group(2).linesIterator.map(_.trim).filter(_.nonEmpty)
+        .map { l =>
+          val Array(c, t) = l.split("\\s+", 2).map(_.trim)
+          s"CAST($c AS ${sparkType(t)}) AS $c"
+        }.toSeq
+      graft.sources.TpchGen.table(s, table, 0.01)
+        .selectExpr(cols: _*).createOrReplaceTempView(table)
+    }
+  }
+
+  test(s"tpchbench SLT suite passes (${tpchbenchFiles.size} files; " +
+    "data goldens execute-only)") {
+    // child session: the 8 benchmark temp views must not leak into the
+    // shared catalog (slt/standard system_join counts list_tables())
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.GlareCompat.register(s)
+    setupTpchBench(s)
+    val results = tpchbenchFiles.map { rel =>
+      rel -> graft.slt.SltRunner.runFile(s, s"$tpchbenchRoot/$rel",
+        executeGoldensOnly = true)
+    }
+    val bad = results.collect { case (rel, r) if !r.passed =>
+      s"$rel: ${r.failures.headOption.getOrElse("")}"
+    }
+    assert(bad.isEmpty, s"tpchbench SLT regressions:\n${bad.mkString("\n")}")
+  }
 
   test(s"connector SLT allowlist passes (${connectorAllowlist.size} files)") {
     graft.functions.GraftFunctions.register(spark)
