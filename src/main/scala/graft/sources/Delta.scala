@@ -129,7 +129,23 @@ object Delta {
         val sel =
           if (hasPv) ck.select(col("add.path"), col("add.partitionValues"))
           else ck.select(col("add.path"), lit(null).as("partitionValues"))
-        sel.where(col("path").isNotNull).collect().foreach { r =>
+        val addDf = sel.where(col("path").isNotNull)
+        // The live file list necessarily lands on the driver — it feeds
+        // `spark.read.parquet(files…)` (Delta's own reader holds it in a
+        // custom FileIndex, same driver residency). A checkpoint already
+        // carries the RECONCILED state, so this is the live set, not the
+        // full history — but a 10M-file table would still be ~GBs of
+        // paths. Count first (distributed, cheap) and fail with a clear
+        // message instead of an opaque driver OOM.
+        val maxFiles = spark.conf.getOption("graft.delta.maxCheckpointFiles")
+          .map(_.toLong).getOrElse(10000000L)
+        val n = addDf.count()
+        if (n > maxFiles)
+          throw new UnsupportedOperationException(
+            s"Delta checkpoint lists $n live files (> $maxFiles); reading " +
+              "a table this large needs a streaming FileIndex — raise " +
+              "graft.delta.maxCheckpointFiles only with driver memory to match")
+        addDf.collect().foreach { r =>
           val pv: Map[String, Option[String]] =
             if (r.isNullAt(1)) Map.empty
             else r.getMap[String, String](1).toMap.map { case (k, x) => k -> Option(x) }

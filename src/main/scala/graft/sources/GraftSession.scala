@@ -180,8 +180,14 @@ object GraftSession {
         val buf = new Array[Byte](1 << 20)
         val n = in.read(buf)
         if (n <= 0) Nil
-        else new String(buf, 0, n, "UTF-8").split("\r?\n").toSeq
-          .filter(_.nonEmpty).take(max)
+        else {
+          val all = new String(buf, 0, n, "UTF-8").split("\r?\n").toSeq
+          // a full buffer likely cut the final line mid-cell — a truncated
+          // quoted field or number would skew dialect/type inference, so
+          // drop it (the untruncated lines are sample enough)
+          val whole = if (n == buf.length && all.size > 1) all.init else all
+          whole.filter(_.nonEmpty).take(max)
+        }
       } finally in.close()
     }
 
@@ -220,7 +226,11 @@ object GraftSession {
       counts.nonEmpty && counts.head > 1 && counts.distinct.size == 1
     }.getOrElse((',', '"'))
 
-    // glob consistency: all files must agree on column count
+    // glob consistency: all files must agree on column count. Dialect and
+    // column TYPES are inferred from the first file only (first-file-wins,
+    // like the reference's single-sample inference) — later files whose
+    // cells don't fit the imposed type read as null, as with any
+    // user-supplied schema.
     val ncols = parseLine(sample.head, delim, quote).length
     files.drop(1).take(50).foreach { f =>
       val head = sampleLines(f, 1)

@@ -219,13 +219,33 @@ object Iceberg {
       }
     }
 
+  /** v2 position/equality deletes are NOT applied (read-only parity with
+    * the reference's extension, whose fixtures carry no deletes) — a table
+    * that HAS live delete entries must error rather than silently
+    * over-count. Delete manifests carry manifest-list `content != 0`;
+    * delete files inside a manifest carry entry `content != 0`. */
+  private[graft] def requireNoDeletes(
+      entries: Seq[(ManifestFile, DataFileEntry)]): Unit = {
+    val deletes = entries.filter { case (mf, e) =>
+      (mf.content != 0 || e.content != 0) && e.status != 2
+    }
+    if (deletes.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"Iceberg table has ${deletes.size} live delete entr" +
+          s"${if (deletes.size == 1) "y" else "ies"} (v2 position/equality " +
+          "deletes); reading without applying them would return deleted rows")
+  }
+
   /** Live data files, optionally pruned by identity-partition values before
     * the scan exists (manifest-level pruning — the 100 TB planning step). */
-  def liveDataFiles(table: Table, partitionFilter: Map[String, String] = Map.empty): Seq[DataFileEntry] =
-    dataFileEntries(table)
+  def liveDataFiles(table: Table, partitionFilter: Map[String, String] = Map.empty): Seq[DataFileEntry] = {
+    val entries = dataFileEntries(table)
+    requireNoDeletes(entries)
+    entries
       .filter { case (mf, e) => mf.content == 0 && e.status != 2 && e.content == 0 }
       .map(_._2)
       .filter(e => partitionFilter.forall { case (k, v) => e.partition.get(k).contains(v) })
+  }
 
   /** Read an Iceberg table into a DataFrame. */
   def read(spark: SparkSession, tableRoot: String,

@@ -46,33 +46,58 @@ object ParquetMeta {
           fs.listStatus(st.getPath).toSeq.filter(_.isFile)
             .filter(_.getPath.getName.endsWith(".parquet"))
         else Seq(st)
-      }.map(_.getPath.toUri.getPath)
+      }.map(_.getPath.toString)
     }.sorted
 
   /** Display form of a file path: the reference prints fixture paths as
     * given, which its suites spell relative to the slt/ dir — shorten the
     * reference-root prefix back to `../` so outputs match verbatim. */
   private def display(path: String): String =
-    path.replaceFirst("^/root/reference/", "../")
+    path.replaceFirst("^file:(?=/)", "")
+      .replaceFirst("^/root/reference/", "../")
 
-  /** Read the raw thrift footer: [data][footer][len: 4 LE]["PAR1"]. */
-  private def readFooter(path: String): org.apache.parquet.format.FileMetaData = {
-    val f = new java.io.RandomAccessFile(path, "r")
+  /** Hadoop Configuration is not Serializable; wrap it so executors can
+    * open the same filesystem (hdfs/s3a/...) the driver globbed. */
+  private class SerializableHadoopConf(
+      @transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Read the raw thrift footer: [data][footer][len: 4 LE]["PAR1"].
+    * Opens through the Hadoop FileSystem so the same code path serves any
+    * scheme the scan globbed (local, hdfs, s3a). */
+  private def readFooter(path: String,
+      conf: org.apache.hadoop.conf.Configuration): org.apache.parquet.format.FileMetaData = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    require(len >= 12, s"not a parquet file (only $len bytes): $path")
+    val in = fs.open(p)
     try {
-      val len = f.length()
-      f.seek(len - 8)
+      in.seek(len - 8)
       val tail = new Array[Byte](8)
-      f.readFully(tail)
+      in.readFully(tail)
       require(new String(tail, 4, 4, "ASCII") == "PAR1",
         s"not a parquet file: $path")
       val footerLen = java.nio.ByteBuffer.wrap(tail, 0, 4)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-      f.seek(len - 8 - footerLen)
+      require(footerLen > 0 && footerLen <= len - 8,
+        s"corrupt parquet footer length $footerLen (file length $len): $path")
+      in.seek(len - 8 - footerLen)
       val buf = new Array[Byte](footerLen)
-      f.readFully(buf)
+      in.readFully(buf)
       org.apache.parquet.format.Util
         .readFileMetaData(new java.io.ByteArrayInputStream(buf))
-    } finally f.close()
+    } finally in.close()
   }
 
   /** (physical_type, max_definition_level, max_repetition_level) per leaf
@@ -105,12 +130,13 @@ object ParquetMeta {
 
   private def overFiles[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, patterns: Seq[String])(
-      per: String => Iterator[T]): Dataset[T] = {
+      per: (String, org.apache.hadoop.conf.Configuration) => Iterator[T]): Dataset[T] = {
     val files = expand(spark, patterns)
+    val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
     spark.createDataset(files).repartition(
       math.min(files.size, graft.Engine.defaultCpus).max(1))
-      .mapPartitions(_.flatMap(per))
+      .mapPartitions(it => it.flatMap(per(_, sconf.conf)))
   }
 
   /** CORRECTNESS entries: the TVFs over the reference's own parquet
@@ -169,8 +195,8 @@ object ParquetMeta {
 
   def fileMetadataDf(spark: SparkSession, patterns: Seq[String]): DataFrame = {
     import spark.implicits._
-    overFiles[PFileMeta](spark, patterns) { path =>
-      val fmd = readFooter(path)
+    overFiles[PFileMeta](spark, patterns) { (path, conf) =>
+      val fmd = readFooter(path, conf)
       Iterator.single(PFileMeta(display(path), fmd.getVersion, fmd.getNum_rows,
         fmd.getCreated_by, fmd.getRow_groupsSize.toLong))
     }.toDF()
@@ -178,9 +204,9 @@ object ParquetMeta {
 
   def rowgroupMetadataDf(spark: SparkSession, patterns: Seq[String]): DataFrame = {
     import spark.implicits._
-    overFiles[PRowGroupMeta](spark, patterns) { path =>
+    overFiles[PRowGroupMeta](spark, patterns) { (path, conf) =>
       import scala.jdk.CollectionConverters._
-      val fmd = readFooter(path)
+      val fmd = readFooter(path, conf)
       fmd.getRow_groups.asScala.iterator.zipWithIndex.map { case (rg, i) =>
         PRowGroupMeta(display(path), rg.getNum_rows, rg.getColumnsSize.toLong,
           rg.getTotal_byte_size, i.toShort)
@@ -190,9 +216,9 @@ object ParquetMeta {
 
   def columnMetadataDf(spark: SparkSession, patterns: Seq[String]): DataFrame = {
     import spark.implicits._
-    overFiles[PColumnMeta](spark, patterns) { path =>
+    overFiles[PColumnMeta](spark, patterns) { (path, conf) =>
       import scala.jdk.CollectionConverters._
-      val fmd = readFooter(path)
+      val fmd = readFooter(path, conf)
       val leaves = leafLevels(fmd)
       fmd.getRow_groups.asScala.iterator.zipWithIndex.flatMap {
         case (rg, rgIdx) =>

@@ -146,13 +146,21 @@ object TpchGen {
   def partsupp(spark: SparkSession, sf: Double): DataFrame = {
     val partN = math.max((200000 * sf).toLong, 1L)
     val suppN = math.max((10000 * sf).toLong, 1L)
-    // official shape: 4 suppliers per part
+    // official shape: 4 suppliers per part, assigned by the dbgen formula
+    // ((partkey + i*(suppN/4 + (partkey-1)/suppN)) % suppN) + 1 — this
+    // guarantees the 4 suppliers of a part are DISTINCT, preserving the
+    // (ps_partkey, ps_suppkey) primary key that dbgen promises (an
+    // independent hash draw collides for ~4·3/suppN of parts, and joins
+    // assuming PK uniqueness would double-count)
     spark.range(1, partN + 1)
       .select(col("id").as("ps_partkey"),
         explode(sequence(lit(0), lit(3))).as("i"))
       .select(
         col("ps_partkey"),
-        (pmod(xxhash64(lit(55), col("ps_partkey"), col("i")), lit(suppN)) + 1)
+        (pmod(col("ps_partkey") + col("i") *
+            (lit(suppN / 4) + floor((col("ps_partkey") - 1) / lit(suppN.toDouble))
+              .cast(LongType)),
+          lit(suppN)) + 1)
           .as("ps_suppkey"),
         (pmod(xxhash64(lit(56), col("ps_partkey"), col("i")), lit(9999)) + 1)
           .cast(IntegerType).as("ps_availqty"),

@@ -59,6 +59,28 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("ADDED", "DATA", "PARQUET", 4L)))
   }
 
+  test("v2 live delete entries are rejected, not silently dropped") {
+    import sources.Iceberg.{ManifestFile, DataFileEntry, requireNoDeletes}
+    val data = ManifestFile("m1.avro", 100L, content = 0, sequenceNumber = 1L)
+    val del = ManifestFile("m2.avro", 100L, content = 1, sequenceNumber = 2L)
+    def entry(content: Int, status: Int = 1) = DataFileEntry(
+      status = status, content = content, filePath = "f.parquet",
+      fileFormat = "PARQUET", recordCount = 10L, partition = Map.empty)
+    // clean table: fine
+    requireNoDeletes(Seq(data -> entry(0)))
+    // delete manifest present → reject
+    val e1 = intercept[UnsupportedOperationException] {
+      requireNoDeletes(Seq(data -> entry(0), del -> entry(1)))
+    }
+    assert(e1.getMessage.contains("delete"))
+    // delete FILE inside a data manifest → reject too
+    intercept[UnsupportedOperationException] {
+      requireNoDeletes(Seq(data -> entry(0), data -> entry(2)))
+    }
+    // a REMOVED (status=2) delete entry is not live — fine
+    requireNoDeletes(Seq(data -> entry(0), del -> entry(1, status = 2)))
+  }
+
   test("sql sugar: iceberg TVFs and read_iceberg resolve") {
     val n = sources.GraftSession.sql(spark,
       s"SELECT count(*) AS n FROM read_iceberg('$Base/tables-v1/lineitem_simple')")
