@@ -392,6 +392,95 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, s"tpchbench SLT regressions:\n${bad.mkString("\n")}")
   }
 
+  /** slt/tpcds: the reference's own TPC-DS suite (describe_files.slt + the
+    * 99 q-files). Same split as tpchbench: DESCRIBE goldens compared in
+    * full; data goldens execute-only (the tpcds_sf0.1 submodule is empty).
+    * Tables are decimal-typed TWINS of the synthesized star schema, cast
+    * column-by-column to the official schema describe_files.slt records
+    * (missing columns null-padded; INT128-stored decimals tagged so the
+    * display layer shows Decimal128 at p<=18 like the reference's reader).
+    *
+    * 68 q-files are NOT in this allowlist because their DESCRIBE goldens
+    * are EMPTY — the reference's own engine errors on those queries
+    * (in-file comments say so: q03 "Error source: Missing column for
+    * reference", q77 "Cannot resolve ... coalesce", ...). Our engine
+    * DESCRIBEs and runs them fine (all 99 execute DuckDB-oracle-green as
+    * tpcds_q* in CORRECTNESS), but a non-empty result can never match an
+    * empty golden, and counting them skipped would be vacuous. */
+  val tpcdsSltRoot = "/root/reference/slt/tpcds"
+  val tpcdsSltAllowlist: Seq[String] = Seq(
+    "q01", "q07", "q08", "q09", "q10", "q14", "q15", "q19", "q21", "q22",
+    "q26", "q27", "q28", "q30", "q35", "q37", "q43", "q45", "q48", "q50",
+    "q55", "q59", "q62", "q65", "q69", "q72", "q74", "q76", "q78", "q82",
+    "q90").map(_ + ".slt")
+
+  private def setupTpcdsTwins(s: org.apache.spark.sql.SparkSession): String = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    // materialize + cache the synthesized star schema once (sf0.001)
+    graft.queries.Tpcds.queries("tpcds_q42")(s, "/root/testdata/sf0.001").collect()
+    val dtxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tpcdsSltRoot/describe_files.slt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val block = "(?s)describe '[^']*/(\\w+)\\.parquet'\\s*\\n----\\n(.*?)(?=\\n\\n|\\z)".r
+    def sparkType(t: String): String = t match {
+      case "Int32" => "INT"
+      case "Int64" => "BIGINT"
+      case "Utf8" => "STRING"
+      case "Date32" => "DATE"
+      case "Float64" => "DOUBLE"
+      case d if d.startsWith("Decimal") =>
+        d.replaceAll("Decimal(64|128)", "DECIMAL")
+      case other => other
+    }
+    val d128 = "Decimal128\\((\\d+),(\\d+)\\)".r
+    block.findAllMatchIn(dtxt).foreach { m =>
+      val table = m.group(1)
+      val cols = m.group(2).linesIterator.map(_.trim).filter(_.nonEmpty)
+        .map { l =>
+          val Array(c, t) = l.split("\\s+", 2).map(_.trim); (c, t)
+        }.toSeq
+      val base = s.table(table)
+      val have = base.columns.map(_.toLowerCase).toSet
+      val sel = cols.map { case (c, t) =>
+        if (have(c.toLowerCase)) s"CAST($c AS ${sparkType(t)}) AS $c"
+        else s"CAST(NULL AS ${sparkType(t)}) AS $c"
+      }
+      val df = base.selectExpr(sel: _*)
+      val tagged = cols.map { case (c, t) =>
+        t match {
+          case d128(p, _) if p.toInt <= 18 =>
+            fcol(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+              .putBoolean("graft_dec128", true).build())
+          case _ => fcol(c)
+        }
+      }
+      df.select(tagged: _*).createOrReplaceTempView(table)
+    }
+    // describe_files itself path-describes the (empty) submodule parquet —
+    // re-point at the twin views by bare name
+    val fixed = dtxt.replaceAll(
+      "describe '[^']*/(\\w+)\\.parquet'", "describe $1")
+    val tmp = java.nio.file.Files.createTempFile("graft_tpcds_describe", ".slt")
+    java.nio.file.Files.write(tmp, fixed.getBytes("UTF-8"))
+    tmp.toString
+  }
+
+  test(s"tpcds SLT suite passes (describe_files + " +
+    s"${tpcdsSltAllowlist.size} q-files; data goldens execute-only)") {
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.GlareCompat.register(s)
+    val describeFile = setupTpcdsTwins(s)
+    val files = Seq("describe_files.slt" -> describeFile) ++
+      tpcdsSltAllowlist.map(f => f -> s"$tpcdsSltRoot/$f")
+    val bad = files.flatMap { case (rel, path) =>
+      val r = graft.slt.SltRunner.runFile(s, path, executeGoldensOnly = true)
+      if (r.passed) None
+      else Some(s"$rel: ${r.failures.headOption.getOrElse("")}")
+    }
+    assert(bad.isEmpty, s"tpcds SLT regressions:\n${bad.mkString("\n")}")
+  }
+
   test(s"connector SLT allowlist passes (${connectorAllowlist.size} files)") {
     graft.functions.GraftFunctions.register(spark)
     graft.functions.GlareCompat.register(spark)
