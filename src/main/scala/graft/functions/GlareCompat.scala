@@ -315,6 +315,9 @@ object GlareCompat {
     // nested types (list/list_extract.rs — 1-based, out-of-bounds → NULL,
     // struct_funcs.rs)
     f("list_extract")(es => ElementAt(es(0), es(1), None, failOnError = false))
+    // element_at shares list_extract's out-of-bounds → NULL semantics in
+    // the reference; Spark's builtin throws under ANSI
+    f("element_at")(es => ElementAt(es(0), es(1), None, failOnError = false))
     f("list_value")(es => CreateArray(es))
     f("struct_extract")(es => UnresolvedExtractValue(es(0), es(1)))
     // datetime (datetime/epoch.rs:16,34)

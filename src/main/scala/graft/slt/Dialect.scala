@@ -970,14 +970,23 @@ object Dialect {
       ts(i) match {
         case Punct("(") => depth += 1; inFrom(depth) = false
         case Punct(")") => inFrom(depth) = false; depth -= 1
-        case Ident(w) if w.toUpperCase == "FROM" => inFrom(depth) = true
-        case Ident(w) if fromEnders.contains(w.toUpperCase) =>
+        case Ident(w) if fromEnders.contains(w.toUpperCase) &&
+            !inFrom.isEmpty && inFrom(depth) =>
           inFrom(depth) = false
-        case t if inFrom(depth) && (t == Punct(",") ||
+        // FROM is ALSO a trigger: a first-item `FROM (VALUES (x))` inside
+        // a LATERAL subquery may reference the outer scope
+        // (select/distinct.slt) — the SELECT form resolves it, and no
+        // LATERAL keyword is inserted for first items (the implicit-
+        // lateral pass only fires on comma/JOIN).
+        case t if (t match {
+              case Ident(w) if w.toUpperCase == "FROM" =>
+                inFrom(depth) = true; true
+              case _ => false
+            }) || (inFrom(depth) && (t == Punct(",") ||
             (t match {
               case Ident(w) => Set("JOIN", "LATERAL").contains(w.toUpperCase)
               case _ => false
-            })) =>
+            }))) =>
           (nextSigOpt(ts, i), nextSig2Opt(ts, i)) match {
             case (Some((pi, Punct("("))), Some((vi, Ident(v))))
                 if v.toUpperCase == "VALUES" && vi == nextSig(ts, pi) =>
@@ -1041,6 +1050,69 @@ object Dialect {
               }
               // resume AT the `(` so depth tracking still sees it
               i = pi - 1
+            case (Some((vi, Ident(v))), _) if v.toUpperCase == "VALUES" =>
+              // BARE `, VALUES (…) alias` without wrapping parens
+              // (subqueries/correlated_lateral.slt) — same transform, the
+              // replacement supplies its own parentheses
+              val rows = mutable.ArrayBuffer[Vector[Tok]]()
+              var j = nextSig(ts, vi)
+              var endIdx = vi
+              var continue = true
+              while (continue && j < ts.length && ts(j) == Punct("(")) {
+                val rc = matchingClose(ts, j)
+                rows += ts.slice(j + 1, rc)
+                endIdx = rc
+                val n1 = nextSig(ts, rc)
+                if (n1 < ts.length && ts(n1) == Punct(",") && {
+                  val n2 = nextSig(ts, n1)
+                  n2 < ts.length && ts(n2) == Punct("(")
+                }) j = nextSig(ts, n1)
+                else continue = false
+              }
+              val correlated = rows.exists(_.exists {
+                case Ident(w) =>
+                  !Set("NULL", "TRUE", "FALSE").contains(w.toUpperCase)
+                case _ => false
+              })
+              if (rows.nonEmpty && correlated) {
+                def cells(row: Vector[Tok]): Vector[Vector[Tok]] = {
+                  val out = mutable.ArrayBuffer[Vector[Tok]]()
+                  var d = 0
+                  var last = 0
+                  row.zipWithIndex.foreach {
+                    case (Punct("("), _) | (Punct("["), _) => d += 1
+                    case (Punct(")"), _) | (Punct("]"), _) => d -= 1
+                    case (Punct(","), k) if d == 0 =>
+                      out += row.slice(last, k); last = k + 1
+                    case _ =>
+                  }
+                  out += row.slice(last, row.length)
+                  out.toVector
+                }
+                val sel = mutable.ArrayBuffer[Tok]()
+                sel += Punct("(")
+                rows.zipWithIndex.foreach { case (row, r) =>
+                  if (r > 0)
+                    sel ++= Vector(Ws(" "), Ident("UNION"), Ws(" "),
+                      Ident("ALL"), Ws(" "))
+                  sel += Ident("SELECT")
+                  sel += Ws(" ")
+                  val cs = cells(row)
+                  cs.zipWithIndex.foreach { case (c, k) =>
+                    if (k > 0) { sel += Punct(","); sel += Ws(" ") }
+                    sel ++= c
+                    if (r == 0) {
+                      sel ++= Vector(Ws(" "), Ident("AS"), Ws(" "),
+                        Ident(s"col${k + 1}"))
+                    }
+                  }
+                }
+                sel += Punct(")")
+                ts = ts.slice(0, vi) ++ sel.toVector ++
+                  ts.slice(endIdx + 1, ts.length)
+                // resume AT the inserted `(` for depth tracking
+                i = vi - 1
+              } else i = endIdx
             case _ =>
           }
         case _ =>
@@ -1051,11 +1123,13 @@ object Dialect {
   }
 
   /** A table function whose argument references a column of an earlier
-    * FROM item (`…, generate_series(1, 6, a)` — values/lateral_values.slt)
-    * cannot be expressed as a Spark TVF call; rewrite to a LATERAL
-    * generator subquery. Applied only when an argument is a bare
-    * identifier (a potential lateral reference) — literal-only calls keep
-    * the registered TVF path. */
+    * FROM item (`…, generate_series(1, 6, a)` — values/lateral_values.slt;
+    * `…, unnest(v.a)` — functions/table/unnest_list.slt) cannot be
+    * expressed as a Spark TVF call; rewrite to a LATERAL generator
+    * subquery. Applied only when an argument is a bare identifier (a
+    * potential lateral reference) — literal-only calls keep the
+    * registered TVF path. generate_series output is Int64 in the
+    * reference regardless of argument width, hence the BIGINT casts. */
   private def rewriteCorrelatedSeries(ts0: Vector[Tok]): Vector[Tok] = {
     var ts = ts0
     val fromEnders = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
@@ -1076,8 +1150,10 @@ object Dialect {
               case _ => false
             })) =>
           nextSigOpt(ts, i) match {
-            case Some((fi, Ident(f))) if f.equalsIgnoreCase("generate_series") &&
-                nextSigOpt(ts, fi).exists(_._2 == Punct("(")) =>
+            case Some((fi, Ident(f)))
+                if (f.equalsIgnoreCase("generate_series") ||
+                  f.equalsIgnoreCase("unnest")) &&
+                  nextSigOpt(ts, fi).exists(_._2 == Punct("(")) =>
               val pi = nextSig(ts, fi)
               val close = matchingClose(ts, pi)
               val args = ts.slice(pi + 1, close)
@@ -1092,11 +1168,36 @@ object Dialect {
                 }
               }
               if (correlated) {
-                val repl = Vector(Ident("LATERAL"), Ws(" "), Punct("("),
-                  Ident("SELECT"), Ws(" "), Ident("explode"), Punct("("),
-                  Ident("sequence"), Punct("(")) ++ args ++
-                  Vector(Punct(")"), Punct(")"), Ws(" "), Ident("AS"),
-                    Ws(" "), Ident("generate_series"), Punct(")"))
+                val repl =
+                  if (f.equalsIgnoreCase("unnest"))
+                    Vector(Ident("LATERAL"), Ws(" "), Punct("("),
+                      Ident("SELECT"), Ws(" "), Ident("explode"), Punct("(")) ++
+                      args ++
+                      Vector(Punct(")"), Ws(" "), Ident("AS"), Ws(" "),
+                        Ident("unnest"), Punct(")"))
+                  else {
+                    // split top-level commas, wrap each arg in BIGINT()
+                    val groups = mutable.ArrayBuffer[Vector[Tok]]()
+                    var d = 0
+                    var last = 0
+                    args.zipWithIndex.foreach {
+                      case (Punct("("), _) => d += 1
+                      case (Punct(")"), _) => d -= 1
+                      case (Punct(","), k) if d == 0 =>
+                        groups += args.slice(last, k); last = k + 1
+                      case _ =>
+                    }
+                    groups += args.slice(last, args.length)
+                    val casted = groups.zipWithIndex.flatMap { case (g, k) =>
+                      (if (k > 0) Vector(Punct(","), Ws(" ")) else Vector.empty) ++
+                        Vector(Ident("BIGINT"), Punct("(")) ++ g :+ Punct(")")
+                    }.toVector
+                    Vector(Ident("LATERAL"), Ws(" "), Punct("("),
+                      Ident("SELECT"), Ws(" "), Ident("explode"), Punct("("),
+                      Ident("sequence"), Punct("(")) ++ casted ++
+                      Vector(Punct(")"), Punct(")"), Ws(" "), Ident("AS"),
+                        Ws(" "), Ident("generate_series"), Punct(")"))
+                  }
                 ts = ts.slice(0, fi) ++ repl ++ ts.slice(close + 1, ts.length)
                 // skip past the balanced replacement (net-zero depth)
                 i = fi + repl.length - 1
@@ -1372,6 +1473,39 @@ object Dialect {
               si == nextSig(ts, pi) &&
               nextSigOpt(ts, si).exists(_._2 == Punct(")")) =>
           ts = ts.slice(0, si) ++ ts.slice(si + 1, ts.length)
+        case _ =>
+      }
+      i += 1
+    }
+    // quantified comparison sugar Spark's parser lacks:
+    // `= ANY(subquery)` → `IN (…)`, `<>/!= ALL(subquery)` → `NOT IN (…)`
+    // (subqueries/any_all.slt; the other operators have no IN equivalent)
+    i = 0
+    while (i < ts.length) {
+      (ts(i), nextSigOpt(ts, i)) match {
+        case (Op("="), Some((ai, Ident(a))))
+            if a.toUpperCase == "ANY" && {
+              val pi = nextSig(ts, ai)
+              pi < ts.length && ts(pi) == Punct("(") &&
+                (nextSigOpt(ts, pi) match {
+                  case Some((_, Ident(s))) => s.toUpperCase == "SELECT"
+                  case _ => false
+                })
+            } =>
+          ts = ts.slice(0, i) ++ Vector(Ident("IN"), Ws(" ")) ++
+            ts.slice(ai + 1, ts.length)
+        case (Op("<>") | Op("!="), Some((ai, Ident(a))))
+            if a.toUpperCase == "ALL" && {
+              val pi = nextSig(ts, ai)
+              pi < ts.length && ts(pi) == Punct("(") &&
+                (nextSigOpt(ts, pi) match {
+                  case Some((_, Ident(s))) => s.toUpperCase == "SELECT"
+                  case _ => false
+                })
+            } =>
+          ts = ts.slice(0, i) ++
+            Vector(Ident("NOT"), Ws(" "), Ident("IN"), Ws(" ")) ++
+            ts.slice(ai + 1, ts.length)
         case _ =>
       }
       i += 1

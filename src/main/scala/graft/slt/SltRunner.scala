@@ -279,6 +279,166 @@ object SltRunner {
     out.toString
   }
 
+  /** Select-list `unnest(expr)` (reference: select/unnest.slt). Spark has
+    * no select-position unnest; the reference's semantics are: all unnest
+    * calls in one select list ZIP (shorter lists NULL-padded to the
+    * longest, a NULL/empty list contributes NULLs), expressions may wrap
+    * the call (`unnest(x) + 3`, `repeat(unnest(a), unnest(b))`), and
+    * aggregates aggregate over the unnested rows (`sum(unnest(a))`).
+    *
+    * Rewritten to a LATERAL VIEW explode over an index-zipped struct:
+    * {{{
+    * SELECT <items with unnest(Ei) -> __unn_x.__unn_i> FROM (
+    *   SELECT [*,] greatest(size(coalesce(Ei, array()))...) AS __unn_len
+    *   FROM <from+where>                   -- or one-row when no FROM
+    *   LATERAL VIEW explode(CASE WHEN __unn_len = 0 THEN array()
+    *     ELSE transform(sequence(0, __unn_len - 1),
+    *       __i -> named_struct('__unn_i', try_element_at(coalesce(Ei,
+    *         array()), __i + 1), ...)) END) __unn_t AS __unn_x
+    * ) <group/having/order/limit tail>
+    * }}}
+    * GROUP/HAVING/ORDER/LIMIT stay OUTER (aggregate-over-unnest, alias
+    * ordering); FROM + WHERE stay inner. */
+  private[slt] def rewriteSelectUnnest(sql0: String): String = {
+    val up = sql0.toUpperCase
+    val selIdx = up.indexOf("SELECT")
+    if (selIdx < 0) return sql0
+    // abort on shapes the transform doesn't model
+    if ("(?i)\\b(UNION|INTERSECT|EXCEPT)\\b".r.findFirstIn(sql0).isDefined)
+      return sql0
+    val lits = literalSpans(sql0)
+    def inLit(p: Int) = lits.exists { case (a, b) => p >= a && p <= b }
+    // scan for top-level clause boundaries after the SELECT
+    var depth = 0
+    var i = selIdx + 6
+    var fromIdx = -1
+    var outerKwIdx = -1 // first top-level GROUP/HAVING/ORDER/LIMIT
+    val kw = "(?i)^(FROM|GROUP|HAVING|ORDER|LIMIT|OFFSET|WHERE)\\b".r
+    while (i < sql0.length) {
+      val c = sql0.charAt(i)
+      if (inLit(i)) i += 1
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && c.isLetter &&
+        (i == 0 || !sql0.charAt(i - 1).isLetterOrDigit)) {
+        kw.findFirstIn(sql0.substring(i, math.min(i + 8, sql0.length))) match {
+          case Some(k) =>
+            val K = k.toUpperCase
+            if (K == "FROM" && fromIdx < 0) fromIdx = i
+            else if (K != "FROM" && K != "WHERE" && outerKwIdx < 0 &&
+              (fromIdx >= 0 || true)) outerKwIdx = i
+            i += k.length
+          case None => i += 1
+        }
+      } else i += 1
+    }
+    val itemsEnd =
+      if (fromIdx >= 0) fromIdx
+      else if (outerKwIdx >= 0) outerKwIdx
+      else sql0.length
+    val items = sql0.substring(selIdx + 6, itemsEnd)
+    if (!"(?i)\\bunnest\\s*\\(".r.findFirstIn(items).isDefined) return sql0
+    if ("(?i)\\(\\s*SELECT\\b".r.findFirstIn(items).isDefined) return sql0
+    // extract unnest(<arg>) occurrences with balanced parens
+    val unRe = "(?i)\\bunnest\\s*\\(".r
+    val args = mutable.LinkedHashMap.empty[String, Int] // normalized -> idx
+    var replaced = items
+    var guard = 0
+    var changed = true
+    while (changed && guard < 50) {
+      changed = false
+      guard += 1
+      unRe.findFirstMatchIn(replaced).foreach { m =>
+        // find matching close
+        var d = 1
+        var j = m.end
+        while (j < replaced.length && d > 0) {
+          val ch = replaced.charAt(j)
+          if (ch == '\'') { j += 1; while (j < replaced.length && replaced.charAt(j) != '\'') j += 1 }
+          else if (ch == '(') d += 1
+          else if (ch == ')') d -= 1
+          j += 1
+        }
+        val arg = replaced.substring(m.end, j - 1)
+        val key = arg.replaceAll("\\s+", " ").trim
+        val idx = args.getOrElseUpdate(key, args.size)
+        replaced = replaced.substring(0, m.start) +
+          s" __unn_x.__unn_$idx " + replaced.substring(j)
+        changed = true
+      }
+    }
+    if (args.isEmpty) return sql0
+    // a bare `unnest(e)` item displays as `unnest`
+    val itemList = {
+      val out = mutable.ArrayBuffer[String]()
+      var d = 0; var last = 0; var j = 0
+      while (j < replaced.length) {
+        val c = replaced.charAt(j)
+        if (c == '\'') { j += 1; while (j < replaced.length && replaced.charAt(j) != '\'') j += 1 }
+        else if (c == '(') d += 1
+        else if (c == ')') d -= 1
+        else if (c == ',' && d == 0) { out += replaced.substring(last, j); last = j + 1 }
+        j += 1
+      }
+      out += replaced.substring(last)
+      out.toSeq
+    }
+    val newItems = itemList.map { it =>
+      if (it.trim.matches("__unn_x\\.__unn_\\d+")) it.trim + " AS unnest"
+      else it.trim
+    }.mkString(", ")
+    val exprs = args.keys.toSeq
+    def coal(e: String) = s"coalesce(($e), array())"
+    val len = // Spark's greatest() requires at least two arguments
+      if (exprs.length == 1) s"size(${coal(exprs.head)})"
+      else exprs.map(e => s"size(${coal(e)})").mkString("greatest(", ", ", ")")
+    val fields = exprs.zipWithIndex.map { case (e, k) =>
+      s"'__unn_$k', try_element_at(${coal(e)}, __i + 1)"
+    }.mkString(", ")
+    // the length expression is INLINED (twice): a LATERAL VIEW generator
+    // only sees FROM columns, never same-SELECT aliases
+    val zip = s"CASE WHEN $len = 0 THEN array() ELSE " +
+      s"transform(sequence(0, $len - 1), " +
+      s"__i -> named_struct($fields)) END"
+    val innerFrom =
+      if (fromIdx >= 0) {
+        val end = if (outerKwIdx >= 0) outerKwIdx else sql0.length
+        sql0.substring(fromIdx, end).trim.stripSuffix(";")
+      } else ""
+    // LATERAL VIEW sits between the FROM relations and WHERE
+    val (fromRel, wherePart) = {
+      var d = 0
+      var w = -1
+      var j2 = 0
+      while (j2 < innerFrom.length && w < 0) {
+        innerFrom(j2) match {
+          case '\'' =>
+            j2 += 1
+            while (j2 < innerFrom.length && innerFrom(j2) != '\'') j2 += 1
+          case '(' => d += 1
+          case ')' => d -= 1
+          case c if d == 0 && (c == 'w' || c == 'W') &&
+              innerFrom.regionMatches(true, j2, "WHERE", 0, 5) &&
+              (j2 == 0 || !innerFrom(j2 - 1).isLetterOrDigit) =>
+            w = j2
+          case _ =>
+        }
+        j2 += 1
+      }
+      if (w < 0) (innerFrom, "") else (innerFrom.substring(0, w), innerFrom.substring(w))
+    }
+    val tail =
+      if (outerKwIdx >= 0) sql0.substring(outerKwIdx) else ""
+    val inner =
+      if (innerFrom.nonEmpty)
+        s"SELECT * $fromRel LATERAL VIEW explode($zip) __unn_t AS __unn_x $wherePart"
+      else
+        s"SELECT * FROM (SELECT 1) __unn_one " +
+          s"LATERAL VIEW explode($zip) __unn_t AS __unn_x"
+    val rewritten = s"SELECT $newItems FROM ($inner) $tail"
+    sql0.substring(0, selIdx) + rewritten
+  }
+
   /** Split an expected-result line into `ncols` cells. The reference
     * harness separates columns with 2+ spaces; single spaces are part of
     * the cell value (`cat dog house  false`). */
@@ -469,7 +629,15 @@ object SltRunner {
           case _ => None
         }
       case cw: CaseWhen =>
-        val branches = cw.branches.map(_._2) ++ cw.elseValue
+        // strip the coercion cast a decimal-literal branch was wrapped in
+        // (functions/operators/case.slt: CASE over 2.1 and an int keeps
+        // the literal's (2,1), not Spark's widened (11,1))
+        def unwrapLit(x: Expression): Expression = x match {
+          case c: Cast if unwrapLit(c.child).isInstanceOf[Literal] =>
+            unwrapLit(c.child)
+          case y => y
+        }
+        val branches = (cw.branches.map(_._2) ++ cw.elseValue).map(unwrapLit)
         val decs = branches.flatMap(gdec).filter(_._2 > 0)
         if (decs.nonEmpty)
           Some((decs.map { case (p, s) => p - s }.max + decs.map(_._2).max,
@@ -742,6 +910,17 @@ object SltRunner {
   private def sqlWithAliasPad(
       spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame =
     try spark.sql(sql) catch {
+      // GlareDB casts integers to DATE as days-since-epoch; Spark forbids
+      // the cast outright (select/replace_different_types.slt). Retried
+      // rather than rewritten up-front because the operand's type is only
+      // known after analysis — string→DATE casts must stay native.
+      case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("DATATYPE_MISMATCH") &&
+          e.getMessage.contains("to \"DATE\"") &&
+          "(?i)CAST\\s*\\([^()]+ AS DATE\\)".r.findFirstIn(sql).isDefined =>
+        spark.sql("(?i)CAST\\s*\\(([^()]+) AS DATE\\)".r.replaceAllIn(sql,
+          mm => java.util.regex.Matcher.quoteReplacement(
+            s"DATE_ADD(DATE '1970-01-01', CAST(${mm.group(1)} AS INT))")))
       case e: Exception if e.getMessage != null &&
           e.getMessage.contains("ASSIGNMENT_ARITY_MISMATCH") =>
         val aliasRe =
@@ -835,10 +1014,64 @@ object SltRunner {
     sql
   }
 
-  /** Expand GlareDB's `* EXCLUDE (…)` / `* REPLACE (expr AS col, …)` star
-    * modifiers into an explicit column list (Spark's parser has neither).
-    * The source schema is taken from analyzing `SELECT * FROM <from-part>`
-    * of the star's own (sub)query. */
+  /** Locate the FROM part of the (sub)query containing position `start`:
+    * scan forward at depth 0 from `start` to the FROM keyword and its end
+    * (next top-level clause keyword or closing paren). */
+  private def fromPartAfter(sql: String, start: Int): Option[String] = {
+    var k = start
+    var depth = 0
+    var fromStart = -1
+    var fromEnd = sql.length
+    val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+      "UNION", "INTERSECT", "EXCEPT", "WINDOW")
+    val word = "[A-Za-z_]+".r
+    while (k < sql.length && fromEnd == sql.length) {
+      sql(k) match {
+        case '(' => depth += 1; k += 1
+        case ')' =>
+          if (depth == 0) fromEnd = k else { depth -= 1; k += 1 }
+        case '\'' =>
+          k += 1; while (k < sql.length && sql(k) != '\'') k += 1; k += 1
+        case c if c.isLetter && depth == 0 =>
+          val w = word.findPrefixOf(sql.substring(k)).get
+          if (fromStart < 0 && w.toUpperCase == "FROM") fromStart = k + 4
+          else if (fromStart >= 0 && stops.contains(w.toUpperCase)) fromEnd = k
+          k += w.length
+        case _ => k += 1
+      }
+    }
+    if (fromStart < 0) None
+    else Some(sql.substring(fromStart, fromEnd).trim.stripSuffix(";"))
+  }
+
+  /** Split a parenthesized argument list on top-level commas. */
+  private def splitTopLevel(args: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var d = 0
+    var last = 0
+    var j = 0
+    while (j < args.length) {
+      args(j) match {
+        case '\'' => j += 1; while (j < args.length && args(j) != '\'') j += 1
+        case '(' => d += 1
+        case ')' => d -= 1
+        case ',' if d == 0 => out += args.substring(last, j); last = j + 1
+        case _ =>
+      }
+      j += 1
+    }
+    out += args.substring(last)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Expand GlareDB's `[qual.]* EXCLUDE (…)` / `* REPLACE (expr AS col, …)`
+    * star modifiers into an explicit column list (Spark's parser has
+    * neither). Columns come from the ANALYZED output of `SELECT * FROM
+    * <from-part>` WITH their qualifiers, so a self-join expansion stays
+    * unambiguous (`"t2"."b"` — select/replace.slt), a qualified star
+    * expands only its relation's columns, and a name not present in the
+    * expansion scope raises the reference's error (`Column "d" was in
+    * EXCLUDE list, but it's not a column being returned`). */
   private def expandStarModifiers(spark: SparkSession, sql0: String): String = {
     val re = "(?is)\\*\\s+(EXCLUDE|REPLACE)\\s*\\(".r
     var sql = sql0
@@ -846,62 +1079,122 @@ object SltRunner {
     var m = re.findFirstMatchIn(sql)
     while (m.isDefined && guard < 10) {
       val mm = m.get
-      // modifier argument list: up to the matching ')'
-      var depth = 1
-      var j = mm.end
-      while (j < sql.length && depth > 0) {
-        sql(j) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case _ =>
-        }
-        j += 1
-      }
-      val args = sql.substring(mm.end, j - 1)
-      // FROM part of this star's query: scan forward at depth 0
-      var k = j; depth = 0
-      var fromStart = -1; var fromEnd = sql.length
-      val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
-        "UNION", "INTERSECT", "EXCEPT", "WINDOW")
-      val word = "[A-Za-z_]+".r
-      while (k < sql.length && fromEnd == sql.length) {
-        sql(k) match {
-          case '(' => depth += 1; k += 1
-          case ')' =>
-            if (depth == 0) fromEnd = k else { depth -= 1; k += 1 }
-          case '\'' =>
-            k += 1; while (k < sql.length && sql(k) != '\'') k += 1; k += 1
-          case c if c.isLetter && depth == 0 =>
-            val w = word.findPrefixOf(sql.substring(k)).get
-            if (fromStart < 0 && w.toUpperCase == "FROM") fromStart = k + 4
-            else if (fromStart >= 0 && stops.contains(w.toUpperCase)) fromEnd = k
-            k += w.length
-          case _ => k += 1
+      // a qualified star `t2.* EXCLUDE (…)`: consume the qualifier too
+      var qStart = mm.start
+      var qualifier: Option[String] = None
+      if (mm.start >= 2 && sql(mm.start - 1) == '.') {
+        var q = mm.start - 2
+        while (q >= 0 && (sql(q).isLetterOrDigit || sql(q) == '_')) q -= 1
+        if (q + 1 < mm.start - 1) {
+          qualifier = Some(sql.substring(q + 1, mm.start - 1))
+          qStart = q + 1
         }
       }
-      if (fromStart < 0) return sql // no FROM — leave untouched
-      val fromPart = sql.substring(fromStart, fromEnd).trim.stripSuffix(";")
-      val schema = spark.sql(s"SELECT * FROM $fromPart").schema
-      val kind = mm.group(1).toUpperCase
-      val cols: Seq[String] =
+      // modifier argument list(s): modifiers may CHAIN
+      // (`* EXCLUDE (a) REPLACE (x AS c)` — select/replace.slt)
+      def argListEnd(open: Int): Int = {
+        var depth = 1
+        var j2 = open
+        while (j2 < sql.length && depth > 0) {
+          sql(j2) match {
+            case '\'' =>
+              j2 += 1; while (j2 < sql.length && sql(j2) != '\'') j2 += 1
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          j2 += 1
+        }
+        j2
+      }
+      var j = argListEnd(mm.end)
+      val mods = mutable.ArrayBuffer(
+        (mm.group(1).toUpperCase, sql.substring(mm.end, j - 1)))
+      val moreRe = "(?is)^\\s*(EXCLUDE|REPLACE)\\s*\\(".r
+      var more = moreRe.findFirstMatchIn(sql.substring(j))
+      while (more.isDefined) {
+        val m2 = more.get
+        val open = j + m2.end
+        val close = argListEnd(open)
+        mods += ((m2.group(1).toUpperCase, sql.substring(open, close - 1)))
+        j = close
+        more = moreRe.findFirstMatchIn(sql.substring(j))
+      }
+      val fromPart = fromPartAfter(sql, j) match {
+        case Some(f) => f
+        case None => return sql // no FROM — leave untouched
+      }
+      val attrs = spark.sql(s"SELECT * FROM $fromPart")
+        .queryExecution.analyzed.output
+      val visible = qualifier match {
+        case Some(q) =>
+          attrs.filter(_.qualifier.lastOption.exists(_.equalsIgnoreCase(q)))
+        case None => attrs
+      }
+      def ref(a: org.apache.spark.sql.catalyst.expressions.Attribute): String =
+        a.qualifier.lastOption match {
+          case Some(q) => s""""$q"."${a.name}""""
+          case None => s""""${a.name}""""
+        }
+      def requireKnown(kind: String, name: String): Unit =
+        if (!visible.exists(_.name.equalsIgnoreCase(name)))
+          throw new IllegalArgumentException(
+            s"""Column "$name" was in $kind list, but it's not a column being returned""")
+      // apply each chained modifier in order over the running column list
+      var cols: Seq[(String, String)] = // (lower name, rendered ref)
+        visible.map(a => a.name.toLowerCase -> ref(a)).toSeq
+      mods.foreach { case (kind, args) =>
         if (kind == "EXCLUDE") {
-          val excluded = args.split(",").map(_.trim.stripPrefix("\"")
-            .stripSuffix("\"").toLowerCase).toSet
-          schema.fieldNames.filterNot(n => excluded.contains(n.toLowerCase))
-            .map(n => s""""$n"""").toSeq
+          val excluded = splitTopLevel(args).map(_.stripPrefix("\"")
+            .stripSuffix("\"")).toSeq
+          excluded.foreach(requireKnown(kind, _))
+          val ex = excluded.map(_.toLowerCase).toSet
+          cols = cols.filterNot { case (n, _) => ex.contains(n) }
         } else {
-          // REPLACE (expr AS col, …)
-          val repls = args.split(",(?![^()]*\\))").map(_.trim).map { part =>
+          // REPLACE (expr AS col, …) — balanced split: exprs carry parens
+          val repls = splitTopLevel(args).map { part =>
             val asIdx = part.toUpperCase.lastIndexOf(" AS ")
             val expr = part.substring(0, asIdx).trim
             val col = part.substring(asIdx + 4).trim
               .stripPrefix("\"").stripSuffix("\"")
+            requireKnown(kind, col)
             col.toLowerCase -> s"""$expr AS "$col""""
           }.toMap
-          schema.fieldNames.map(n =>
-            repls.getOrElse(n.toLowerCase, s""""$n"""")).toSeq
+          cols = cols.map { case (n, r) => n -> repls.getOrElse(n, r) }
         }
-      sql = sql.substring(0, mm.start) + cols.mkString(", ") + sql.substring(j)
+      }
+      sql = sql.substring(0, qStart) + cols.map(_._2).mkString(", ") +
+        sql.substring(j)
+      guard += 1
+      m = re.findFirstMatchIn(sql)
+    }
+    sql
+  }
+
+  /** Expand `COLUMNS('regex')` in a select list to the FROM relation's
+    * columns whose RAW display name the regex matches (unanchored,
+    * case-sensitive — select/columns.slt, ident/case_sensitivity_columns).
+    * Multiple COLUMNS() calls expand independently, in place. */
+  private def expandColumnsRegex(spark: SparkSession, sql0: String): String = {
+    val re = "(?i)\\bCOLUMNS\\s*\\(\\s*'([^']*)'\\s*\\)".r
+    var sql = sql0
+    var guard = 0
+    var m = re.findFirstMatchIn(sql)
+    while (m.isDefined && guard < 20) {
+      val mm = m.get
+      val pattern = mm.group(1).r
+      val fromPart = fromPartAfter(sql, mm.end) match {
+        case Some(f) => f
+        case None => return sql
+      }
+      val names = spark.sql(s"SELECT * FROM $fromPart")
+        .queryExecution.analyzed.output.map(_.name)
+      val matched = names.filter(n => pattern.findFirstIn(n).isDefined)
+      if (matched.isEmpty)
+        throw new IllegalArgumentException(
+          s"No columns match the regex '${mm.group(1)}'")
+      sql = sql.substring(0, mm.start) +
+        matched.map(n => s""""$n"""").mkString(", ") + sql.substring(mm.end)
       guard += 1
       m = re.findFirstMatchIn(sql)
     }
@@ -1009,6 +1302,17 @@ object SltRunner {
         sql = rewriteIntervals(sql)
       if ("(?i)\\bORDER\\s+BY\\b".r.findFirstIn(sql).isDefined)
         sql = fixNullOrdering(sql)
+      if ("(?i)\\bunnest\\s*\\(".r.findFirstIn(sql).isDefined)
+        sql = try rewriteSelectUnnest(sql) catch { case _: Exception => sql }
+      // a quoted identifier containing dots is a single-part name in the
+      // reference ("a.b.c" — describe/describe_table.slt); Spark's catalog
+      // would read it as a namespace path, so flatten the dots
+      if ("\"[\\w]+(?:\\.[\\w]+)+\"".r.findFirstIn(sql).isDefined)
+        sql = "\"([\\w]+(?:\\.[\\w]+)+)\"".r.replaceAllIn(sql,
+          mm => "\"" + mm.group(1).replace(".", "__") + "\"")
+      if ("(?i)\\bCOLUMNS\\s*\\(".r.findFirstIn(sql).isDefined)
+        sql = try expandColumnsRegex(spark, sql)
+        catch { case _: Exception => sql }
       if (sql.toUpperCase.contains("EXCLUDE") || sql.toUpperCase.contains("REPLACE"))
         sql = try expandStarModifiers(spark, sql) catch { case _: Exception => sql }
       if (sql.toUpperCase.contains("DESCRIBE"))

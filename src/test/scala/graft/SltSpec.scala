@@ -42,9 +42,9 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "cast/date.slt",
     "cast/decimal.slt",
     "cast/implicit_cast_int_lit.slt",
-    "cast/interval.slt",
     "cast/implicit_cast_scalar_agg.slt",
     "cast/implicit_cast_string_lit.slt",
+    "cast/interval.slt",
     "cast/nested_casts.slt",
     "cast/string_cast.slt",
     "cast/typed_string.slt",
@@ -60,6 +60,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "cte/insert_cte.slt",
     "cte/materialized_cte.slt",
     "describe/describe_as_subquery.slt",
+    "describe/describe_table.slt",
     "discard.slt",
     "equality_join.slt",
     "filter/constant.slt",
@@ -88,6 +89,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "functions/chaining.slt",
     "functions/operators/between.slt",
     "functions/operators/bit_and_or_not.slt",
+    "functions/operators/case.slt",
     "functions/operators/case_short_circuit.slt",
     "functions/operators/in.slt",
     "functions/qualified.slt",
@@ -156,6 +158,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "functions/scalar/xor.slt",
     "functions/star_is_special.slt",
     "functions/string/md5.slt",
+    "functions/table/generate_series.slt",
     "functions/table/glob.slt",
     "functions/table/list_database.slt",
     "functions/table/list_functions.slt",
@@ -164,8 +167,10 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "functions/table/read_text.slt",
     "functions/table/read_text_file_list.slt",
     "functions/table/read_text_into_table.slt",
+    "functions/table/unnest_list.slt",
     "ident/case_sensitivity.slt",
     "ident/case_sensitivity_alias.slt",
+    "ident/case_sensitivity_columns.slt",
     "ident/case_sensitivity_views.slt",
     "ident/leading_underscore.slt",
     "insert/insert_cast.slt",
@@ -211,16 +216,24 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "order/order_limit_offsets.slt",
     "order/order_union.slt",
     "parallelism/arbitrary_values.slt",
+    "select/columns.slt",
+    "select/distinct.slt",
+    "select/exclude_except.slt",
     "select/from_missing.slt",
     "select/from_values_no_parens.slt",
+    "select/replace.slt",
+    "select/replace_different_types.slt",
+    "select/unnest.slt",
     "setops/union.slt",
     "setops/union_distinct.slt",
     "show/show_databases.slt",
     "show/show_schemas.slt",
     "show/show_tables.slt",
     "simple.slt",
+    "subqueries/any_all.slt",
     "subqueries/correlated_exists.slt",
     "subqueries/correlated_in.slt",
+    "subqueries/correlated_lateral.slt",
     "subqueries/correlated_set_semantics.slt",
     "subqueries/correlated_subquery.slt",
     "subqueries/from_subquery.slt",
