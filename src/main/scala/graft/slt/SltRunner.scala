@@ -931,15 +931,51 @@ object SltRunner {
         val ms = aliasRe.findAllMatchIn(sql).toList.filter(m =>
           m.group(2).nonEmpty || // explicit AS → definitely an alias list
             (m.group(1) == ")" || !kw.contains(m.group(1).toUpperCase)))
+        // the source relation's OWN trailing column names (an alias list
+        // naming a prefix keeps the remaining source names —
+        // describe/describe_query.slt aliases a CTE's first column and
+        // still references the second by its original name)
+        def sourceNames(m: scala.util.matching.Regex.Match): Seq[String] =
+          try {
+            val rel = m.group(1)
+            if (!rel.matches("\\w+") || kw.contains(rel.toUpperCase)) Nil
+            else {
+              val probe =
+                if (sql.matches("(?is)\\s*WITH\\b.*")) {
+                  // keep the WITH prefix so a CTE source resolves
+                  var d = 0
+                  var k2 = 0
+                  var selIdx = -1
+                  while (k2 < sql.length && selIdx < 0) {
+                    sql(k2) match {
+                      case '\'' =>
+                        k2 += 1
+                        while (k2 < sql.length && sql(k2) != '\'') k2 += 1
+                      case '(' => d += 1
+                      case ')' => d -= 1
+                      case c if d == 0 && (c == 's' || c == 'S') &&
+                          sql.regionMatches(true, k2, "SELECT", 0, 6) =>
+                        selIdx = k2
+                      case _ =>
+                    }
+                    k2 += 1
+                  }
+                  if (selIdx < 0) return Nil
+                  sql.substring(0, selIdx) + s" SELECT * FROM $rel"
+                } else s"SELECT * FROM $rel"
+              spark.sql(probe).schema.fieldNames.toSeq
+            }
+          } catch { case _: Exception => Nil }
         val attempts = for {
           m <- ms.iterator
           have = m.group(4).count(_ == ',') + 1
-          n <- (1 to 4).iterator
-          // unnamed trailing columns keep their default colN names in the
-          // reference; also try neutral pads
-          style <- Iterator(
-            (have + 1 to have + n).map(j => s"col$j"),
-            (1 to n).map(j => s"__pad$j"))
+          style <- {
+            val src = sourceNames(m)
+            (if (src.length > have) Iterator(src.drop(have))
+             else Iterator.empty) ++ (1 to 4).iterator.flatMap(n => Iterator(
+              (have + 1 to have + n).map(j => s"col$j"),
+              (1 to n).map(j => s"__pad$j")))
+          }
           cand = sql.substring(0, m.end - 1) + ", " +
             style.mkString(", ") + sql.substring(m.end - 1)
           r <- (try { val d = spark.sql(cand); d.schema; Some(d) }
@@ -1313,6 +1349,36 @@ object SltRunner {
       if ("(?i)\\bCOLUMNS\\s*\\(".r.findFirstIn(sql).isDefined)
         sql = try expandColumnsRegex(spark, sql)
         catch { case _: Exception => sql }
+      // the reference resolves HAVING strictly against input columns and
+      // aggregates — a select-list ALIAS is not visible there, while Spark
+      // accepts it (aggregates/having.slt expects the error)
+      if ("(?i)\\bHAVING\\b".r.findFirstIn(sql).isDefined) {
+        val aliases = "(?i)\\bAS\\s+(\\w+)".r.findAllMatchIn(sql)
+          .map(_.group(1).toLowerCase).toSet
+        val hm = "(?is)\\bHAVING\\b(.*?)(\\bORDER\\b|\\bLIMIT\\b|\\bUNION\\b|$)".r
+          .findFirstMatchIn(sql)
+        hm.foreach { h =>
+          val clause = h.group(1)
+          val idents = "[A-Za-z_]\\w*".r.findAllMatchIn(clause).filter { im =>
+            val after = clause.drop(im.end).dropWhile(_.isWhitespace)
+            !after.startsWith("(") // function calls keep resolving
+          }.map(_.group(0).toLowerCase).toSet -- Set("and", "or", "not",
+            "in", "is", "null", "true", "false", "between", "like", "any",
+            "all", "exists", "case", "when", "then", "else", "end")
+          val aliasRefs = idents.intersect(aliases)
+          if (aliasRefs.nonEmpty) {
+            val cols = fromPartAfter(sql, 0).map { f =>
+              try spark.sql(s"SELECT * FROM $f").schema.fieldNames
+                .map(_.toLowerCase).toSet
+              catch { case _: Exception => Set.empty[String] }
+            }.getOrElse(Set.empty)
+            aliasRefs.find(a => !cols.contains(a)).foreach { a =>
+              throw new IllegalArgumentException(
+                s"Missing column for reference: $a")
+            }
+          }
+        }
+      }
       if (sql.toUpperCase.contains("EXCLUDE") || sql.toUpperCase.contains("REPLACE"))
         sql = try expandStarModifiers(spark, sql) catch { case _: Exception => sql }
       if (sql.toUpperCase.contains("DESCRIBE"))
@@ -1496,7 +1562,8 @@ object SltRunner {
               else None
             case _ => None
           }
-          val sql = prepare(rawQ)
+          // a prepare failure must fail THIS record, not abort the file
+          val sql = try prepare(rawQ) catch { case _: Exception => rawQ }
           i += 1 // skip ----
           val expLines = mutable.ListBuffer.empty[String]
           while (i < lines.length && lines(i).trim.nonEmpty) {

@@ -35,6 +35,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "aggregates/group_by_ordinal.slt",
     "aggregates/group_by_string.slt",
     "aggregates/grouping.slt",
+    "aggregates/having.slt",
     "attach/invalid_datasource.slt",
     "attach/memory.slt",
     "cast/binary.slt",
@@ -60,6 +61,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "cte/insert_cte.slt",
     "cte/materialized_cte.slt",
     "describe/describe_as_subquery.slt",
+    "describe/describe_query.slt",
     "describe/describe_table.slt",
     "discard.slt",
     "equality_join.slt",
