@@ -245,8 +245,19 @@ object GlareCompat {
     f("bitor")(es => BitwiseOr(es(0), es(1)))
     f("xor")(es => BitwiseXor(es(0), es(1)))
     f("bitnot")(es => BitwiseNot(es.head))
-    f("shl")(es => ShiftLeft(es(0), es(1)))
-    f("shr")(es => ShiftRight(es(0), es(1)))
+    // shifts wrap at the LEFT operand's width in the reference
+    // (shl(1::TINYINT, 7) = -128): cast the result back with legacy
+    // (two's-complement truncating) semantics
+    def widthWrap(e: Expression, like: Expression): Expression = {
+      val dt = try Some(like.dataType) catch { case _: Exception => None }
+      dt match {
+        case Some(d @ (ByteType | ShortType | IntegerType | LongType)) =>
+          Cast(e, d, None, EvalMode.LEGACY)
+        case _ => e
+      }
+    }
+    f("shl")(es => widthWrap(ShiftLeft(es(0), es(1)), es(0)))
+    f("shr")(es => widthWrap(ShiftRight(es(0), es(1)), es(0)))
     f("is_true")(es => EqualNullSafe(es.head, Literal(true)))
     f("is_false")(es => EqualNullSafe(es.head, Literal(false)))
     f("is_not_true")(es => Not(EqualNullSafe(es.head, Literal(true))))

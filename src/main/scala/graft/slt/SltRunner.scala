@@ -439,6 +439,37 @@ object SltRunner {
     sql0.substring(0, selIdx) + rewritten
   }
 
+  /** The reference INLINES a non-materialized CTE at each reference, so a
+    * volatile body is re-evaluated per use (functions/scalar/random.slt:
+    * `WITH rand_cte AS (SELECT random()) … FROM rand_cte t1(a), rand_cte
+    * t2(b)` yields two DIFFERENT draws). Spark evaluates a multiply-
+    * referenced CTE once; substitute the body textually. Runs on the RAW
+    * SQL (before the dialect pass drops the MATERIALIZED keyword, which
+    * must keep once-evaluated semantics and therefore doesn't match). */
+  private[slt] def inlineVolatileCte(sql0: String): String = {
+    val m = "(?is)^\\s*WITH\\s+(\\w+)\\s+AS\\s*\\(".r.findFirstMatchIn(sql0)
+      .getOrElse(return sql0)
+    var d = 1
+    var j = m.end
+    while (j < sql0.length && d > 0) {
+      sql0(j) match {
+        case '\'' => j += 1; while (j < sql0.length && sql0(j) != '\'') j += 1
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+      }
+      j += 1
+    }
+    val body = sql0.substring(m.end, j - 1)
+    if ("(?i)\\brandom\\s*\\(".r.findFirstIn(body).isEmpty) return sql0
+    val main = sql0.substring(j).trim
+    if (main.startsWith(",")) return sql0 // multiple CTEs — leave alone
+    val name = m.group(1)
+    ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      .replaceAllIn(main,
+        java.util.regex.Matcher.quoteReplacement(s"($body)"))
+  }
+
   /** Split an expected-result line into `ncols` cells. The reference
     * harness separates columns with 2+ spaces; single spaces are part of
     * the cell value (`cat dog house  false`). */
@@ -1320,6 +1351,9 @@ object SltRunner {
       // BEFORE the dialect pass (whose method-chaining rewrite would
       // otherwise mangle `csv.read('p')` into `read(csv, 'p')`).
       var sql = sql0
+      if ("(?i)^\\s*WITH\\b".r.findFirstIn(sql).isDefined &&
+        "(?i)\\brandom\\s*\\(".r.findFirstIn(sql).isDefined)
+        sql = inlineVolatileCte(sql)
       // glob()/read_text()/list_* have native registrations (GlareCompat)
       // that resolve relative paths and display them as written — leave
       // those statements alone
@@ -1614,7 +1648,7 @@ object SltRunner {
             else if (tokensEqual(got, expected)) ok += 1
             else {
               failed += 1
-              failures += s"$sql -> got ${got.take(3)} expected ${expected.take(3)}"
+              failures += s"$sql -> got ${got.take(12)} expected ${expected.take(12)}"
             }
           } catch {
             case SkipComparison => ok += 1

@@ -96,6 +96,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "functions/operators/in.slt",
     "functions/qualified.slt",
     "functions/scalar/arith.slt",
+    "functions/scalar/binary/shl.slt",
     "functions/scalar/binary/shr.slt",
     "functions/scalar/boolean.slt",
     "functions/scalar/ceil.slt",
@@ -128,6 +129,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "functions/scalar/not.slt",
     "functions/scalar/pi.slt",
     "functions/scalar/power.slt",
+    "functions/scalar/random.slt",
     "functions/scalar/right.slt",
     "functions/scalar/round.slt",
     "functions/scalar/sign.slt",
