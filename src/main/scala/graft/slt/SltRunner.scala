@@ -439,6 +439,49 @@ object SltRunner {
     sql0.substring(0, selIdx) + rewritten
   }
 
+  /** `JOIN … USING (_rowid, …)`: the reference allows METADATA columns in
+    * USING (functions/table/read_text_natural_join.slt) while Spark's
+    * USING resolution only sees star-visible columns. Rewritten to an
+    * ON-join with the explicit USING projection: the using columns once
+    * (left side), then each side's star columns minus the using set. Only
+    * applies to a single `SELECT * FROM a JOIN b USING (…)` whose using
+    * list names a metadata column. */
+  private def rewriteMetaUsing(spark: SparkSession, sql0: String): String = {
+    val um = "(?is)\\bUSING\\s*\\(([^)]*)\\)".r.findFirstMatchIn(sql0)
+      .getOrElse(return sql0)
+    val cols = um.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (!cols.exists(c => c.equalsIgnoreCase("_rowid") ||
+      c.equalsIgnoreCase("_filename"))) return sql0
+    // the select list must be a bare star
+    val selM = "(?is)\\bSELECT\\s+\\*\\s+FROM\\b".r.findFirstMatchIn(sql0)
+      .getOrElse(return sql0)
+    val fromStart = selM.end - 4 // points at FROM
+    val joinM = "(?is)\\bJOIN\\b".r.findFirstMatchIn(
+      sql0.substring(fromStart)).getOrElse(return sql0)
+    val ji = fromStart + joinM.start
+    if (ji > um.start) return sql0
+    val left = sql0.substring(fromStart + 4, ji).trim
+    val right = sql0.substring(ji + 4, um.start).trim
+    def aliasOf(rel: String): Option[String] =
+      "([A-Za-z_]\\w*)\\s*$".r.findFirstMatchIn(rel).map(_.group(1))
+    val (la, ra) = (aliasOf(left), aliasOf(right)) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ => return sql0
+    }
+    def starCols(rel: String): Seq[String] =
+      spark.sql(s"SELECT * FROM $rel").schema.fieldNames.toSeq
+    val (lc, rc) = (starCols(left), starCols(right))
+    val using = cols.map(_.toLowerCase).toSet
+    val proj =
+      cols.map(c => s"$la.`$c` AS `$c`") ++
+        lc.filterNot(c => using(c.toLowerCase)).map(c => s"$la.`$c`") ++
+        rc.filterNot(c => using(c.toLowerCase)).map(c => s"$ra.`$c`")
+    val on = cols.map(c => s"$la.`$c` = $ra.`$c`").mkString(" AND ")
+    sql0.substring(0, selM.start) +
+      s"SELECT ${proj.mkString(", ")} FROM $left JOIN $right ON $on" +
+      sql0.substring(um.end)
+  }
+
   /** The reference INLINES a non-materialized CTE at each reference, so a
     * volatile body is re-evaluated per use (functions/scalar/random.slt:
     * `WITH rand_cte AS (SELECT random()) … FROM rand_cte t1(a), rand_cte
@@ -1383,6 +1426,9 @@ object SltRunner {
       if ("(?i)\\bCOLUMNS\\s*\\(".r.findFirstIn(sql).isDefined)
         sql = try expandColumnsRegex(spark, sql)
         catch { case _: Exception => sql }
+      if ("(?i)\\bUSING\\s*\\(".r.findFirstIn(sql).isDefined &&
+        "(?i)_rowid|_filename".r.findFirstIn(sql).isDefined)
+        sql = try rewriteMetaUsing(spark, sql) catch { case _: Exception => sql }
       // the reference resolves HAVING strictly against input columns and
       // aggregates — a select-list ALIAS is not visible there, while Spark
       // accepts it (aggregates/having.slt expects the error)

@@ -171,6 +171,7 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
     "functions/table/read_text.slt",
     "functions/table/read_text_file_list.slt",
     "functions/table/read_text_into_table.slt",
+    "functions/table/read_text_natural_join.slt",
     "functions/table/unnest_list.slt",
     "ident/case_sensitivity.slt",
     "ident/case_sensitivity_alias.slt",
