@@ -1005,18 +1005,21 @@ object Tpcds {
       ORDER BY dt.d_year, ext_price DESC, brand_id
       LIMIT 100""",
 
-    // Q36: gross margin hierarchy (the reference text's explicit
-    // UNION-rollup + RANK over lochierarchy). Re-aggregation of the
-    // `results` level re-applies the decimal-sum policy so the double sums
-    // stay order-independent.
+    // Q36: gross margin hierarchy. The reference text's UNION-rollup
+    // references `results` three times; Spark inlines deterministic CTEs,
+    // so that shape re-ran the fact join pipeline per arm (the round-4
+    // 4.4 s regression: three full scans of the cached store_sales).
+    // Re-expressed as GROUPING SETS over the pre-aggregated `results` —
+    // referenced ONCE, so one fact scan — with the identical two-level
+    // decimal-sum policy: the leaf set re-sums each single pre-aggregated
+    // row (value-preserving), the coarser sets match the UNION arms'
+    // re-aggregation expressions term for term, and GROUPING() reproduces
+    // the arms' t_category/t_class/lochierarchy literals.
     "tpcds_q36" -> s"""
       WITH results AS
         (SELECT ${sumd(dmoney("ss_net_profit"))} AS ss_net_profit,
                 ${sumd(dmoney("ss_ext_sales_price"))} AS ss_ext_sales_price,
-                ${sumd(dmoney("ss_net_profit"))} /
-                  ${sumd(dmoney("ss_ext_sales_price"))} AS gross_margin,
-                i_category, i_class,
-                0 AS g_category, 0 AS g_class
+                i_category, i_class
          FROM store_sales, date_dim d1, item, store
          WHERE d1.d_year = 2001
            AND d1.d_date_sk = ss_sold_date_sk
@@ -1025,19 +1028,15 @@ object Tpcds {
            AND s_state = 'TN'
          GROUP BY i_category, i_class),
       results_rollup AS
-        (SELECT gross_margin, i_category, i_class,
-                0 AS t_category, 0 AS t_class, 0 AS lochierarchy
+        (SELECT ${sumd(sql.dbig("ss_net_profit"))} /
+                  ${sumd(sql.dbig("ss_ext_sales_price"))} AS gross_margin,
+                i_category, i_class,
+                CAST(GROUPING(i_category) AS INT) AS t_category,
+                CAST(GROUPING(i_class) AS INT) AS t_class,
+                CAST(GROUPING(i_category) + GROUPING(i_class) AS INT)
+                  AS lochierarchy
          FROM results
-         UNION SELECT ${sumd(sql.dbig("ss_net_profit"))} /
-                 ${sumd(sql.dbig("ss_ext_sales_price"))} AS gross_margin,
-               i_category, NULL AS i_class,
-               0 AS t_category, 1 AS t_class, 1 AS lochierarchy
-         FROM results GROUP BY i_category
-         UNION SELECT ${sumd(sql.dbig("ss_net_profit"))} /
-                 ${sumd(sql.dbig("ss_ext_sales_price"))} AS gross_margin,
-               NULL AS i_category, NULL AS i_class,
-               1 AS t_category, 1 AS t_class, 2 AS lochierarchy
-         FROM results)
+         GROUP BY GROUPING SETS ((i_category, i_class), (i_category), ()))
       SELECT gross_margin, i_category, i_class, lochierarchy,
              RANK() OVER (PARTITION BY lochierarchy,
                             CASE WHEN t_class = 0 THEN i_category END
