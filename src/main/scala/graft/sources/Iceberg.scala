@@ -34,7 +34,12 @@ object Iceberg {
       filePath: String,
       fileFormat: String,
       recordCount: Long,
-      partition: Map[String, String])
+      partition: Map[String, String],
+      // data sequence number (entry-level, inherited from the manifest when
+      // the writer left it null — spec "sequence number inheritance")
+      sequenceNumber: Long = 0L,
+      // for equality-delete files: the schema field ids rows are matched on
+      equalityIds: Seq[Int] = Nil)
 
   final case class Table(
       root: String, // actual directory on disk
@@ -44,7 +49,8 @@ object Iceberg {
       schema: StructType,
       partitionColumns: Seq[String],
       currentSnapshotId: Option[Long],
-      snapshots: Seq[(Long, Long, String)]) { // (snapshot_id, sequence_number, manifest_list)
+      snapshots: Seq[(Long, Long, String)], // (snapshot_id, sequence_number, manifest_list)
+      fieldNamesById: Map[Int, String] = Map.empty) {
 
     /** Map a path as stored in metadata (prefixed with the table's logical
       * `location`, which rarely matches where the fixture now sits) onto the
@@ -160,7 +166,8 @@ object Iceberg {
       schema = schema,
       partitionColumns = partitionCols,
       currentSnapshotId = (j \ "current-snapshot-id").extractOpt[Long].filter(_ > 0),
-      snapshots = snapshots)
+      snapshots = snapshots,
+      fieldNamesById = fieldNamesById)
   }
 
   // ---- avro plumbing ----
@@ -203,59 +210,132 @@ object Iceberg {
     manifestList(table).flatMap { mf =>
       readAvro(table.resolve(mf.path)).map { r =>
         val df = r.get("data_file").asInstanceOf[GenericRecord]
-        val partition: Map[String, String] = df.get("partition") match {
+        val partition: Map[String, String] = (if (
+          df.getSchema.getField("partition") == null) null
+        else df.get("partition")) match {
           case pr: GenericRecord =>
             pr.getSchema.getFields.toArray.toSeq.map(_.asInstanceOf[org.apache.avro.Schema.Field])
               .map(f => f.name -> Option(pr.get(f.name)).map(_.toString).orNull).toMap
           case _ => Map.empty
         }
+        val eqIds: Seq[Int] =
+          if (df.getSchema.getField("equality_ids") == null) Nil
+          else df.get("equality_ids") match {
+            case l: java.util.List[_] =>
+              l.toArray.toSeq.map(_.asInstanceOf[Number].intValue)
+            case _ => Nil
+          }
         mf -> DataFileEntry(
           status = intF(r, "status"),
           content = if (df.getSchema.getField("content") == null) 0 else intF(df, "content"),
           filePath = str(df, "file_path"),
           fileFormat = str(df, "file_format"),
           recordCount = lng(df, "record_count"),
-          partition = partition)
+          partition = partition,
+          sequenceNumber = lng(r, "sequence_number", mf.sequenceNumber),
+          equalityIds = eqIds)
       }
     }
-
-  /** v2 position/equality deletes are NOT applied (read-only parity with
-    * the reference's extension, whose fixtures carry no deletes) — a table
-    * that HAS live delete entries must error rather than silently
-    * over-count. Delete manifests carry manifest-list `content != 0`;
-    * delete files inside a manifest carry entry `content != 0`. */
-  private[graft] def requireNoDeletes(
-      entries: Seq[(ManifestFile, DataFileEntry)]): Unit = {
-    val deletes = entries.filter { case (mf, e) =>
-      (mf.content != 0 || e.content != 0) && e.status != 2
-    }
-    if (deletes.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"Iceberg table has ${deletes.size} live delete entr" +
-          s"${if (deletes.size == 1) "y" else "ies"} (v2 position/equality " +
-          "deletes); reading without applying them would return deleted rows")
-  }
 
   /** Live data files, optionally pruned by identity-partition values before
     * the scan exists (manifest-level pruning — the 100 TB planning step). */
   def liveDataFiles(table: Table, partitionFilter: Map[String, String] = Map.empty): Seq[DataFileEntry] = {
-    val entries = dataFileEntries(table)
-    requireNoDeletes(entries)
-    entries
+    dataFileEntries(table)
       .filter { case (mf, e) => mf.content == 0 && e.status != 2 && e.content == 0 }
       .map(_._2)
       .filter(e => partitionFilter.forall { case (k, v) => e.partition.get(k).contains(v) })
   }
 
-  /** Read an Iceberg table into a DataFrame. */
+  /** Live v2 delete-file entries (position: content=1, equality: content=2). */
+  def liveDeleteFiles(table: Table): Seq[DataFileEntry] =
+    dataFileEntries(table)
+      .filter { case (_, e) => e.status != 2 && e.content != 0 }
+      .map(_._2)
+
+  /** Read an Iceberg table into a DataFrame, applying v2 position and
+    * equality deletes (spec §"Row-level deletes").
+    *
+    * Scale design: delete CONTENT never touches the driver — position
+    * deletes are parquet-scanned and anti-joined on (file, pos) using
+    * Spark's `_metadata.file_path` / `_metadata.row_index` columns, and
+    * equality deletes anti-join on their equality columns, both with the
+    * spec's sequence-number ordering (a position delete applies to data
+    * sequence <= its own; an equality delete strictly to older data files).
+    * Only file PATHS are driver-resident, as in any production reader's
+    * planning phase. Tables without deletes keep the plain pruned scan —
+    * no metadata columns, no joins. */
   def read(spark: SparkSession, tableRoot: String,
            partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
     val table = load(tableRoot)
-    val files = liveDataFiles(table, partitionFilter).map(e => table.resolve(e.filePath))
+    val live = liveDataFiles(table, partitionFilter)
+    val files = live.map(e => table.resolve(e.filePath))
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], table.schema)
-    else
-      spark.read.schema(table.schema).parquet(files: _*)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], table.schema)
+    val plain = spark.read.schema(table.schema).parquet(files: _*)
+    val deletes = liveDeleteFiles(table)
+    if (deletes.isEmpty) return plain
+
+    // `_metadata.file_path` is a file URI; normalize both sides to a plain
+    // absolute path so the join keys agree.
+    def normExpr(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+    val dataCols = table.schema.fieldNames.toSeq
+    // (normalized resolved path, stored path, data sequence number) for
+    // every live data file — planning-scale rows, broadcast to the join.
+    val fileLookup = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        live.map(e => Row("/" + table.resolve(e.filePath).dropWhile(_ == '/'),
+          e.filePath, e.sequenceNumber))).asJava),
+      StructType(Seq(
+        StructField("__norm_path", StringType),
+        StructField("__stored_path", StringType),
+        StructField("__file_seq", LongType))))
+
+    var df = plain
+      .withColumn("__file", normExpr(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(broadcast(fileLookup), col("__file") === col("__norm_path"), "left")
+
+    // Position deletes: rows named (file_path, pos), applicable to data
+    // files with data sequence <= the delete's. Delete rows naming files
+    // outside the live set drop out of the inner join with the lookup.
+    val posDeletes = deletes.filter(_.content == 1)
+    if (posDeletes.nonEmpty) {
+      val posDf = posDeletes
+        .groupBy(_.sequenceNumber).toSeq
+        .map { case (seq, es) =>
+          spark.read.parquet(es.map(e => table.resolve(e.filePath)): _*)
+            .select(col("file_path"), col("pos"))
+            .withColumn("__del_seq", lit(seq))
+        }
+        .reduce(_ unionByName _)
+        .join(broadcast(fileLookup.withColumnRenamed("__norm_path", "__np")
+          .withColumnRenamed("__file_seq", "__fs")),
+          col("file_path") === col("__stored_path") && col("__del_seq") >= col("__fs"))
+        .select(col("__np").as("__del_path"), col("pos").as("__del_pos"))
+      df = df.join(posDf,
+        col("__file") === col("__del_path") && col("__pos") === col("__del_pos"),
+        "left_anti")
+    }
+
+    // Equality deletes: rows match on the delete file's equality columns
+    // (null-safe, per spec) and apply to STRICTLY older data files.
+    val eqDeletes = deletes.filter(_.content == 2)
+    eqDeletes.groupBy(e => (e.sequenceNumber, e.equalityIds)).toSeq
+      .sortBy(_._1._1)
+      .foreach { case ((seq, ids), es) =>
+        val eqCols = ids.map(id => table.fieldNamesById.getOrElse(id,
+          sys.error(s"equality delete references unknown field id $id")))
+        val delDf = spark.read
+          .parquet(es.map(e => table.resolve(e.filePath)): _*)
+          .select(eqCols.map(c => col(c).as(s"__eq_$c")): _*)
+        val cond = eqCols.map(c => col(c) <=> col(s"__eq_$c"))
+          .reduce(_ && _) && col("__file_seq") < lit(seq)
+        df = df.join(delDf, cond, "left_anti")
+      }
+
+    df.select(dataCols.map(col): _*)
   }
 
   // ---- metadata TVFs (reference: glaredb_ext_iceberg/src/functions/metadata.rs:36-81) ----

@@ -50,6 +50,17 @@ object IcebergQueries {
     },
 
     // Metadata TVFs (functions/metadata.rs:36-81; slt/iceberg SLTs values).
+    // v2 row-level deletes: a synthesized table over the nation fixture
+    // carries a live position-delete (rows 0-1 of the first data file =
+    // n_nationkey 0,1) and equality-delete (n_regionkey = 2) file;
+    // Iceberg.read applies both distributed (anti-joins over
+    // _metadata.file_path/row_index), so the survivors equal the oracle's
+    // relational predicate.
+    "ice09_v2_deletes" -> { (s, dir) =>
+      val root = IcebergFixture.deleteDemo(s, dir)
+      Iceberg.read(s, root)
+    },
+
     "ice05_metadata" -> { (s, _) => Iceberg.metadataDf(s, Cities) },
     "ice06_snapshots" -> { (s, _) => Iceberg.snapshotsDf(s, Cities) },
     "ice07_manifest_list" -> { (s, _) => Iceberg.manifestListDf(s, Cities) },
@@ -97,5 +108,11 @@ object IcebergQueries {
     "ice08_data_files" -> """
       SELECT 'ADDED' AS status, 'DATA' AS content,
              'file://wh/default.db/cities/data/00000-0-6704a04a-3e2e-415f-b173-b21f4c5b78b7.parquet' AS file_path,
-             'PARQUET' AS file_format, CAST(4 AS BIGINT) AS record_count""")
+             'PARQUET' AS file_format, CAST(4 AS BIGINT) AS record_count""",
+
+    // the delete-demo table is BUILT from `nation`, so the expected
+    // survivors are expressible relationally over the fixture itself
+    "ice09_v2_deletes" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      WHERE n_nationkey NOT IN (0, 1) AND n_regionkey <> 2""")
 }
