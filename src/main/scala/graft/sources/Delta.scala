@@ -63,27 +63,51 @@ object Delta {
       case _ => Map.empty
     }
 
-  /** Reconstruct the current snapshot of a Delta table from its log. */
-  def snapshot(spark: SparkSession, tablePath: String): Snapshot = {
+  /** Reconstruct a snapshot of a Delta table from its log — the CURRENT
+    * one, or (time travel) the state as of commit `versionAsOf`. */
+  def snapshot(spark: SparkSession, tablePath: String,
+               versionAsOf: Option[Long] = None): Snapshot = {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(logDir), s"not a Delta table (no _delta_log): $tablePath")
 
     val entries = fs.listStatus(logDir).map(_.getPath.getName)
-    val jsonVersions = entries.collect {
+    val allJsonVersions = entries.collect {
       case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong
     }.sorted
+    versionAsOf.foreach { v =>
+      val latest = allJsonVersions.lastOption.getOrElse(-1L)
+      if (v > latest)
+        throw new IllegalArgumentException(
+          s"cannot time travel Delta table to version $v: latest is $latest")
+    }
+    val jsonVersions =
+      versionAsOf.fold(allJsonVersions)(v => allJsonVersions.filter(_ <= v))
 
-    // _last_checkpoint names the newest checkpoint; replay resumes after it.
+    // _last_checkpoint names the newest checkpoint; replay resumes after
+    // it. Time travel can only use it when it predates the target version
+    // (else replay from the JSON commits alone — and fail loudly if the
+    // early commits were vacuumed away).
     val checkpointVersion: Option[Long] = {
       val lc = new Path(logDir, "_last_checkpoint")
-      if (fs.exists(lc)) {
+      val cv = if (fs.exists(lc)) {
         val in = fs.open(lc)
         val txt =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         (JsonMethods.parse(txt) \ "version").extractOpt[Long]
       } else None
+      versionAsOf match {
+        case Some(v) =>
+          val usable = cv.filter(_ <= v)
+          if (usable.isEmpty && jsonVersions.headOption.exists(_ > 0))
+            throw new IllegalArgumentException(
+              s"cannot time travel Delta table to version $v: commits " +
+                s"before ${jsonVersions.head} are gone and the checkpoint " +
+                s"(${cv.getOrElse(-1L)}) is newer than $v")
+          usable
+        case None => cv
+      }
     }
 
     var schema: Option[StructType] = None
@@ -177,9 +201,11 @@ object Delta {
       ver)
   }
 
-  /** Read a Delta table into a DataFrame (read_delta TVF / path-as-table). */
-  def read(spark: SparkSession, tablePath: String): DataFrame = {
-    val snap = snapshot(spark, tablePath)
+  /** Read a Delta table into a DataFrame (read_delta TVF / path-as-table);
+    * `versionAsOf` time-travels to that commit's state. */
+  def read(spark: SparkSession, tablePath: String,
+           versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, versionAsOf)
     val root = new Path(tablePath)
 
     def abs(p: String): String = {

@@ -168,6 +168,13 @@ object DeltaQueries {
     "delta03_checkpoint" -> { (s, dir) =>
       val path = buildCheckpointRegion(s, dir)
       Delta.read(s, path).orderBy("r_regionkey")
+    },
+
+    // Time travel: replay stops at commit 1 of the fixture (the 'hello'
+    // row only; commit 2 adds 'world').
+    "delta04_time_travel" -> { (s, _) =>
+      GraftSession.sql(s,
+        s"SELECT a, b FROM read_delta('$FixtureTable', 1) ORDER BY a")
     })
 
   val oracles: Map[String, String] = Map(
@@ -179,5 +186,8 @@ object DeltaQueries {
       FROM nation ORDER BY n_nationkey""",
 
     "delta03_checkpoint" -> """
-      SELECT * FROM region ORDER BY r_regionkey""")
+      SELECT * FROM region ORDER BY r_regionkey""",
+
+    "delta04_time_travel" -> """
+      SELECT a, b FROM (VALUES (1, 'hello')) t(a, b) ORDER BY a""")
 }

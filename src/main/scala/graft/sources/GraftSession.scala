@@ -44,6 +44,12 @@ object GraftSession {
   // read_iceberg('<path>') (glaredb_ext_iceberg functions/metadata.rs:36-81).
   private val IcebergTvfPattern =
     raw"""(?i)(?:iceberg\.(metadata|snapshots|manifest_list|data_files)|(read_iceberg))\s*\(\s*'([^']+)'\s*\)""".r
+  // time travel: read_delta('<path>', <version>) /
+  // read_iceberg('<path>', <snapshot_id>)
+  private val DeltaAsOfPattern =
+    raw"""(?i)read_delta\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*\)""".r
+  private val IcebergAsOfPattern =
+    raw"""(?i)read_iceberg\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*\)""".r
   // parquet.file_metadata/rowgroup_metadata/column_metadata('<path>') TVFs
   // (glaredb_ext_parquet functions/metadata.rs:43,64,85); `parquet_` spelled
   // with an underscore also accepted.
@@ -329,6 +335,20 @@ object GraftSession {
       val v = viewName(s"tpch_gen.$tbl($sf)")
       TpchGen.table(spark, tbl, sf).createOrReplaceTempView(v)
       java.util.regex.Matcher.quoteReplacement(v)
+    })
+    rewritten = DeltaAsOfPattern.replaceAllIn(rewritten, m => {
+      val (path, v) = (m.group(1), m.group(2).toLong)
+      val view = viewName(s"delta:$path@$v")
+      Delta.read(spark, path, versionAsOf = Some(v))
+        .createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+    rewritten = IcebergAsOfPattern.replaceAllIn(rewritten, m => {
+      val (path, sid) = (m.group(1), m.group(2).toLong)
+      val view = viewName(s"iceberg:$path@$sid")
+      Iceberg.read(spark, path, snapshotId = Some(sid))
+        .createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
     })
     rewritten = IcebergTvfPattern.replaceAllIn(rewritten, m => {
       val (fn, path) = (Option(m.group(1)).getOrElse("read"), m.group(3))

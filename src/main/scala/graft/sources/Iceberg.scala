@@ -265,9 +265,18 @@ object Iceberg {
     * planning phase. Tables without deletes keep the plain pruned scan —
     * no metadata columns, no joins. */
   def read(spark: SparkSession, tableRoot: String,
-           partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+           partitionFilter: Map[String, String] = Map.empty,
+           snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val table = load(tableRoot)
+    val loaded = load(tableRoot)
+    // time travel: pin the requested snapshot (it must be in the metadata's
+    // snapshot log)
+    val table = snapshotId.fold(loaded) { sid =>
+      require(loaded.snapshots.exists(_._1 == sid),
+        s"snapshot $sid not in table metadata " +
+          s"(has: ${loaded.snapshots.map(_._1).mkString(", ")})")
+      loaded.copy(currentSnapshotId = Some(sid))
+    }
     val live = liveDataFiles(table, partitionFilter)
     val files = live.map(e => table.resolve(e.filePath))
     if (files.isEmpty)

@@ -40,4 +40,22 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT count(*) AS n FROM '/root/reference/testdata/delta/table1'")
     assert(df.collect().head.getLong(0) == 2L)
   }
+
+  test("time travel: read_delta(path, version) replays to that commit") {
+    val t1 = "/root/reference/testdata/delta/table1"
+    def at(v: Long): Long =
+      sources.Delta.read(spark, t1, versionAsOf = Some(v)).count()
+    assert(at(0) == 0L) // v0: metadata only
+    assert(at(1) == 1L) // v1: hello
+    assert(at(2) == 2L) // v2: hello + world
+    val e = intercept[IllegalArgumentException] {
+      sources.Delta.read(spark, t1, versionAsOf = Some(3))
+    }
+    assert(e.getMessage.contains("latest is 2"))
+    // and via the TVF sugar
+    val n = sources.GraftSession.sql(spark,
+      s"SELECT count(*) AS n FROM read_delta('$t1', 1)")
+      .collect().head.getLong(0)
+    assert(n == 1L)
+  }
 }

@@ -47,6 +47,25 @@ class IcebergSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == files.map(_.recordCount).sum)
   }
 
+  test("time travel: read_iceberg(path, snapshot_id) pins that snapshot") {
+    val t = s"$Base/tables-v1/lineitem_versioned"
+    val loaded = sources.Iceberg.load(t)
+    val Seq(old, cur) = loaded.snapshots.map(_._1)
+    assert(loaded.currentSnapshotId.contains(cur))
+    val nCur = sources.Iceberg.read(spark, t).count()
+    val nOld = sources.Iceberg.read(spark, t, snapshotId = Some(old)).count()
+    info(s"current=$nCur old=$nOld")
+    assert(nOld != nCur) // the older snapshot sees a different file set
+    intercept[IllegalArgumentException] {
+      sources.Iceberg.read(spark, t, snapshotId = Some(12345L))
+    }
+    // and via the TVF sugar
+    val n = sources.GraftSession.sql(spark,
+      s"SELECT count(*) AS n FROM read_iceberg('$t', $old)")
+      .collect().head.getLong(0)
+    assert(n == nOld)
+  }
+
   test("cities metadata TVFs match slt/iceberg expected values") {
     val meta = sources.Iceberg.metadataDf(spark, s"$Base/wh/default.db/cities").collect()
     assert(meta.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
