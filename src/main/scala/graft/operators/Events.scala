@@ -59,6 +59,48 @@ object Events {
         count(lit(1)).as("n_users"),
         count(col("signup_ts")).as("n_signup"),
         count(when(col("purchase_ts") > col("signup_ts"), 1)).as("n_converted"))
+    },
+
+    // AS-OF join — attribute each purchase to the latest click at or
+    // before it per user (the canonical last-touch attribution shape; the
+    // oracle is DuckDB's native ASOF LEFT JOIN). Spark has no asof
+    // operator, and the naive `l JOIN r ON key AND r.ts <= l.ts` + argmax
+    // explodes quadratically per key. The scalable form is the union-tag
+    // merge: tag both sides, sort by (key, ts, side) in ONE shuffle, and
+    // carry the right side forward with last(ignoreNulls) — right rows
+    // sort before left at equal ts, giving the >= semantics. Cost is one
+    // shuffle + one ordered pass regardless of per-key event counts. The
+    // right side is pre-reduced to one row per (user, ts) so ties are
+    // deterministic in both engines.
+    "e04_asof_join" -> { (s, dir) =>
+      // microsecond precision on both sides: DuckDB reads the parquet
+      // TIMESTAMP(NANOS) column at microsecond resolution, Spark as raw
+      // nanos — compare in the common unit (same device as e01).
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("ts"), col("event_id"))
+      val tagged = clicks
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("click_id"), lit(null).cast(LongType).as("event_id"))
+        .unionByName(purchases.select(col("user_id"), col("ts"),
+          lit(1).as("side"), lit(null).cast(LongType).as("click_id"),
+          col("event_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_click_id",
+          last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("last_click_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("last_click_ts").as("click_ts"),
+          col("last_click_id").as("click_id"))
+        .orderBy("event_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -101,5 +143,18 @@ object Events {
       SELECT COUNT(*) AS n_users,
         COUNT(signup_ts) AS n_signup,
         COUNT(CASE WHEN purchase_ts > signup_ts THEN 1 END) AS n_converted
-      FROM per_user""")
+      FROM per_user""",
+
+    "e04_asof_join" -> """
+      WITH c AS (
+        SELECT user_id, epoch_us(ts) AS ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+      p AS (
+        SELECT user_id, epoch_us(ts) AS ts, event_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, p.ts,
+        c.ts AS click_ts, c.click_id
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id""")
 }

@@ -114,6 +114,74 @@ object TextOps {
           expr("sorted_fingerprint(regexp_replace(lower(trim(text)), '\\\\s+', ' '))")
             .as("sorted_fp"))
         .orderBy("doc_id")
+    },
+
+    // PII detection + redaction — regex scrub, the standard pre-training
+    // hygiene pass. Pure per-row expressions (codegen'd, shuffle-free).
+    // The fixtures carry no PII, so each doc is first augmented with a
+    // DETERMINISTIC synthetic email+phone derived from doc_id (same
+    // construction on the oracle side); the redacted text is surfaced as a
+    // fingerprint so the compare is value-exact without megabyte cells.
+    // Regexes stay in the Java-regex/RE2 common subset.
+    "t07_pii_redact" -> { (s, dir) =>
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast(StringType),
+        lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      val redacted = regexp_replace(
+        regexp_replace(aug, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(aug, lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(aug, lit(phoneRe), lit(0))).as("n_phones"),
+          md5(redacted.cast(BinaryType)).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination — flag corpus docs sharing any 5-token
+    // shingle with a held-out eval set (here: doc_id % 29 = 0). Scale
+    // shape: the eval side is tiny by construction, so its shingles are
+    // BROADCAST and the corpus side streams through a map-side hash join —
+    // no shuffle of the 100 TB corpus; this is how n-gram decontamination
+    // runs in production pipelines.
+    "t08_decontaminate" -> { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), split(norm(col("text")), " ").as("w"))
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("w")) - 4, lit(1))),
+          i => concat_ws(" ", slice(col("w"), i, lit(5)))))).as("shingle"))
+      val evalSh = sh.filter(col("doc_id") % 29 === 0)
+        .select(col("shingle"), col("doc_id").as("eval_id"))
+      sh.filter(col("doc_id") % 29 =!= 0)
+        .join(broadcast(evalSh), "shingle")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+          countDistinct(col("shingle")).as("n_shingles"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition-based quality signals (Gopher-style): duplicate-word
+    // fraction and the fraction of bigram occurrences taken by the single
+    // most frequent bigram. The bigram stats are computed DISTRIBUTED
+    // (explode -> count per (doc, bigram) -> max/sum per doc): two narrow
+    // shuffles keyed by doc_id, no per-row quadratic expression work.
+    "t09_repetition" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(norm(col("text")), " ").as("w"))
+      val base = d.select(col("doc_id"), size(col("w")).as("n_words"),
+        round(lit(1.0) -
+          size(array_distinct(col("w"))).cast(DoubleType) / size(col("w")), 6)
+          .as("dup_word_frac"))
+      val top = d.select(col("doc_id"), explode(transform(
+          sequence(lit(1), greatest(size(col("w")) - 1, lit(1))),
+          i => concat_ws(" ", slice(col("w"), i, lit(2))))).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("n")).cast(DoubleType) / sum(col("n")), 6)
+          .as("top_bigram_frac"))
+      base.join(top, "doc_id").orderBy("doc_id")
     })
 
   val oracles: Map[String, String] = {
@@ -182,6 +250,58 @@ object TextOps {
         SELECT doc_id,
           MD5($sqlNorm) AS fp,
           MD5(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT($sqlNorm, ' ')), ' ')) AS sorted_fp
-        FROM documents ORDER BY doc_id""")
+        FROM documents ORDER BY doc_id""",
+
+      "t07_pii_redact" -> {
+        val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+          "'@mail.example.com or +1-555-' || " +
+          "LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        s"""
+        SELECT doc_id,
+          CAST(LEN(REGEXP_EXTRACT_ALL($aug, '$emailRe')) AS INT) AS n_emails,
+          CAST(LEN(REGEXP_EXTRACT_ALL($aug, '$phoneRe')) AS INT) AS n_phones,
+          MD5(REGEXP_REPLACE(REGEXP_REPLACE($aug, '$emailRe', '<EMAIL>', 'g'),
+              '$phoneRe', '<PHONE>', 'g')) AS redacted_fp
+        FROM documents ORDER BY doc_id"""
+      },
+
+      "t08_decontaminate" -> s"""
+        WITH d AS (
+          SELECT doc_id, STRING_SPLIT($sqlNorm, ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+            GENERATE_SERIES(1, GREATEST(LEN(w) - 4, 1)),
+            i -> ARRAY_TO_STRING(w[i:i+4], ' ')))) AS shingle
+          FROM d)
+        SELECT c.doc_id AS doc_id,
+          COUNT(DISTINCT e.doc_id) AS n_eval_docs,
+          COUNT(DISTINCT c.shingle) AS n_shingles
+        FROM sh c JOIN sh e ON c.shingle = e.shingle
+        WHERE e.doc_id % 29 = 0 AND c.doc_id % 29 <> 0
+        GROUP BY c.doc_id ORDER BY doc_id""",
+
+      "t09_repetition" -> s"""
+        WITH d AS (
+          SELECT doc_id, STRING_SPLIT($sqlNorm, ' ') AS w FROM documents),
+        bg AS (
+          SELECT doc_id, UNNEST(LIST_TRANSFORM(
+            GENERATE_SERIES(1, GREATEST(LEN(w) - 1, 1)),
+            i -> ARRAY_TO_STRING(w[i:i+1], ' '))) AS bigram
+          FROM d),
+        c AS (
+          SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram),
+        top AS (
+          SELECT doc_id, ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6)
+            AS top_bigram_frac
+          FROM c GROUP BY doc_id)
+        SELECT d.doc_id AS doc_id,
+          CAST(LEN(w) AS INT) AS n_words,
+          ROUND(1.0 - CAST(LEN(LIST_DISTINCT(w)) AS DOUBLE) / LEN(w), 6)
+            AS dup_word_frac,
+          top.top_bigram_frac
+        FROM d JOIN top ON d.doc_id = top.doc_id
+        ORDER BY doc_id""")
   }
 }

@@ -139,6 +139,32 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted >= 40, s"only $planted of 50 planted dups found")
   }
 
+  test("connected components: multi-hop chains collapse to one cluster") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 — forces several propagation rounds),
+    // pair 10-11, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id1", "id2")
+    val cc = graft.operators.Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L && cc(20L) == 20L)
+  }
+
+  test("asof join: latest right row at-or-before each left row, per key") {
+    val r = SparkEntry.queries("e04_asof_join")(spark, dir).collect()
+    r.foreach { row =>
+      if (!row.isNullAt(3))
+        assert(row.getAs[Long]("click_ts") <= row.getAs[Long]("ts"),
+          s"click after purchase: $row")
+    }
+    // at least one purchase precedes any click for its user -> NULL match
+    // is representable (left join), and most purchases find a click
+    val matched = r.count(!_.isNullAt(3))
+    assert(matched > r.length / 2, s"only $matched of ${r.length} matched")
+  }
+
   test("exact dedup groups duplicate texts") {
     import spark.implicits._
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
