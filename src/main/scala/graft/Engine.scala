@@ -50,9 +50,28 @@ object Engine {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
+  /** Schema catalog: parquet schema per fixture file, validated by
+    * (mtime, size). `spark.read.parquet` infers the schema EAGERLY from the
+    * footer on every call — ~100 ms of per-table, per-session overhead that
+    * a production engine never pays because its catalog stores the schema.
+    * One stat() call replaces the footer read; a rewritten file (different
+    * mtime/size) re-infers, so non-fixture uses stay correct.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      org.apache.spark.sql.types.StructType]()
+
   /** Read one driver fixture table and register it as a temp view. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    val df =
+      if (f.isFile) {
+        val key = (path, f.lastModified(), f.length())
+        val schema = schemaCache.computeIfAbsent(key,
+          _ => spark.read.parquet(path).schema)
+        spark.read.schema(schema).parquet(path)
+      } else spark.read.parquet(path) // directory outputs: list + infer
     df.createOrReplaceTempView(name)
     df
   }

@@ -4543,6 +4543,16 @@ object Tpcds {
     * with the fixture dir it was built from. */
   private val starReady = new java.util.WeakHashMap[SparkSession, String]()
 
+  /** Fixture dirs whose star tables are already cached in the shared
+    * CacheManager (keyed per context). Cache substitution is PLAN-keyed and
+    * automatic at query time, so `CACHE TABLE` only needs to run once per
+    * (context, dir) to trigger materialization — re-issuing it from every
+    * fresh child session costs a full analyze per table for a guaranteed
+    * no-op lookup (~2 s per session across the ~20 cached tables). */
+  private val starCached =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      scala.collection.mutable.Set[String]]()
+
   /** Materialize the synthesized star schema ONCE per session instead of
     * re-deriving it inside every query's WITH clause.
     *
@@ -4562,18 +4572,20 @@ object Tpcds {
     * input data by construction. */
   private[queries] def ensureStar(s: SparkSession, dir: String): Unit =
     starReady.synchronized {
+      val cachedDirs = starCached.computeIfAbsent(s.sparkContext,
+        _ => scala.collection.mutable.Set[String]())
+      val needCache = !cachedDirs.contains(dir)
       def createView(name: String, defn: String): Unit = {
         val inner =
           defn.substring(defn.indexOf('(') + 1, defn.lastIndexOf(')'))
         s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $inner")
         // ccnt (a COUNT over orders) is cached too — q09/q25 reference it
         // repeatedly; the pure row-number sequences are cheaper to
-        // recompute than to store. Re-issuing CACHE TABLE for an identical
-        // view plan is a CacheManager no-op (keyed on the plan, not name).
-        // inventory stays uncached too: the weekly grid is 36M rows at
-        // sf0.1 and every query over it carries a selective date filter
-        // that prunes the derivation far below the cached full scan.
-        if (!Set("dd_seq", "cust_seq", "inventory")(name))
+        // recompute than to store. inventory stays uncached too: the
+        // weekly grid is 36M rows at sf0.1 and every query over it carries
+        // a selective date filter that prunes the derivation far below the
+        // cached full scan.
+        if (needCache && !Set("dd_seq", "cust_seq", "inventory")(name))
           s.sql(s"CACHE TABLE $name")
       }
       if (dir.equals(starReady.get(s))) {
@@ -4589,12 +4601,15 @@ object Tpcds {
       }
       Seq("region", "nation", "supplier", "part", "orders", "lineitem")
         .foreach(Engine.table(s, dir, _))
-      if (starReady.containsKey(s)) // dir changed: drop the old cache entries
+      if (starReady.containsKey(s)) { // dir changed: drop the old cache entries
         cteDefs.foreach { case (name, _) =>
           try s.sql(s"UNCACHE TABLE IF EXISTS $name")
           catch { case _: Exception => }
         }
+        cachedDirs.remove(starReady.get(s))
+      }
       cteDefs.foreach { case (name, defn) => createView(name, defn) }
+      cachedDirs.add(dir)
       starReady.put(s, dir)
     }
 
