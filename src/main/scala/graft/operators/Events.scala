@@ -101,6 +101,37 @@ object Events {
           col("last_click_ts").as("click_ts"),
           col("last_click_id").as("click_id"))
         .orderBy("event_id")
+    },
+
+    // RANGE (interval) join — events falling inside global time windows,
+    // with NO equi-key. Spark's native plan for `ts BETWEEN lo AND hi` is
+    // a broadcast-nested-loop (O(events × windows) compares — dead at
+    // 100 TB). The scale path is bucketization: pick a bucket width, tag
+    // each event with its bucket (one value), EXPLODE each window across
+    // the buckets it spans (span/width rows), and equi-join on the bucket
+    // before the exact BETWEEN filter. The nested loop becomes a hash join
+    // whose duplication factor is bounded by span/width; each (event,
+    // window) pair meets in exactly ONE bucket (the event's), so no
+    // dedup pass is needed. Bucket width = the median window span is the
+    // rule of thumb; here windows span 1 h and buckets are 10 min.
+    "e05_range_join" -> { (s, dir) =>
+      val BucketUs = 10L * 60 * 1000 * 1000 // 10 min
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      // deterministic synthetic windows: one per 17th purchase, ±30 min
+      val windows = ev.filter(col("event_type") === "purchase" &&
+          col("event_id") % 17 === 0)
+        .select(col("event_id").as("window_id"),
+          (col("ts_us") - GapUs).as("lo"), (col("ts_us") + GapUs).as("hi"))
+      val wb = windows.withColumn("bucket",
+        explode(sequence(expr(s"lo DIV $BucketUs"), expr(s"hi DIV $BucketUs"))))
+      val eb = ev.withColumn("bucket", expr(s"ts_us DIV $BucketUs"))
+      eb.join(wb, eb("bucket") === wb("bucket") &&
+          col("ts_us").between(col("lo"), col("hi")))
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sumd(dmoney(col("value"))).as("total_value"))
+        .orderBy("window_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -156,5 +187,20 @@ object Events {
         c.ts AS click_ts, c.click_id
       FROM p ASOF LEFT JOIN c
         ON p.user_id = c.user_id AND p.ts >= c.ts
-      ORDER BY p.event_id""")
+      ORDER BY p.event_id""",
+
+    // DuckDB plans the BETWEEN predicate natively (IEJoin); values must
+    // equal the bucketized Spark plan exactly.
+    "e05_range_join" -> s"""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        FROM events),
+      w AS (
+        SELECT event_id AS window_id, ts_us - $GapUs AS lo, ts_us + $GapUs AS hi
+        FROM ev WHERE event_type = 'purchase' AND event_id % 17 = 0)
+      SELECT w.window_id, COUNT(*) AS n_events,
+        COUNT(DISTINCT e.user_id) AS n_users,
+        ${sql.sumd(sql.dmoney("e.value"))} AS total_value
+      FROM w JOIN ev e ON e.ts_us BETWEEN w.lo AND w.hi
+      GROUP BY w.window_id ORDER BY window_id""")
 }

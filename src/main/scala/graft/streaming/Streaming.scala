@@ -24,14 +24,14 @@ object Streaming {
 
   /** Streaming file sources need a directory: stage the events parquet
     * into a per-sf temp dir under target/. */
-  private[graft] def stageDir(dir: String): String = {
+  private[graft] def stageDir(dir: String, table: String = "events"): String = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val d = new java.io.File(s"target/tmp_stream/$tag")
+    val d = new java.io.File(s"target/tmp_stream/$tag/$table")
     d.mkdirs()
-    val dst = new java.io.File(d, "events.parquet")
+    val dst = new java.io.File(d, s"$table.parquet")
     if (!dst.exists()) {
       java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), dst.toPath)
+        java.nio.file.Paths.get(s"$dir/$table.parquet"), dst.toPath)
     }
     d.getAbsolutePath
   }
@@ -79,6 +79,32 @@ object Streaming {
       try q.processAllAvailable()
       finally q.stop()
       s.table(sinkName).orderBy("user_id")
+    },
+
+    // Streaming exact dedup: the documents corpus consumed as a stream,
+    // deduplicated by content fingerprint via stateful aggregation — the
+    // aggregation state IS the dedup table (fp -> count + canonical id),
+    // which is how a continuous-ingest pipeline dedups against everything
+    // seen so far. State is hash-partitioned by fp across executors, so
+    // it scales horizontally; with a watermark + dropDuplicates this
+    // would bound state by time, but exact corpus dedup wants full
+    // retention. Matches the batch d01 oracle exactly.
+    "st05_stream_dedup" -> { (s, dir) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val sinkName = "st05_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.schema(schema)
+        .parquet(stageDir(dir, "documents"))
+        .groupBy(md5(col("text").cast(BinaryType)).as("fp"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("keep_id"))
+        .writeStream.outputMode("complete").format("memory").queryName(sinkName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(sinkName).orderBy("fp")
     },
 
     // Custom stateful streaming: sessionization with
@@ -208,6 +234,11 @@ object Streaming {
       FROM events
       GROUP BY w_start, event_type
       ORDER BY w_start, event_type""",
+
+    "st05_stream_dedup" -> """
+      SELECT MD5(text) AS fp, COUNT(*) AS n_copies,
+             CAST(MIN(doc_id) AS BIGINT) AS keep_id
+      FROM documents GROUP BY MD5(text) ORDER BY fp""",
 
     "st02_stream_user_totals" -> s"""
       SELECT user_id, COUNT(*) AS n_events,

@@ -165,6 +165,21 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(matched > r.length / 2, s"only $matched of ${r.length} matched")
   }
 
+  test("range join: bucketized equi-join plan, no nested loop") {
+    val df = SparkEntry.queries("e05_range_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("streaming dedup agrees with batch exact dedup") {
+    val stream = SparkEntry.queries("st05_stream_dedup")(spark, dir)
+    val batch = SparkEntry.queries("d01_dedup_exact")(spark, dir)
+      .select("fp", "n_copies", "keep_id")
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
   test("exact dedup groups duplicate texts") {
     import spark.implicits._
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
