@@ -60,10 +60,15 @@ object Bench {
     graft.operators.Skew.writeBucketed(spark, sfDir, 8)
 
     // Suite isolation (round-2 verdict: suite-position contamination made
-    // tpch_q01 read 4x slower than its identical DataFrame twin):
+    // tpch_q01 read 4x slower than its identical DataFrame twin; round-5:
+    // 20 cached star tables alive across the suite put late queries under
+    // storage-memory eviction — tpcds_q65 6.4 s in-suite vs 0.9 s isolated):
     //  - each query runs in a FRESH child session (same executors/context,
     //    fresh temp catalog — query-registered temp views don't pile up);
-    //  - a GC pulse between queries levels heap pressure;
+    //  - ALL cached relations are dropped after each query's runs; the next
+    //    query's warmup re-caches only what it needs;
+    //  - a GC pulse between queries levels heap pressure and lets the
+    //    ContextCleaner reap localCheckpoint RDDs;
     //  - median of 5 timed runs with per-run values recorded, so outliers
     //    are visible instead of folded into an average.
     def runOnce(s: SparkSession, name: String): Double = {
@@ -75,17 +80,22 @@ object Bench {
 
     val nRuns = 5
     val results = selected.map { name =>
-      try {
+      val r = try {
         val s = spark.newSession()
-        runOnce(s, name) // warmup (JIT + file listing + codegen)
+        runOnce(s, name) // warmup (JIT + file listing + codegen + caches)
         val runs = (1 to nRuns).map(_ => runOnce(s, name))
-        System.gc()
         name -> (runs.sorted.apply(nRuns / 2), runs)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           name -> (-1.0, Seq.empty[Double])
       }
+      // hygiene runs even when the query failed — a broken query must not
+      // leave its caches behind to contaminate the next one
+      try graft.queries.Tpcds.clearStarCache(spark)
+      catch { case _: Throwable => }
+      System.gc()
+      r
     }
     val qs = results.map { case (k, (m, _)) => "\"" + k + f"\":$m%.4f" }
       .mkString("{", ",", "}")

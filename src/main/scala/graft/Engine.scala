@@ -33,10 +33,6 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-      // reader surfaces as long nanos with this flag (we expose it as ts
-      // BIGINT nanos; the DuckDB oracle uses epoch_ns(ts) to agree).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // driver-fixtures are small files; keep splits reasonable locally
       .config("spark.sql.files.maxPartitionBytes", "128m")
       // 8 MB: dimension tables always broadcast; fact tables (lineitem is

@@ -44,6 +44,13 @@ object QueryDsl {
 
   def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
 
+  /** `events.ts` (TIMESTAMP_NTZ, microsecond precision in the fixtures) as
+    * epoch microseconds. The session time zone is UTC, so the NTZ→TZ cast is
+    * value-preserving and this agrees exactly with the DuckDB oracle's
+    * `epoch_us(ts)`. All event-time arithmetic is integer microsecond math:
+    * exact, portable, and immune to double precision loss. */
+  def tsUs(c: Column = col("ts")): Column = unix_micros(c.cast(TimestampType))
+
   /** Oracle-side SQL fragments mirroring the Spark casts above. */
   object sql {
     def dmoney(c: String) = s"CAST($c AS DECIMAL(12,4))"

@@ -5,25 +5,25 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Event-stream batch operators over `events` (ts = BIGINT nanos; the
-  * session reads TIMESTAMP(NANOS) parquet as longs — see Engine).
+/** Event-stream batch operators over `events` (ts = TIMESTAMP_NTZ with
+  * microsecond precision in the fixtures; converted once to epoch-µs longs
+  * via [[graft.QueryDsl.tsUs]]).
   *
-  * All time arithmetic is integer nanosecond math: exact, portable (the
-  * DuckDB oracle uses epoch_ns), and immune to double precision loss at
-  * 1.7e18 magnitudes. Sessionization is the standard lag-gap-flag +
-  * running-sum pattern: one shuffle on user_id, then two ordered window
-  * passes within each partition.
+  * All time arithmetic is integer microsecond math: exact, portable (the
+  * DuckDB oracle uses epoch_us), and immune to double precision loss.
+  * Sessionization is the standard lag-gap-flag + running-sum pattern: one
+  * shuffle on user_id, then two ordered window passes within each partition.
   */
 object Events {
 
   private val GapUs = 30L * 60 * 1000 * 1000 // 30 min session gap (microseconds)
-  private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val HourUs = 3600L * 1000 * 1000
 
   val queries: Map[String, Q] = Map(
     "e01_sessionize" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       val sessions = t(s, dir, "events")
-        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("ts_us", tsUs())
         .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
         .withColumn("new_sess",
           when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > GapUs, 1)
@@ -41,7 +41,8 @@ object Events {
 
     "e02_tumbling_hour" -> { (s, dir) =>
       t(s, dir, "events")
-        .groupBy(expr(s"ts DIV $HourNs").as("hour_bucket"),
+        .withColumn("ts_us", tsUs())
+        .groupBy(expr(s"ts_us DIV $HourUs").as("hour_bucket"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           sumd(dmoney(col("value"))).as("total_value"))
@@ -52,8 +53,8 @@ object Events {
       val perUser = t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(
-          min(when(col("event_type") === "signup", expr("ts DIV 1000"))).as("signup_ts"),
-          min(when(col("event_type") === "purchase", expr("ts DIV 1000"))).as("purchase_ts"),
+          min(when(col("event_type") === "signup", tsUs())).as("signup_ts"),
+          min(when(col("event_type") === "purchase", tsUs())).as("purchase_ts"),
           count(lit(1)).as("n_events"))
       perUser.agg(
         count(lit(1)).as("n_users"),
@@ -73,10 +74,8 @@ object Events {
     // right side is pre-reduced to one row per (user, ts) so ties are
     // deterministic in both engines.
     "e04_asof_join" -> { (s, dir) =>
-      // microsecond precision on both sides: DuckDB reads the parquet
-      // TIMESTAMP(NANOS) column at microsecond resolution, Spark as raw
-      // nanos — compare in the common unit (same device as e01).
-      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      // epoch-µs on both sides (same device as e01).
+      val ev = t(s, dir, "events").withColumn("ts_us", tsUs())
       val clicks = ev.filter(col("event_type") === "click")
         .groupBy(col("user_id"), col("ts_us").as("ts"))
         .agg(max(col("event_id")).as("click_id"))
@@ -116,7 +115,7 @@ object Events {
     // rule of thumb; here windows span 1 h and buckets are 10 min.
     "e05_range_join" -> { (s, dir) =>
       val BucketUs = 10L * 60 * 1000 * 1000 // 10 min
-      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val ev = t(s, dir, "events").withColumn("ts_us", tsUs())
       // deterministic synthetic windows: one per 17th purchase, ±30 min
       val windows = ev.filter(col("event_type") === "purchase" &&
           col("event_id") % 17 === 0)
@@ -158,7 +157,7 @@ object Events {
       ORDER BY user_id, session_id""",
 
     "e02_tumbling_hour" -> s"""
-      SELECT epoch_ns(ts) // $HourNs AS hour_bucket, event_type,
+      SELECT epoch_us(ts) // $HourUs AS hour_bucket, event_type,
         COUNT(*) AS n,
         ${sql.sumd(sql.dmoney("value"))} AS total_value
       FROM events

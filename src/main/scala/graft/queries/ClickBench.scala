@@ -12,11 +12,10 @@ import org.apache.spark.sql.SparkSession
   * synthesizes one row per `events` row with every column the 43 queries
   * touch, derived deterministically from (event_id, user_id) by modular
   * hashing — the SAME text builds the table in Spark and in DuckDB
-  * (oracle), like the TPC-DS layer. The `events` nanosecond timestamp
-  * column is deliberately NOT used (Spark reads it as BIGINT nanos,
-  * DuckDB as TIMESTAMP_NS — not dialect-common); EventTime is an
-  * integer epoch-seconds column, which is also what ClickBench's own
-  * schema does.
+  * (oracle), like the TPC-DS layer. The `events` timestamp column is
+  * deliberately NOT used (epoch extraction is not dialect-common);
+  * EventTime is an integer epoch-seconds column, which is also what
+  * ClickBench's own schema does.
   *
   * Deviations, applied identically on both sides:
   *  - every output column is aliased; ORDER BY gets unique tiebreaks

@@ -12,8 +12,8 @@ import org.apache.spark.sql.types._
   */
 object ClickBenchShapes {
 
-  private val HourNs = 3600L * 1000 * 1000 * 1000
-  private val DayNs = 24L * HourNs
+  private val HourUs = 3600L * 1000 * 1000
+  private val DayUs = 24L * HourUs
 
   val queries: Map[String, Q] = Map(
     "cb01_count" -> { (s, dir) =>
@@ -46,7 +46,8 @@ object ClickBenchShapes {
 
     "cb05_daily_histogram" -> { (s, dir) =>
       t(s, dir, "events")
-        .groupBy(expr(s"ts DIV $DayNs").as("day_bucket"))
+        .withColumn("ts_us", tsUs())
+        .groupBy(expr(s"ts_us DIV $DayUs").as("day_bucket"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("day_bucket")
@@ -60,7 +61,8 @@ object ClickBenchShapes {
 
     "cb07_type_hour_topk" -> { (s, dir) =>
       t(s, dir, "events")
-        .groupBy(col("event_type"), expr(s"ts DIV $HourNs").as("hour_bucket"))
+        .withColumn("ts_us", tsUs())
+        .groupBy(col("event_type"), expr(s"ts_us DIV $HourUs").as("hour_bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("event_type"), asc("hour_bucket"))
         .limit(25)
@@ -94,7 +96,7 @@ object ClickBenchShapes {
       ORDER BY total_value DESC, user_id ASC LIMIT 10""",
 
     "cb05_daily_histogram" -> s"""
-      SELECT epoch_ns(ts) // $DayNs AS day_bucket, COUNT(*) AS n,
+      SELECT epoch_us(ts) // $DayUs AS day_bucket, COUNT(*) AS n,
              COUNT(DISTINCT user_id) AS n_users
       FROM events GROUP BY day_bucket ORDER BY day_bucket""",
 
@@ -104,7 +106,7 @@ object ClickBenchShapes {
       WHERE props LIKE '%"k": 1%' AND event_type <> 'error'""",
 
     "cb07_type_hour_topk" -> s"""
-      SELECT event_type, epoch_ns(ts) // $HourNs AS hour_bucket, COUNT(*) AS n
+      SELECT event_type, epoch_us(ts) // $HourUs AS hour_bucket, COUNT(*) AS n
       FROM events GROUP BY event_type, hour_bucket
       ORDER BY n DESC, event_type ASC, hour_bucket ASC LIMIT 25""",
 

@@ -20,7 +20,7 @@ object IcebergQueries {
     "ice01_read_v1_simple" -> { (s, _) =>
       Iceberg.read(s, s"$Base/tables-v1/lineitem_simple")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
+          sumd(col("l_quantity")).as("sum_qty"),
           min(col("l_orderkey")).as("min_ok"),
           max(col("l_orderkey")).as("max_ok"))
     },
@@ -40,13 +40,13 @@ object IcebergQueries {
     "ice03_partition_pruned" -> { (s, _) =>
       Iceberg.read(s, s"$Base/tables-v1/lineitem_partitioned",
           partitionFilter = Map("l_shipmode" -> "AIR"))
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("decimal(38,2)").as("sum_qty"))
+        .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
     },
 
     // Multi-snapshot table: read resolves the CURRENT snapshot's manifests.
     "ice04_read_versioned" -> { (s, _) =>
       Iceberg.read(s, s"$Base/tables-v1/lineitem_versioned")
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("decimal(38,2)").as("sum_qty"))
+        .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
     },
 
     // Metadata TVFs (functions/metadata.rs:36-81; slt/iceberg SLTs values).
@@ -68,7 +68,7 @@ object IcebergQueries {
 
   val oracles: Map[String, String] = Map(
     "ice01_read_v1_simple" -> s"""
-      SELECT count(*) AS n, CAST(sum(l_quantity) AS DECIMAL(38,2)) AS sum_qty,
+      SELECT count(*) AS n, ${sql.sumd("l_quantity")} AS sum_qty,
              min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
       FROM read_parquet('$Base/tables-v1/lineitem_simple/data/*.parquet')""",
 
@@ -80,13 +80,13 @@ object IcebergQueries {
       GROUP BY l_shipmode ORDER BY l_shipmode""",
 
     "ice03_partition_pruned" -> s"""
-      SELECT count(*) AS n, CAST(sum(l_quantity) AS DECIMAL(38,2)) AS sum_qty
+      SELECT count(*) AS n, ${sql.sumd("l_quantity")} AS sum_qty
       FROM read_parquet('$Base/tables-v1/lineitem_partitioned/data/*/*.parquet',
                         hive_partitioning=0)
       WHERE l_shipmode = 'AIR'""",
 
     "ice04_read_versioned" -> s"""
-      SELECT count(*) AS n, CAST(sum(l_quantity) AS DECIMAL(38,2)) AS sum_qty
+      SELECT count(*) AS n, ${sql.sumd("l_quantity")} AS sum_qty
       FROM read_parquet('$Base/tables-v1/lineitem_versioned/data/*.parquet')""",
 
     "ice05_metadata" -> """

@@ -38,14 +38,12 @@ object Streaming {
 
   val queries: Map[String, Q] = Map(
     "st01_stream_hourly" -> { (s, dir) =>
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       val sinkName = "st01_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val stream = s.readStream.schema(schema)
+      val stream = s.readStream.schema(evSchema)
         .parquet(stageDir(dir))
-        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        // ts is TIMESTAMP_NTZ µs in the fixtures; session tz is UTC so the
+        // NTZ→TZ cast is value-preserving (watermark/window need TIMESTAMP)
+        .withColumn("event_time", col("ts").cast(TimestampType))
         .withWatermark("event_time", "1 hour")
         .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumd(dmoney(col("value"))).as("total_value"))
@@ -65,12 +63,8 @@ object Streaming {
     // Stateful streaming: per-user running totals via the same micro-batch
     // pipeline, update-mode — demonstrates stateful agg; rows-only check.
     "st02_stream_user_totals" -> { (s, dir) =>
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       val sinkName = "st02_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = s.readStream.schema(schema)
+      val q = s.readStream.schema(evSchema)
         .parquet(stageDir(dir))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), sumd(dmoney(col("value"))).as("total_value"))
@@ -128,10 +122,6 @@ object Streaming {
       readerOpts: Map[String, String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val sinkName = "st03_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val gapUs = 30L * 60 * 1000 * 1000
 
@@ -140,7 +130,7 @@ object Streaming {
         state: GroupState[(Long, List[(Long, Long)])]): Iterator[SessionOut] = {
       val (priorVer, prior) = state.getOption.getOrElse((0L, Nil))
       val ver = priorVer + 1
-      val all = (prior ++ events.map(e => (e.ts / 1000, e.event_id)).toList)
+      val all = (prior ++ events.map(e => (e.ts, e.event_id)).toList)
         .sortBy(identity)
       state.update((ver, all))
       var sid = 0; var prev = Long.MinValue
@@ -157,8 +147,11 @@ object Streaming {
       }
     }
 
-    val q = s.readStream.schema(schema).options(readerOpts).parquet(staged)
-      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    // Ev.ts is epoch µs: convert the NTZ column before entering the typed path
+    val q = s.readStream.schema(evSchema).options(readerOpts).parquet(staged)
+      .select(col("event_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("ts"),
+        col("user_id"), col("value"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
@@ -180,8 +173,10 @@ object Streaming {
       .orderBy("user_id", "session_id")
   }
 
+  /** events.parquet reader schema — ts is TIMESTAMP_NTZ(µs) in the fixtures
+    * (asserted by GraftSpec's fixture-schema gate so drift fails loudly). */
   private val evSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -199,7 +194,7 @@ object Streaming {
           .filter(col("event_type") === kind)
           .select(col("user_id"),
             col("event_id").as(idAs),
-            timestamp_micros(expr("ts DIV 1000")).as(tsAs))
+            col("ts").cast(TimestampType).as(tsAs))
           .withWatermark(tsAs, "1 hour")
       val signups = side("signup", "signup_id", "signup_time")
       val purchases = side("purchase", "purchase_id", "purchase_time")
@@ -228,7 +223,7 @@ object Streaming {
 
     // Window start = hour-aligned epoch; reconstruct via make_timestamp(µs).
     "st01_stream_hourly" -> s"""
-      SELECT make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000) AS w_start,
+      SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
         event_type, COUNT(*) AS n,
         ${sql.sumd(sql.dmoney("value"))} AS total_value
       FROM events

@@ -34,6 +34,35 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     // than the 6k-lineitem fixture carries; 1/8/1/4 rows at sf0.01
     "tpcds_q54", "tpcds_q58", "tpcds_q85", "tpcds_q91")
 
+  test("fixture schemas match the engine's assumptions (drift gate)") {
+    // Round-5 lesson: the driver regenerated events.parquet with ts as
+    // TIMESTAMP(MICROS) (was NANOS) and every time-math query silently broke.
+    // Pin the load-bearing column types so the NEXT drift fails loudly here.
+    import org.apache.spark.sql.types._
+    val expected = Map(
+      "events" -> Map("event_id" -> LongType, "ts" -> TimestampNTZType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Map("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
+      "lineitem" -> Map("l_orderkey" -> LongType, "l_quantity" -> DoubleType,
+        "l_extendedprice" -> DoubleType, "l_shipdate" -> TimestampNTZType))
+    val drift = expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val schema = Engine.table(spark, dir, table).schema
+      cols.flatMap { case (c, dt) =>
+        schema.find(_.name == c) match {
+          case None => Some(s"$table.$c: MISSING")
+          case Some(f) if f.dataType != dt =>
+            Some(s"$table.$c: ${f.dataType.simpleString} (expected ${dt.simpleString})")
+          case _ => None
+        }
+      }
+    }
+    assert(drift.isEmpty, s"fixture schema drift detected: ${drift.mkString("; ")}")
+  }
+
   test("every catalog query executes and returns rows at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, dir).count()
