@@ -1510,6 +1510,7 @@ object Dialect {
       }
       i += 1
     }
+    ts = rewriteLateralAgg(rewriteQuantifiedCompare(ts))
     // trailing comma: `, <terminator>`
     val enders = Set("FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
       "UNION", "EXCEPT", "INTERSECT", "WINDOW", "OFFSET")
@@ -1523,6 +1524,339 @@ object Dialect {
         })
       })
     }.map(_._1)
+  }
+
+  /** Ordering quantified comparisons Spark's parser lacks:
+    * `x > ANY(sub)` and friends (reference: plan_subquery.rs decorrelates
+    * these natively; slt/standard/subqueries/correlated_any.slt).
+    *
+    * Rewritten to correlated-scalar MIN/MAX aggregate subqueries — the agg
+    * is injected INTO the subquery's select list (not wrapped around a
+    * derived table) so any outer correlation stays one level deep, which is
+    * the shape Spark's DecorrelateInnerQuery handles:
+    *   x >  ANY(SELECT e FROM r)  →  x >  (SELECT MIN(e) FROM r)
+    *   x <= ALL(SELECT e FROM r)  →  x <= (SELECT MAX(e) FROM r)
+    *   x =  ALL(sub)  →  x = (SELECT MIN…) AND x = (SELECT MAX…)
+    *   x <> ANY(sub)  →  x <> (SELECT MIN…) OR x <> (SELECT MAX…)
+    * The reference's quantified comparisons are two-valued (empty/NULL
+    * collapse: ANY→false, ALL→true), so when the left operand is a simple
+    * primary whose extent we can identify, the whole comparison is wrapped
+    * in COALESCE(…, false|true); otherwise the bare scalar form is emitted
+    * (identical under WHERE, where UNKNOWN filters like FALSE).
+    * `= ANY`→IN and `<> ALL`→NOT IN are handled earlier. */
+  private def rewriteQuantifiedCompare(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+
+    // wrap the subquery's single select expression in an aggregate; None if
+    // the select list isn't a single wrappable expression
+    def aggSub(sub: Vector[Tok], agg: String): Option[Vector[Tok]] = {
+      val selIdx = sub.indexWhere(!_.isInstanceOf[Ws])
+      if (selIdx < 0) return None
+      sub(selIdx) match {
+        case Ident(s) if s.toUpperCase == "SELECT" =>
+        case _ => return None
+      }
+      // top-level FROM (or end of subquery when there is no FROM clause)
+      var depth = 0
+      var fromIdx = sub.length
+      var j = selIdx + 1
+      while (j < sub.length && fromIdx == sub.length) {
+        sub(j) match {
+          case Punct("(") => depth += 1
+          case Punct(")") => depth -= 1
+          case Ident(w) if depth == 0 && w.toUpperCase == "FROM" => fromIdx = j
+          case _ =>
+        }
+        j += 1
+      }
+      val e = sub.slice(selIdx + 1, fromIdx)
+      val sig = e.filter(!_.isInstanceOf[Ws])
+      val blocked = sig.exists {
+        case Punct(",") => true // multi-column select list
+        case Op("*") if sig.length == 1 => true // SELECT *
+        case Ident(w) => Set("DISTINCT", "AS")(w.toUpperCase)
+        case _ => false
+      }
+      if (sig.isEmpty || blocked) None
+      else Some(sub.slice(0, selIdx + 1) ++
+        Vector(Ws(" "), Ident(agg), Punct("(")) ++ e ++
+        Vector(Punct(")"), Ws(" ")) ++ sub.slice(fromIdx, sub.length))
+    }
+
+    // start index of the simple primary ending just before `opIdx`, if its
+    // left boundary is unambiguous (qualified ident chain, literal, or
+    // call/paren group preceded by a clause keyword / '(' / ',')
+    def operandStart(opIdx: Int): Option[Int] = {
+      val j = prevSig(ts, opIdx)
+      if (j < 0) return None
+      var st = ts(j) match {
+        case Punct(")") =>
+          val open = matchBack(ts, j)
+          val b = prevSig(ts, open)
+          if (b >= 0 && ts(b).isInstanceOf[Ident]) b else open
+        case _: Ident | _: QIdent | _: Num | _: Str => j
+        case _ => return None
+      }
+      // absorb `tbl.` / `a.b.` qualification
+      var b = prevSig(ts, st)
+      while (b > 0 && ts(b) == Punct(".") && {
+        val q = prevSig(ts, b)
+        q >= 0 && (ts(q).isInstanceOf[Ident] || ts(q).isInstanceOf[QIdent])
+      }) { st = prevSig(ts, b); b = prevSig(ts, st) }
+      val boundary = b < 0 || (ts(b) match {
+        case Punct("(") | Punct(",") => true
+        case Ident(w) => Set("SELECT", "WHERE", "AND", "OR", "ON", "WHEN",
+          "THEN", "ELSE", "HAVING", "BY", "NOT")(w.toUpperCase)
+        case _ => false
+      })
+      if (boundary) Some(st) else None
+    }
+
+    var i = 0
+    while (i < ts.length) {
+      val hit = ts(i) match {
+        case Op(op) if Set("<", "<=", ">", ">=", "=", "<>", "!=")(op) =>
+          nextSigOpt(ts, i) match {
+            case Some((qi, Ident(q)))
+                if Set("ANY", "SOME", "ALL")(q.toUpperCase) =>
+              val isAll = q.toUpperCase == "ALL"
+              val pi = nextSig(ts, qi)
+              val isSub = pi < ts.length && ts(pi) == Punct("(") &&
+                (nextSigOpt(ts, pi) match {
+                  case Some((_, Ident(s))) => s.toUpperCase == "SELECT"
+                  case _ => false
+                })
+              // = ANY / <> ALL were mapped to IN / NOT IN earlier; anything
+              // of that shape left here is not ours to touch
+              val ours = isSub &&
+                !(op == "=" && !isAll) && !(Set("<>", "!=")(op) && isAll)
+              if (!ours) None
+              else {
+                val close = matchFwd(ts, pi)
+                val sub = ts.slice(pi + 1, close)
+                val deflt = Ident(if (isAll) "TRUE" else "FALSE")
+                def scalar(agg: String): Option[Vector[Tok]] =
+                  aggSub(sub, agg).map(w =>
+                    Vector(Punct("(")) ++ w ++ Vector(Punct(")")))
+                val eq = op == "=" || op == "<>" || op == "!="
+                val rewritten: Option[(Vector[Tok], Boolean)] =
+                  if (eq) {
+                    // x = ALL / x <> ANY need the operand twice
+                    (operandStart(i), scalar("MIN"), scalar("MAX")) match {
+                      case (Some(st), Some(mn), Some(mx)) =>
+                        val x = ts.slice(st, i)
+                        val cmp = Op(if (op == "=") "=" else "<>")
+                        val link = Ident(if (op == "=") "AND" else "OR")
+                        Some((ts.slice(0, st) ++
+                          Vector(Ident("COALESCE"), Punct("(")) ++
+                          x ++ Vector(cmp, Ws(" ")) ++ mn ++
+                          Vector(Ws(" "), link, Ws(" ")) ++
+                          x ++ Vector(cmp, Ws(" ")) ++ mx ++
+                          Vector(Punct(","), Ws(" "), deflt, Punct(")")) ++
+                          ts.slice(close + 1, ts.length), true))
+                      case _ => None
+                    }
+                  } else {
+                    val agg =
+                      if ((op.startsWith(">")) != isAll) "MIN" else "MAX"
+                    scalar(agg).map { w =>
+                      operandStart(i) match {
+                        case Some(st) =>
+                          (ts.slice(0, st) ++
+                            Vector(Ident("COALESCE"), Punct("(")) ++
+                            ts.slice(st, i) ++ Vector(Op(op), Ws(" ")) ++ w ++
+                            Vector(Punct(","), Ws(" "), deflt, Punct(")")) ++
+                            ts.slice(close + 1, ts.length), true)
+                        case None =>
+                          (ts.slice(0, i) ++ Vector(Op(op), Ws(" ")) ++ w ++
+                            ts.slice(close + 1, ts.length), true)
+                      }
+                    }
+                  }
+                rewritten
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+      hit match {
+        case Some((next, _)) => ts = next // restart scan past nothing: stay
+        case None =>
+      }
+      i += 1
+    }
+    ts
+  }
+
+  /** Correlated aggregates in LATERAL subqueries (reference decorrelates
+    * them natively; slt/standard/join/lateral_join_aggregate.slt). Spark's
+    * analyzer rejects outer references inside an Aggregate's expressions
+    * (UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY), so two sound shapes are
+    * rewritten into forms it does decorrelate:
+    *
+    * 1. `LATERAL (SELECT agg(e))` with no FROM — the aggregate ranges over
+    *    exactly one implicit row, so it IS its input (modulo sum/avg type
+    *    promotion): SUM→CAST(e AS BIGINT), MIN/MAX→e, AVG→CAST(e AS
+    *    DOUBLE), COUNT→IF(e IS NULL, 0, 1).
+    * 2. `LATERAL (SELECT SUM(a * b * …) FROM r)` where some factors are
+    *    outer-qualified (qualifier not a local FROM alias) and the rest
+    *    local — multiplication distributes over SUM, so outer factors hoist
+    *    out of a derived-table aggregate:
+    *    `SELECT outer… * __s FROM (SELECT SUM(local…) AS __s FROM r) __q`
+    *    leaving the outer reference in a plain projection, which Spark
+    *    supports. SUM only (MIN/MAX would need sign knowledge). */
+  private def rewriteLateralAgg(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    val aggs = Set("SUM", "MIN", "MAX", "AVG", "COUNT")
+
+    def isKw(t: Tok, w: String): Boolean = t match {
+      case Ident(x) => x.toUpperCase == w
+      case _ => false
+    }
+
+    var i = 0
+    while (i < ts.length) {
+      if (isKw(ts(i), "LATERAL")) {
+        val pi = nextSig(ts, i)
+        val subOk = pi < ts.length && ts(pi) == Punct("(") &&
+          nextSigOpt(ts, pi).exists(p => isKw(p._2, "SELECT"))
+        if (subOk) {
+          val close = matchFwd(ts, pi)
+          val sub = ts.slice(pi + 1, close)
+          val selIdx = sub.indexWhere(!_.isInstanceOf[Ws])
+          // top-level FROM
+          var depth = 0; var fromIdx = sub.length; var j = selIdx + 1
+          while (j < sub.length && fromIdx == sub.length) {
+            sub(j) match {
+              case Punct("(") => depth += 1
+              case Punct(")") => depth -= 1
+              case t if depth == 0 && isKw(t, "FROM") => fromIdx = j
+              case _ =>
+            }
+            j += 1
+          }
+          val e = sub.slice(selIdx + 1, fromIdx).filter(!_.isInstanceOf[Ws])
+          // select list must be exactly AGG ( arg )
+          val shaped = e.length >= 3 && (e.head match {
+            case Ident(f) => aggs(f.toUpperCase)
+            case _ => false
+          }) && e(1) == Punct("(") && e.last == Punct(")") && {
+            // the arg parens must close at the end (single call)
+            var d = 0; var bal = true
+            e.drop(2).dropRight(1).foreach {
+              case Punct("(") => d += 1
+              case Punct(")") => d -= 1; if (d < 0) bal = false
+              case _ =>
+            }
+            bal && d == 0
+          }
+          if (shaped) {
+            val fn = e.head.text.toUpperCase
+            val arg = e.slice(2, e.length - 1)
+            val replaced: Option[Vector[Tok]] =
+              if (fromIdx == sub.length) {
+                // shape 1: one-row aggregate → identity form
+                val body = fn match {
+                  case "SUM" =>
+                    Vector(Ident("CAST"), Punct("(")) ++ arg ++
+                      Vector(Ws(" "), Ident("AS"), Ws(" "), Ident("BIGINT"),
+                        Punct(")"))
+                  case "AVG" =>
+                    Vector(Ident("CAST"), Punct("(")) ++ arg ++
+                      Vector(Ws(" "), Ident("AS"), Ws(" "), Ident("DOUBLE"),
+                        Punct(")"))
+                  case "COUNT" =>
+                    Vector(Ident("IF"), Punct("(")) ++ arg ++
+                      Vector(Ws(" "), Ident("IS"), Ws(" "), Ident("NULL"),
+                        Punct(","), Ws(" "), Num("0"), Punct(","), Ws(" "),
+                        Num("1"), Punct(")"))
+                  case _ => arg
+                }
+                Some(Vector(Ident("SELECT"), Ws(" ")) ++ body)
+              } else if (fn == "SUM") {
+                // shape 2: factor outer multiplicands out of the SUM
+                val rest = sub.slice(fromIdx, sub.length)
+                // local aliases: for `x AS a` the alias wins; bare `x` is
+                // its own alias (comma/JOIN-separated relation list)
+                val fr = rest.filter(!_.isInstanceOf[Ws])
+                val locals = scala.collection.mutable.Set[String]()
+                var k = 1
+                while (k < fr.length) {
+                  fr(k) match {
+                    case Ident(w) if w.toUpperCase == "AS" &&
+                        k + 1 < fr.length && fr(k + 1).isInstanceOf[Ident] =>
+                      // alias replaces the relation name just recorded
+                      fr(k - 1) match {
+                        case Ident(prev) => locals -= prev.toUpperCase
+                        case _ =>
+                      }
+                      locals += fr(k + 1).text.toUpperCase
+                      k += 1
+                    case Ident(w)
+                        if !Set("JOIN", "ON", "INNER", "LEFT", "RIGHT",
+                          "FULL", "CROSS", "OUTER", "WHERE", "GROUP",
+                          "USING", "AS", "FROM")(w.toUpperCase) &&
+                          (fr(k - 1) match {
+                            case Ident(p) => Set("FROM", "JOIN",
+                              "CROSS")(p.toUpperCase)
+                            case Punct(",") => true
+                            case _ => false
+                          }) =>
+                      locals += w.toUpperCase
+                    case _ =>
+                  }
+                  k += 1
+                }
+                // split the agg arg by top-level '*'
+                val factors = scala.collection.mutable.ArrayBuffer(
+                  scala.collection.mutable.ArrayBuffer[Tok]())
+                var d = 0
+                arg.foreach {
+                  case Punct("(") => d += 1; factors.last += Punct("(")
+                  case Punct(")") => d -= 1; factors.last += Punct(")")
+                  case Op("*") if d == 0 =>
+                    factors += scala.collection.mutable.ArrayBuffer[Tok]()
+                  case t => factors.last += t
+                }
+                // classify: qualified chain with non-local qualifier → outer
+                def cls(f: Seq[Tok]): Option[Boolean] = { // Some(isOuter)
+                  val sig = f.filter(!_.isInstanceOf[Ws])
+                  sig.toList match {
+                    case Ident(q) :: Punct(".") :: Ident(_) :: Nil =>
+                      Some(!locals.contains(q.toUpperCase))
+                    case Ident(_) :: Nil | Num(_) :: Nil => Some(false)
+                    case _ => None // complex factor: bail
+                  }
+                }
+                val classed = factors.map(f => (f.toVector, cls(f.toSeq)))
+                if (factors.length >= 2 && classed.forall(_._2.isDefined) &&
+                  classed.exists(_._2.contains(true)) &&
+                  classed.exists(_._2.contains(false))) {
+                  def prod(fs: Seq[Vector[Tok]]): Vector[Tok] =
+                    fs.reduce((a, b) => a ++ Vector(Ws(" "), Op("*"),
+                      Ws(" ")) ++ b)
+                  val outer = prod(classed.filter(_._2.contains(true))
+                    .map(_._1).toSeq)
+                  val local = prod(classed.filter(_._2.contains(false))
+                    .map(_._1).toSeq)
+                  Some(Vector(Ident("SELECT"), Ws(" ")) ++ outer ++
+                    Vector(Ws(" "), Op("*"), Ws(" "), Ident("__s"), Ws(" "),
+                      Ident("FROM"), Ws(" "), Punct("("), Ident("SELECT"),
+                      Ws(" "), Ident("SUM"), Punct("(")) ++ local ++
+                    Vector(Punct(")"), Ws(" "), Ident("AS"), Ws(" "),
+                      Ident("__s"), Ws(" ")) ++ rest ++
+                    Vector(Punct(")"), Ws(" "), Ident("__q")))
+                } else None
+              } else None
+            replaced.foreach { r =>
+              ts = ts.slice(0, pi + 1) ++ r ++ ts.slice(close, ts.length)
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    ts
   }
 
   /** Full rewrite pipeline. `chaining=false` disables the method-chaining
