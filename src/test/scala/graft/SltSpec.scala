@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Runs the subset of the reference's own sqllogictest corpus
   * (/root/reference/slt/standard, 262 files) that is dialect-portable —
-  * 221 files curated by `graft.slt.SltSweep`. Every record in every
+  * as of round 6 that is ALL of them (262/262). Every record in every
   * allowlisted file must pass. Failures in the other files are dialect
   * divergences documented in SLT.md (type-name output, `::` casts,
   * GROUPING outside cube/rollup, list literals, NULL-ordering defaults).
@@ -17,254 +17,14 @@ class SltSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   val root = "/root/reference/slt/standard"
-  val allowlist: Seq[String] = Seq(
-    "aggregates/aggregate_with_no_column_refs.slt",
-    "aggregates/basic.slt",
-    "aggregates/distinct_grouped.slt",
-    "aggregates/distinct_grouped_many_groups.slt",
-    "aggregates/distinct_ungrouped.slt",
-    "aggregates/group_by_alias.slt",
-    "aggregates/group_by_cube.slt",
-    "aggregates/group_by_duplicated.slt",
-    "aggregates/group_by_errors.slt",
-    "aggregates/group_by_expr.slt",
-    "aggregates/group_by_many.slt",
-    "aggregates/group_by_multiple_cols.slt",
-    "aggregates/group_by_no_aggregates.slt",
-    "aggregates/group_by_order_by.slt",
-    "aggregates/group_by_ordinal.slt",
-    "aggregates/group_by_string.slt",
-    "aggregates/grouping.slt",
-    "aggregates/having.slt",
-    "attach/invalid_datasource.slt",
-    "attach/memory.slt",
-    "cast/binary.slt",
-    "cast/cast_overflow.slt",
-    "cast/date.slt",
-    "cast/decimal.slt",
-    "cast/implicit_cast_int_lit.slt",
-    "cast/implicit_cast_scalar_agg.slt",
-    "cast/implicit_cast_string_lit.slt",
-    "cast/interval.slt",
-    "cast/nested_casts.slt",
-    "cast/string_cast.slt",
-    "cast/typed_string.slt",
-    "comments.slt",
-    "create_schema/create_temp_schema.slt",
-    "create_schema/drop_schema_dependants.slt",
-    "create_schema/drop_temp_schema.slt",
-    "create_table/create_table.slt",
-    "create_table/ctas_temp.slt",
-    "create_table/drop_table.slt",
-    "create_table/temp_table.slt",
-    "cte/cte.slt",
-    "cte/insert_cte.slt",
-    "cte/materialized_cte.slt",
-    "describe/describe_as_subquery.slt",
-    "describe/describe_query.slt",
-    "describe/describe_table.slt",
-    "discard.slt",
-    "equality_join.slt",
-    "filter/constant.slt",
-    "filter/duplicate_conditions.slt",
-    "functions/aggregate/approx_count_distinct.slt",
-    "functions/aggregate/approx_quantile.slt",
-    "functions/aggregate/avg.slt",
-    "functions/aggregate/bit_and.slt",
-    "functions/aggregate/bit_or.slt",
-    "functions/aggregate/bool_and.slt",
-    "functions/aggregate/bool_or.slt",
-    "functions/aggregate/corr.slt",
-    "functions/aggregate/count.slt",
-    "functions/aggregate/count_star.slt",
-    "functions/aggregate/covar.slt",
-    "functions/aggregate/first_last.slt",
-    "functions/aggregate/minmax.slt",
-    "functions/aggregate/regr_avg.slt",
-    "functions/aggregate/regr_count.slt",
-    "functions/aggregate/regr_r2.slt",
-    "functions/aggregate/regr_slope.slt",
-    "functions/aggregate/stddev.slt",
-    "functions/aggregate/string_agg.slt",
-    "functions/aggregate/sum.slt",
-    "functions/aggregate/sum_decimal.slt",
-    "functions/chaining.slt",
-    "functions/operators/between.slt",
-    "functions/operators/bit_and_or_not.slt",
-    "functions/operators/case.slt",
-    "functions/operators/case_short_circuit.slt",
-    "functions/operators/in.slt",
-    "functions/qualified.slt",
-    "functions/scalar/arith.slt",
-    "functions/scalar/binary/shl.slt",
-    "functions/scalar/binary/shr.slt",
-    "functions/scalar/boolean.slt",
-    "functions/scalar/ceil.slt",
-    "functions/scalar/coalesce.slt",
-    "functions/scalar/comparison.slt",
-    "functions/scalar/contains.slt",
-    "functions/scalar/date_comparison.slt",
-    "functions/scalar/datetime/date_part.slt",
-    "functions/scalar/datetime/date_trunc.slt",
-    "functions/scalar/datetime/epoch.slt",
-    "functions/scalar/datetime/extract.slt",
-    "functions/scalar/decimal_arith.slt",
-    "functions/scalar/decimal_arith_add.slt",
-    "functions/scalar/decimal_arith_sub.slt",
-    "functions/scalar/decimal_comparison.slt",
-    "functions/scalar/ends_with.slt",
-    "functions/scalar/floor.slt",
-    "functions/scalar/gcd.slt",
-    "functions/scalar/is_bool.slt",
-    "functions/scalar/is_distinct_from.slt",
-    "functions/scalar/is_not_distinct_from.slt",
-    "functions/scalar/is_null.slt",
-    "functions/scalar/isfinite.slt",
-    "functions/scalar/isinf.slt",
-    "functions/scalar/l2_distance.slt",
-    "functions/scalar/lcm.slt",
-    "functions/scalar/like.slt",
-    "functions/scalar/list_extract.slt",
-    "functions/scalar/negate.slt",
-    "functions/scalar/not.slt",
-    "functions/scalar/pi.slt",
-    "functions/scalar/power.slt",
-    "functions/scalar/random.slt",
-    "functions/scalar/right.slt",
-    "functions/scalar/round.slt",
-    "functions/scalar/sign.slt",
-    "functions/scalar/string/ascii.slt",
-    "functions/scalar/string/ends_with.slt",
-    "functions/scalar/string/initcap.slt",
-    "functions/scalar/string/left.slt",
-    "functions/scalar/string/length.slt",
-    "functions/scalar/string/lower.slt",
-    "functions/scalar/string/lpad.slt",
-    "functions/scalar/string/position.slt",
-    "functions/scalar/string/regexp_count.slt",
-    "functions/scalar/string/regexp_instr.slt",
-    "functions/scalar/string/regexp_like.slt",
-    "functions/scalar/string/regexp_replace.slt",
-    "functions/scalar/string/repeat.slt",
-    "functions/scalar/string/replace.slt",
-    "functions/scalar/string/reverse.slt",
-    "functions/scalar/string/rpad.slt",
-    "functions/scalar/string/starts_with.slt",
-    "functions/scalar/string/string_concat.slt",
-    "functions/scalar/string/string_split_part.slt",
-    "functions/scalar/string/strpos.slt",
-    "functions/scalar/string/substring.slt",
-    "functions/scalar/string/translate.slt",
-    "functions/scalar/string/trim.slt",
-    "functions/scalar/string/upper.slt",
-    "functions/scalar/trigonometric.slt",
-    "functions/scalar/trunc.slt",
-    "functions/scalar/xor.slt",
-    "functions/star_is_special.slt",
-    "functions/string/md5.slt",
-    "functions/table/generate_series.slt",
-    "functions/table/glob.slt",
-    "functions/table/list_database.slt",
-    "functions/table/list_functions.slt",
-    "functions/table/list_tables.slt",
-    "functions/table/list_views.slt",
-    "functions/table/read_text.slt",
-    "functions/table/read_text_file_list.slt",
-    "functions/table/read_text_into_table.slt",
-    "functions/table/read_text_natural_join.slt",
-    "functions/table/unnest_list.slt",
-    "ident/case_sensitivity.slt",
-    "ident/case_sensitivity_alias.slt",
-    "ident/case_sensitivity_columns.slt",
-    "ident/case_sensitivity_views.slt",
-    "ident/leading_underscore.slt",
-    "insert/insert_cast.slt",
-    "insert/insert_count.slt",
-    "insert/insert_invalid.slt",
-    "insert/insert_parallel.slt",
-    "join/cross_join.slt",
-    "join/in_semi_join_with_filter.slt",
-    "join/inner_join.slt",
-    "join/inner_join_eq_neq.slt",
-    "join/inner_join_large_result.slt",
-    "join/inner_join_using.slt",
-    "join/join_empty.slt",
-    "join/lateral_join.slt",
-    "join/lateral_left_join.slt",
-    "join/left_join_with_right_filter.slt",
-    "join/left_outer.slt",
-    "join/left_outer_using.slt",
-    "join/natural_join.slt",
-    "join/right_outer.slt",
-    "join/right_outer_using.slt",
-    "join/semi_join.slt",
-    "join/system_join.slt",
-    "join/where_or_condition.slt",
-    "limit/basic.slt",
-    "limit/global_limit.slt",
-    "limit/limit_union.slt",
-    "list/create_list_larger_than_batch_size.slt",
-    "optimizer/column_pruning_multiple_scans.slt",
-    "optimizer/column_pruning_no_table_projections.slt",
-    "optimizer/cse.slt",
-    "optimizer/filter_pushdown.slt",
-    "optimizer/filter_pushdown_nested_cross_join.slt",
-    "order/basic.slt",
-    "order/order_by_alias.slt",
-    "order/order_by_large.slt",
-    "order/order_by_many.slt",
-    "order/order_by_noninline_data.slt",
-    "order/order_by_nulls.slt",
-    "order/order_by_ordinal.slt",
-    "order/order_by_strings.slt",
-    "order/order_group.slt",
-    "order/order_limit_offsets.slt",
-    "order/order_union.slt",
-    "parallelism/arbitrary_values.slt",
-    "select/columns.slt",
-    "select/distinct.slt",
-    "select/exclude_except.slt",
-    "select/from_missing.slt",
-    "select/from_values_no_parens.slt",
-    "select/replace.slt",
-    "select/replace_different_types.slt",
-    "select/unnest.slt",
-    "setops/union.slt",
-    "setops/union_distinct.slt",
-    "show/show_databases.slt",
-    "show/show_schemas.slt",
-    "show/show_tables.slt",
-    "simple.slt",
-    "subqueries/any_all.slt",
-    "subqueries/correlated_exists.slt",
-    "subqueries/correlated_in.slt",
-    "subqueries/correlated_lateral.slt",
-    "subqueries/correlated_set_semantics.slt",
-    "subqueries/correlated_subquery.slt",
-    "subqueries/from_subquery.slt",
-    "subqueries/from_table_subquery.slt",
-    "subqueries/in.slt",
-    "subqueries/neumann.slt",
-    "subqueries/scalar/count_subquery.slt",
-    "subqueries/scalar/scalar_exists.slt",
-    "subqueries/subquery_alias.slt",
-    "time/date_arith.slt",
-    "time/date_cmp.slt",
-    "time/interval_arith.slt",
-    "values/implicit_cast.slt",
-    "values/lateral_values.slt",
-    "values/num_columns.slt",
-    "values/values_aliases.slt",
-    "vars/reset.slt",
-    "vars/set_batch_size.slt",
-    "vars/set_partitions.slt",
-    "vars/set_var.slt",
-    "vars/verify_optimized_plan.slt",
-    "views/create_view.slt",
-    "views/temp_view.slt",
-    "views/view_in_subquery.slt",
-    "views/view_qualified_reference.slt",
-    "window/basic.slt")
+  val allowlist: Seq[String] = {
+    // round 6: the ENTIRE standard corpus passes (262/262 files) — lock
+    // every file so any regression fails here, no curation needed
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).flatMap(walk).toSeq
+      else if (f.getName.endsWith(".slt")) Seq(f) else Nil
+    walk(new java.io.File(root)).map(_.getPath.stripPrefix(root + "/"))
+  }
 
   /** Connector suites (slt/csv, slt/parquet, slt/tpch_gen, slt/iceberg,
     * slt/delta) resolved through the GraftSession path/TVF rewrite.
