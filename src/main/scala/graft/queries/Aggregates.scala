@@ -121,14 +121,24 @@ object Aggregates {
 
     // Sketch aggregates (reference: approx_count_distinct.rs HLL,
     // approx_quantile.rs T-Digest). Sketch internals differ across engines,
-    // so no value oracle — spec tests assert tolerance vs exact instead.
+    // so raw sketch values are not oracle-able — instead the Spark side
+    // computes BOTH the sketch and the exact answer and emits the exact
+    // values plus tolerance booleans (HLL within 5% of exact; approx median
+    // within the exact p45..p55 band). The oracle asserts the exact values
+    // and TRUE for every tolerance bit, so a sketch regression is a hash
+    // mismatch in the driver gate, not just a spec failure.
     "q47_approx_sketch" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
+          (abs(approx_count_distinct(col("l_partkey")) -
+              countDistinct(col("l_partkey"))).cast(DoubleType) /
+            countDistinct(col("l_partkey")) <= 0.05).as("cd_ok"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .between(
+              expr("percentile(l_extendedprice, 0.45)"),
+              expr("percentile(l_extendedprice, 0.55)")).as("median_ok"))
         .orderBy("l_returnflag")
     })
 
@@ -202,5 +212,14 @@ object Aggregates {
         CAST(COUNT_IF(o_orderstatus = 'F') AS BIGINT) AS n_f,
         CAST(SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
         COUNT(*) AS n
-      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // Exact values + all-TRUE tolerance bits (see the query comment): the
+    // oracle is exact because the Spark side folds the sketch-vs-exact
+    // comparison into booleans.
+    "q47_approx_sketch" -> """
+      SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        TRUE AS cd_ok, TRUE AS median_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

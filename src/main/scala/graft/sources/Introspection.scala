@@ -55,18 +55,26 @@ object Introspection {
   }
 
   val queries: Map[String, Q] = Map(
-    // Stable subset of EXPLAIN output: the scan/filter/aggregate skeleton
-    // of a fixed query (node names are deterministic for a fixed plan).
+    // Stable projection of EXPLAIN output: structural facts about the plan
+    // of a fixed query, folded to booleans/counts so they are deterministic
+    // under AQE (which hides the physical tree behind AdaptiveSparkPlan
+    // until execution — the explain STRING always shows the initial plan).
+    // Oracle-able: for this fixed aggregate-over-scan query the skeleton is
+    // an invariant — losing the HashAggregate, the shuffle, or scanning
+    // more than one relation would flip a literal and red the gate.
     "p01_explain_nodes" -> { (s, dir) =>
       t(s, dir, "lineitem")
       val df = s.sql(
         "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag")
       import s.implicits._
-      explainPlan(df)
-        .filter(col("node_name").isin("HashAggregate", "Scan parquet ", "FileScan",
-          "Exchange", "AdaptiveSparkPlan", "Project", "Scan parquet"))
-        .groupBy(col("node_name")).agg(count(lit(1)).as("n"))
-        .orderBy("node_name")
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      Seq((
+        plan.contains("AdaptiveSparkPlan"),
+        plan.contains("HashAggregate"),
+        plan.contains("Exchange"),
+        "Scan parquet".r.findAllIn(plan).size))
+        .toDF("has_adaptive", "has_aggregate", "has_exchange", "n_scans")
     },
 
     "p02_query_info" -> { (s, dir) =>
@@ -77,8 +85,12 @@ object Introspection {
     },
 
     // execution_profile(): runtime SQL metrics after forcing execution
-    // (EXPLAIN ANALYZE analogue). Row counts are deterministic; time
-    // metrics are not, so only row-count metrics are surfaced.
+    // (EXPLAIN ANALYZE analogue). Only DETERMINISTIC metrics are surfaced:
+    // the result cardinality and the FINAL aggregate's numOutputRows (the
+    // partial aggregate's output depends on the partition layout; time
+    // metrics are wall-clock). Both equal COUNT(DISTINCT l_returnflag), so
+    // the oracle derives them from the data — a metrics-plumbing regression
+    // (e.g. final agg metric stuck at 0) reds the gate.
     "p03_execution_profile" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem")
@@ -87,20 +99,38 @@ object Introspection {
       // Execute THIS QueryExecution without materializing rows on the
       // driver (a wide profiled query would otherwise OOM the driver).
       val nRows = df.queryExecution.toRdd.count()
-      val finalPlan = df.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan
-        case p => p
+      // AQE hides executed stages behind leaf wrappers (AdaptiveSparkPlan,
+      // ResultQueryStage/ShuffleQueryStage) — recurse through them so the
+      // walk reaches the real operators, top-down.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case other => other +: other.children.flatMap(walk)
       }
-      val aggRows = finalPlan.collect {
-        case p if p.nodeName.contains("HashAggregate") =>
-          p.metrics.get("numOutputRows").map(m => (p.nodeName, m.value))
-      }.flatten
-      (Seq(("result_rows", nRows)) ++ aggRows)
-        .sortBy(x => (x._1, x._2))
-        .toDF("metric", "rows")
+      // top-down: the first HashAggregate is the final one
+      val finalAggRows = walk(df.queryExecution.executedPlan)
+        .filter(_.nodeName.contains("HashAggregate"))
+        .flatMap(_.metrics.get("numOutputRows").map(_.value))
+        .headOption.getOrElse(-1L)
+      Seq(("final_agg_output_rows", finalAggRows), ("result_rows", nRows))
+        .toDF("metric", "n_rows")
     })
 
   val oracles: Map[String, String] = Map(
-    "p02_query_info" -> "SELECT CAST(2 AS INT) AS n_output_cols")
+    "p01_explain_nodes" -> """
+      SELECT TRUE AS has_adaptive, TRUE AS has_aggregate,
+             TRUE AS has_exchange, CAST(1 AS INT) AS n_scans""",
+
+    "p02_query_info" -> "SELECT CAST(2 AS INT) AS n_output_cols",
+
+    "p03_execution_profile" -> """
+      SELECT 'final_agg_output_rows' AS metric,
+             CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_rows
+      FROM lineitem
+      UNION ALL
+      SELECT 'result_rows', CAST(COUNT(DISTINCT l_returnflag) AS BIGINT)
+      FROM lineitem
+      ORDER BY metric""")
 }

@@ -220,13 +220,12 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(groups(2L) == 1L && groups(1L) == 3L)
   }
 
-  test("approx_count_distinct within 5% of exact") {
+  test("approx_count_distinct within 5% of exact, approx median in p45..p55") {
     val r = SparkEntry.queries("q47_approx_sketch")(spark, dir).collect()
+    assert(r.nonEmpty)
     r.foreach { row =>
-      val approx = row.getAs[Long]("approx_parts").toDouble
-      val exact = row.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx $approx vs exact $exact")
+      assert(row.getAs[Boolean]("cd_ok"), s"HLL out of tolerance: $row")
+      assert(row.getAs[Boolean]("median_ok"), s"approx median out of band: $row")
     }
   }
 
@@ -365,5 +364,32 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0)
     assert(r.getAs[Long]("h1") == r.getAs[Long]("h2"))
     assert(r.getAs[Long]("h1") != r.getAs[Long]("h3"))
+  }
+
+  test("object-store conf mapping: s3 options land on fs.s3a.*, uris normalize") {
+    import graft.sources.ObjectStores
+    val conf = spark.sparkContext.hadoopConfiguration
+    ObjectStores.configureS3(spark, Map(
+      "access_key_id" -> "AKID", "secret_access_key" -> "SK",
+      "region" -> "us-west-2", "endpoint" -> "http://minio:9000"))
+    assert(conf.get("fs.s3a.access.key") == "AKID")
+    assert(conf.get("fs.s3a.secret.key") == "SK")
+    assert(conf.get("fs.s3a.endpoint.region") == "us-west-2")
+    assert(conf.get("fs.s3a.endpoint") == "http://minio:9000")
+    assert(conf.get("fs.s3a.path.style.access") == "true")
+    // anonymous: no keys -> anonymous provider
+    ObjectStores.configureS3(spark, Map("region" -> "us-east-1"))
+    assert(conf.get("fs.s3a.aws.credentials.provider").contains("Anonymous"))
+    ObjectStores.configureGcs(spark, Map("service_account" -> "/tmp/sa.json"))
+    assert(conf.get("fs.gs.auth.service.account.json.keyfile") == "/tmp/sa.json")
+    // inline JSON is materialized to a keyfile
+    ObjectStores.configureGcs(spark, Map("service_account" -> """{"type":"sa"}"""))
+    val kf = conf.get("fs.gs.auth.service.account.json.keyfile")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(kf))
+      .contains("\"type\""))
+    assert(ObjectStores.normalize("s3://bucket/k.parquet") == "s3a://bucket/k.parquet")
+    assert(ObjectStores.normalize("s3n://b/k") == "s3a://b/k")
+    assert(ObjectStores.normalize("gs://b/k") == "gs://b/k")
+    assert(ObjectStores.normalize("/local/path.parquet") == "/local/path.parquet")
   }
 }
