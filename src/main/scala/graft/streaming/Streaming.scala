@@ -22,6 +22,22 @@ object Streaming {
       user_id: Long, session_id: Int, n_events: Long,
       t_start: Long, t_end: Long, version: Long)
 
+  /** Physical streaming plans captured at drain time (keyed by query
+    * name), so `graft.Plans` can assert the streaming-operator shapes
+    * (StateStoreSave, FlatMapGroupsWithState, StreamingSymmetricHashJoin)
+    * without reaching into StreamExecution internals. */
+  private[graft] val planCapture =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def recordExplain(
+      name: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val buf = new java.io.ByteArrayOutputStream()
+    try Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+    catch { case _: Throwable => }
+    val s = buf.toString
+    if (s.nonEmpty) planCapture(name) = s
+  }
+
   /** Streaming file sources need a directory: stage the events parquet
     * into a per-sf temp dir under target/. */
   private[graft] def stageDir(dir: String, table: String = "events"): String = {
@@ -52,7 +68,7 @@ object Streaming {
         .format("memory")
         .queryName(sinkName)
         .start()
-      try q.processAllAvailable()
+      try { q.processAllAvailable(); recordExplain("st01_stream_hourly", q) }
       finally q.stop()
       s.table(sinkName)
         .select(col("window.start").as("w_start"), col("event_type"),
@@ -70,7 +86,7 @@ object Streaming {
         .agg(count(lit(1)).as("n_events"), sumd(dmoney(col("value"))).as("total_value"))
         .writeStream.outputMode("complete").format("memory").queryName(sinkName)
         .start()
-      try q.processAllAvailable()
+      try { q.processAllAvailable(); recordExplain("st02_stream_user_totals", q) }
       finally q.stop()
       s.table(sinkName).orderBy("user_id")
     },
@@ -96,7 +112,7 @@ object Streaming {
           min(col("doc_id")).as("keep_id"))
         .writeStream.outputMode("complete").format("memory").queryName(sinkName)
         .start()
-      try q.processAllAvailable()
+      try { q.processAllAvailable(); recordExplain("st05_stream_dedup", q) }
       finally q.stop()
       s.table(sinkName).orderBy("fp")
     },
@@ -158,7 +174,7 @@ object Streaming {
         OutputMode.Update, GroupStateTimeout.NoTimeout)(assign)
       .writeStream.outputMode("update").format("memory").queryName(sinkName)
       .start()
-    try q.processAllAvailable()
+    try { q.processAllAvailable(); recordExplain("st03_stream_sessionize", q) }
     finally q.stop()
     // update-mode sink holds every emitted version of a user's sessions;
     // only the user's LATEST state version is current (an earlier version's
@@ -206,7 +222,7 @@ object Streaming {
         .select(col("user_id"), col("signup_id"), col("purchase_id"))
         .writeStream.outputMode("append").format("memory").queryName(sinkName)
         .start()
-      try q.processAllAvailable()
+      try { q.processAllAvailable(); recordExplain("st04_stream_stream_join", q) }
       finally q.stop()
       s.table(sinkName).orderBy("user_id", "signup_id", "purchase_id")
     })
