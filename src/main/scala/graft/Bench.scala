@@ -34,6 +34,7 @@ object Bench {
     "cb04_top_users",      // heavy-hitter top-k
     "cb05_daily_histogram", // time histogram + distinct
     "k02_bucketed_join",   // shuffle-free co-located join
+    "k03_bucketed_q21",    // TPC-H q21 on bucketed layout (vs tpch_q21)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery

@@ -80,6 +80,50 @@ object Skew {
     (to, tc)
   }
 
+  /** TPC-H fact tables laid out for self-joins: lineitem (with the derived
+    * commit/receipt dates the reduced fixtures lack — same formulas as
+    * `Tpch.cteDefs("lineitem_x")`) bucketed+sorted by l_orderkey, orders by
+    * o_orderkey. With this layout every per-order operation — q21's
+    * three-way lineitem self-join, q18's per-order quantity sum, the
+    * orders⋈lineitem join — runs with ZERO exchange of the fact data: the
+    * scale path for the 100 TB fact table that every downstream query hits
+    * on the same key. Written once, queried forever (the bench pays the
+    * write on warmup only; a production deploy pays it at ingest). */
+  def writeBucketedTpch(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      nBuckets: Int): (String, String) = {
+    val tag = Integer.toHexString(dir.hashCode).take(8)
+    val (tli, tor) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders2_$tag")
+    if (!spark.catalog.tableExists(tli)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq(tli, tor).foreach { tbl =>
+        val f = new java.io.File(wh, tbl)
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+      }
+      t(spark, dir, "lineitem")
+      spark.sql("""
+        SELECT lineitem.*,
+          l_shipdate + INTERVAL 1 DAY * ((l_orderkey * 3 + l_linenumber * 7) % 61 - 30)
+            AS l_commitdate,
+          l_shipdate + INTERVAL 1 DAY * ((l_orderkey * 5 + l_linenumber * 11) % 30 + 1)
+            AS l_receiptdate
+        FROM lineitem""")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(tli)
+      t(spark, dir, "orders")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(tor)
+    }
+    (tli, tor)
+  }
+
   val bucketedQueries: Map[String, Q] = Map(
     // Join of two tables bucketed on the join key: zero Exchange nodes
     // (asserted by spec) — at scale the only cost is the local merge.
@@ -91,6 +135,57 @@ object Skew {
         .agg(count(lit(1)).as("n_orders"),
           sumd(dbig(col("o_totalprice"))).as("total"))
         .orderBy("c_mktsegment")
+    },
+
+    // TPC-H q21 on the bucketed layout: the semi join (another supplier on
+    // the order), anti join (no OTHER late supplier) and orders join are
+    // all co-located merges on l_orderkey — the fact table is never
+    // shuffled; only the tiny supplier⋈nation dim broadcasts. Same values
+    // as tpch_q21 (that query's oracle IS this oracle).
+    "k03_bucketed_q21" -> { (s, dir) =>
+      val (tli, tor) = writeBucketedTpch(s, dir, 8)
+      val li = s.table(tli)
+      val late = li.filter(col("l_receiptdate") > col("l_commitdate"))
+      val l1 = late.select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+      val l3 = late.select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+      val ord = s.table(tor).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val supNation = t(s, dir, "supplier")
+        .join(t(s, dir, "nation").filter(col("n_name") === "NATION_2"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      l1.join(l2.hint("merge"),
+          col("l_orderkey") === col("lo2") && col("l_suppkey") =!= col("ls2"),
+          "leftsemi")
+        .join(l3.hint("merge"),
+          col("l_orderkey") === col("lo3") && col("l_suppkey") =!= col("ls3"),
+          "leftanti")
+        .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(100)
+    },
+
+    // TPC-H q18 on the bucketed layout: the per-order quantity sum groups
+    // on the bucket key (no exchange), and its join back to orders is a
+    // co-located merge; only the customer join shuffles (its own key).
+    "k04_bucketed_q18" -> { (s, dir) =>
+      val (tli, tor) = writeBucketedTpch(s, dir, 8)
+      val sums = s.table(tli)
+        .groupBy(col("l_orderkey"))
+        .agg(sumd(drate(col("l_quantity"))).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      t(s, dir, "customer")
+        .join(s.table(tor).join(sums.hint("merge"),
+            col("o_orderkey") === col("l_orderkey")),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderdate"), asc("o_orderkey"))
+        .limit(100)
     })
 
   val oracles: Map[String, String] = Map(
@@ -104,5 +199,10 @@ object Skew {
       SELECT c_mktsegment, COUNT(*) AS n_orders,
              ${sql.sumd(sql.dbig("o_totalprice"))} AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
-      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // identical values to the plain TPC-H queries — layout must not change
+    // semantics, so the oracle is literally theirs
+    "k03_bucketed_q21" -> graft.queries.Tpch.oracles("tpch_q21"),
+    "k04_bucketed_q18" -> graft.queries.Tpch.oracles("tpch_q18"))
 }
