@@ -197,6 +197,26 @@ object Similarity {
         .filter(col("rnk") <= 3)
         .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("dist"))
         .orderBy("probe_id", "rnk")
+    },
+
+    // Cluster-quality / outlier scoring: L2 distance of every vector to its
+    // label centroid. Centroids via per-dimension explode + hash agg —
+    // (label, dim) keys, combinable partial aggregation, so the wide stages
+    // shuffle only label-count x dim rows regardless of corpus size; the
+    // per-vector distance re-join is keyed the same way. The standard
+    // pre-step for k-means-style curation (drop far-from-centroid vectors).
+    "n06_centroid_dist" -> { (s, dir) =>
+      val dims = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
+          col("v").cast(DoubleType).as("v"))
+      val cent = dims.groupBy("label", "dim").agg(avg("v").as("c"))
+      dims.join(cent, Seq("label", "dim"))
+        .groupBy("vec_id", "label")
+        .agg(round(sqrt(sum((col("v") - col("c")) * (col("v") - col("c")))), 6)
+          .as("dist"))
+        .orderBy("vec_id")
     })
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -320,5 +340,17 @@ object Similarity {
         FROM pairs)
       SELECT probe_id, neighbor_id, dot, rnk
       FROM ranked WHERE rnk <= 5
-      ORDER BY probe_id, rnk""")
+      ORDER BY probe_id, rnk""",
+
+    "n06_centroid_dist" -> """
+      WITH dims AS (
+        SELECT vec_id, label, UNNEST(embedding) AS v,
+               UNNEST(RANGE(1, LEN(embedding)+1)) AS dim
+        FROM embeddings),
+      cent AS (
+        SELECT label, dim, AVG(v) AS c FROM dims GROUP BY label, dim)
+      SELECT d.vec_id, d.label,
+        ROUND(SQRT(SUM((d.v - c.c)*(d.v - c.c))), 6) AS dist
+      FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+      GROUP BY d.vec_id, d.label ORDER BY d.vec_id""")
 }

@@ -182,6 +182,36 @@ object TextOps {
         .agg(round(max(col("n")).cast(DoubleType) / sum(col("n")), 6)
           .as("top_bigram_frac"))
       base.join(top, "doc_id").orderBy("doc_id")
+    },
+
+    // Sequence packing for training batches: next-fit packing of documents
+    // into fixed 512-token sequences, per shard. Packing is inherently
+    // sequential per output stream, so the scalable shape is many
+    // independent streams: shard = doc_id % 8 here (the shard count is the
+    // parallelism knob — thousands at 100 TB), one `flatMapGroups` group
+    // per shard, each holding only its own shard's (id, token-count) pairs
+    // — never document text — in memory. Token count = whitespace tokens
+    // (t03's cheap tokenizer).
+    "t10_sequence_pack" -> { (s, dir) =>
+      import s.implicits._
+      val budget = 512L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .as[(Long, Long, Long)]
+      docs.groupByKey(_._2)
+        .flatMapGroups { (shard, it) =>
+          val sorted = it.toArray.sortBy(_._1)
+          var seq = 0L; var fill = -1L
+          sorted.iterator.map { case (id, _, n) =>
+            if (fill < 0) fill = n
+            else if (fill + n > budget) { seq += 1; fill = n }
+            else fill += n
+            (id, shard, seq, n)
+          }
+        }
+        .toDF("doc_id", "shard", "seq_id", "n_tokens")
+        .orderBy("doc_id")
     })
 
   val oracles: Map[String, String] = {
@@ -302,6 +332,26 @@ object TextOps {
             AS dup_word_frac,
           top.top_bigram_frac
         FROM d JOIN top ON d.doc_id = top.doc_id
-        ORDER BY doc_id""")
+        ORDER BY doc_id""",
+
+      // Per-shard next-fit replayed row by row with a recursive CTE.
+      "t10_sequence_pack" -> """
+        WITH RECURSIVE docs AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+            CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+            ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+          FROM documents),
+        pack AS (
+          SELECT shard, rn, doc_id, n_tokens,
+            CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+          FROM docs WHERE rn = 1
+          UNION ALL
+          SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+            CASE WHEN p.fill + d.n_tokens > 512 THEN p.seq_id + 1
+                 ELSE p.seq_id END,
+            CASE WHEN p.fill + d.n_tokens > 512 THEN d.n_tokens
+                 ELSE p.fill + d.n_tokens END
+          FROM docs d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1)
+        SELECT doc_id, shard, seq_id, n_tokens FROM pack ORDER BY doc_id""")
   }
 }

@@ -139,6 +139,42 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sequence packing: bins respect the 512-token budget") {
+    val rows = SparkEntry.queries("t10_sequence_pack")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byBin = rows.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id")))
+    byBin.foreach { case ((shard, seq), ds) =>
+      val total = ds.map(_.getAs[Long]("n_tokens")).sum
+      // a bin only exceeds the budget if a single oversized doc forced it
+      assert(total <= 512 || ds.length == 1,
+        s"bin ($shard,$seq) holds ${ds.length} docs / $total tokens")
+    }
+    // packing must be total and disjoint: every doc appears exactly once
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    // bins are dense per shard: seq_ids are 0..max with no gaps
+    byBin.keys.groupBy(_._1).foreach { case (_, bins) =>
+      val seqs = bins.map(_._2).toSeq.sorted
+      assert(seqs == (0L until seqs.length).toSeq)
+    }
+  }
+
+  test("chunk dedup: exact duplicate docs are 100% boilerplate") {
+    // d01's exact-duplicate groups share every 10-word chunk, so each doc
+    // in a multi-copy group must have boiler_ratio 1.0
+    val dupIds = SparkEntry.queries("d01_dedup_exact")(spark, dir)
+      .filter(col("n_copies") >= 3).collect().map(_.getAs[Long]("keep_id"))
+    val ratios = SparkEntry.queries("d08_chunk_dedup")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("boiler_ratio"))
+      .toMap
+    dupIds.foreach { id => assert(ratios(id) == 1.0, s"doc $id not flagged") }
+  }
+
+  test("centroid distances are non-negative and centroids are means") {
+    val d = SparkEntry.queries("n06_centroid_dist")(spark, dir).collect()
+    assert(d.length == Engine.table(spark, dir, "embeddings").count())
+    d.foreach(r => assert(r.getAs[Double]("dist") >= 0.0))
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     val docs = Engine.table(spark, dir, "documents")
