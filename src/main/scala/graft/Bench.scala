@@ -79,6 +79,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Global JIT warmup pass (JMH-style): one untimed run of every selected
+    // query before any timing starts. The per-query warmup below is not
+    // enough for queries early in the suite — C2 is still compiling the
+    // parquet reader / Tungsten hot loops during their timed runs (measured:
+    // q01 at suite position 1 ran 1.26 s vs its identical twin tpch_q01 at
+    // position 24 running 0.79 s). Same hygiene as the timed loop so the
+    // warmup pass can't re-introduce cache contamination.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_NOWARM")) {
+      selected.foreach { name =>
+        try runOnce(spark.newSession(), name)
+        catch { case _: Throwable => () }
+        try graft.queries.Tpcds.clearStarCache(spark)
+        catch { case _: Throwable => }
+      }
+      System.gc()
+    }
+
     val nRuns = 5
     val results = selected.map { name =>
       val r = try {
