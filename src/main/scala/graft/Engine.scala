@@ -57,8 +57,19 @@ object Engine {
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       org.apache.spark.sql.types.StructType]()
 
+  /** Per-session query-plan extensions, installed idempotently on first
+    * fixture-table access: the Decimal64-style exact-sum fast path
+    * (`functions/DecimalSum.scala`). */
+  def ensureOptimizations(spark: SparkSession): Unit = {
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(graft.functions.DecimalSumRewrite))
+      spark.experimental.extraOptimizations =
+        opts :+ graft.functions.DecimalSumRewrite
+  }
+
   /** Read one driver fixture table and register it as a temp view. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureOptimizations(spark)
     val path = s"$dir/$name.parquet"
     val f = new java.io.File(path)
     val df =

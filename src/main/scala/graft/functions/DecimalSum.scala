@@ -1,0 +1,235 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate, Sum}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.types._
+
+/** Exact decimal sums over i64 unscaled values — the reference's Decimal64
+  * representation (`arrays/datatype.rs`: the default decimal is
+  * Decimal64(18,3) stored as physical Int64) applied to Spark aggregation.
+  *
+  * Spark's built-in `Sum` over DecimalType keeps a Decimal buffer of
+  * precision `p+10`; above 18 digits that leaves the compact-long
+  * representation and every row pays a BigDecimal allocation (measured on
+  * sf0.1 q01: decimal sums 690 ms vs 300 ms for double sums over the same
+  * 590k rows). `SumUnscaled128` instead sums *unscaled* i64 values into a
+  * 128-bit (hi, lo) accumulator with branch-free carry arithmetic — plain
+  * long adds in whole-stage codegen, exact at any realistic corpus size
+  * (2^127 / 10^4 ≈ 1.7e34 in value units, ~19 orders beyond a 100 TB
+  * fact table's sum).
+  */
+object DecimalKernels {
+  private val POWS: Array[Double] = (0 to 15).map(i => math.pow(10, i)).toArray
+  private val TWO_64 = java.math.BigInteger.ONE.shiftLeft(64)
+
+  /** Exact unscaled-long conversion matching Spark's double→decimal cast
+    * (`Decimal.fromDecimal(BigDecimal.decimal(d).setScale(s, HALF_UP))`,
+    * i.e. shortest-representation semantics via BigDecimal.valueOf).
+    * Fast path: one multiply + rint when the scaled value is nowhere near
+    * a .5 rounding boundary; the boundary band (±1e-4) and anything above
+    * 1e15 falls back to the exact BigDecimal path. */
+  def toUnscaled(d: Double, scale: Int): Long = {
+    val y = d * POWS(scale)
+    val ay = math.abs(y)
+    if (ay < 1e15) {
+      val r = Math.rint(y)
+      val fromHalf = math.abs(math.abs(y - r) - 0.5)
+      if (fromHalf > 1e-4) return r.toLong
+    }
+    java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
+
+  /** (hi, lo) 128-bit signed accumulator → double at `outScale`, matching
+    * `sum(decimal) |> round(outScale) |> cast(double)` exactly. */
+  def i128ToDouble(hi: Long, lo: Long, inScale: Int, outScale: Int): Double = {
+    val loBig =
+      if (lo >= 0) java.math.BigInteger.valueOf(lo)
+      else java.math.BigInteger.valueOf(lo).add(TWO_64)
+    val total = java.math.BigInteger.valueOf(hi).shiftLeft(64).add(loBig)
+    new java.math.BigDecimal(total, inScale)
+      .setScale(outScale, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+  }
+}
+
+/** Double → unscaled long at `scale` (codegen'd, exact HALF_UP). */
+case class ToUnscaledLong(child: Expression, scale: Int)
+    extends UnaryExpression with UnaryLike[Expression] {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(v: Any): Any =
+    DecimalKernels.toUnscaled(v.asInstanceOf[Double], scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DecimalKernels.toUnscaled($c, $scale);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Wrapping i64 add (2's-complement, no ANSI overflow check) — the limb
+  * primitive for the 128-bit accumulator, where wrap-around is the point. */
+case class WrappingAddLong(left: Expression, right: Expression)
+    extends BinaryExpression with BinaryLike[Expression] {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    a.asInstanceOf[Long] + b.asInstanceOf[Long]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $a + $b;")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Final step: (hi, lo, cnt) → double (null when no inputs). Runs once per
+  * group; real codegen (a CodegenFallback here would break whole-stage
+  * codegen of ungrouped aggregates, where ctx.INPUT_ROW is null). */
+case class I128ScaledToDouble(hi: Expression, lo: Expression, cnt: Expression,
+    inScale: Int, outScale: Int)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(hi, lo, cnt)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val n = cnt.eval(input).asInstanceOf[Long]
+    if (n == 0L) null
+    else DecimalKernels.i128ToDouble(
+      hi.eval(input).asInstanceOf[Long], lo.eval(input).asInstanceOf[Long],
+      inScale, outScale)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val (h, l, c) = (hi.genCode(ctx), lo.genCode(ctx), cnt.genCode(ctx))
+    ev.copy(code = code"""
+      ${h.code}
+      ${l.code}
+      ${c.code}
+      boolean ${ev.isNull} = ${c.value} == 0L;
+      double ${ev.value} = ${ev.isNull} ? 0.0 :
+        graft.functions.DecimalKernels.i128ToDouble(
+          ${h.value}, ${l.value}, $inScale, $outScale);""")
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(hi = c(0), lo = c(1), cnt = c(2))
+}
+
+/** SUM of unscaled i64 values into a 128-bit (hi, lo) accumulator;
+  * evaluates to double at `outScale` (sumd semantics: exact sum, HALF_UP
+  * rescale, correctly-rounded double). Carry chain is branch-free long
+  * bit-math, so the whole update stays in whole-stage codegen. */
+case class SumUnscaled128(child: Expression, inScale: Int, outScale: Int)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val cnt = AttributeReference("cnt", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, cnt)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L))
+
+  /** Unsigned carry out of `a + b` (= newLo): majority(a, b, ~newLo) at
+    * bit 63. */
+  private def carryOf(a: Expression, b: Expression, newLo: Expression): Expression =
+    ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(a, b), BitwiseAnd(BitwiseOr(a, b), BitwiseNot(newLo))),
+      Literal(63))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    // sign-extend v to 128 bits and add: hi += (v >> 63) + carry(lo + v)
+    val v = Coalesce(Seq(child, Literal(0L))) // null input → no-op add of 0
+    val newLo = WrappingAddLong(lo, v)
+    val newHi = WrappingAddLong(hi,
+      WrappingAddLong(ShiftRight(v, Literal(63)), carryOf(lo, v, newLo)))
+    Seq(newHi, newLo,
+      If(IsNull(child), cnt, WrappingAddLong(cnt, Literal(1L))))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    // limb-wise 128-bit add: both sides' sign context lives in their hi limb
+    val newLo = WrappingAddLong(lo.left, lo.right)
+    val newHi = WrappingAddLong(WrappingAddLong(hi.left, hi.right),
+      carryOf(lo.left, lo.right, newLo))
+    Seq(newHi, newLo, WrappingAddLong(cnt.left, cnt.right))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    I128ScaledToDouble(hi, lo, cnt, inScale, outScale)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Optimizer rule: rewrite the engine's exact-decimal sum pattern
+  *
+  *   CAST(ROUND(SUM(decimal-expr), 4) AS DOUBLE)          (SQL `sql.sumd`)
+  *   CAST(CAST(SUM(decimal-expr) AS DECIMAL(24,4)) AS DOUBLE)  (`QueryDsl.sumd`)
+  *
+  * into SumUnscaled128 over unscaled i64 arithmetic whenever every leaf of
+  * the summed expression is a double→decimal cast or a decimal literal and
+  * the combined scale stays ≤ 12 (per-row products then fit i64 for money
+  * domains < 10^6 with ANSI multiply guarding the bound loudly). Bit-exact
+  * with the decimal path by construction: same per-leaf HALF_UP cast, exact
+  * integer sum, same final rescale+double conversion. */
+object DecimalSumRewrite extends Rule[LogicalPlan] {
+
+  private val maxScale = 12
+
+  /** decimal expr → equivalent unscaled-long expr + its scale. */
+  private def toUnscaledExpr(e: Expression): Option[(Expression, Int)] = e match {
+    case Cast(x, dt: DecimalType, _, _)
+        if x.dataType == DoubleType && dt.precision <= 18 && dt.scale <= 6 =>
+      Some((ToUnscaledLong(x, dt.scale), dt.scale))
+    case Literal(d: Decimal, dt: DecimalType) if dt.precision <= 18 =>
+      Some((Literal(d.toUnscaledLong), dt.scale))
+    case Multiply(a, b, _) =>
+      for { (ua, sa) <- toUnscaledExpr(a); (ub, sb) <- toUnscaledExpr(b)
+            if sa + sb <= maxScale }
+        yield (Multiply(ua, ub), sa + sb)
+    case Add(a, b, _) =>
+      for { (ua, sa) <- toUnscaledExpr(a); (ub, sb) <- toUnscaledExpr(b) }
+        yield (Add(align(ua, sa, sa max sb), align(ub, sb, sa max sb)), sa max sb)
+    case Subtract(a, b, _) =>
+      for { (ua, sa) <- toUnscaledExpr(a); (ub, sb) <- toUnscaledExpr(b) }
+        yield (Subtract(align(ua, sa, sa max sb), align(ub, sb, sa max sb)), sa max sb)
+    case UnaryMinus(a, _) =>
+      toUnscaledExpr(a).map { case (ua, sa) => (UnaryMinus(ua, failOnError = true), sa) }
+    case _ => None
+  }
+
+  private def align(u: Expression, from: Int, to: Int): Expression =
+    if (from == to) u
+    else Multiply(u, Literal(math.pow(10, to - from).toLong))
+
+  /** AggregateExpression(Sum(decimal)) → AggregateExpression(SumUnscaled128). */
+  private def rewriteSum(e: Expression, outScale: Int): Option[Expression] = e match {
+    case ae @ AggregateExpression(Sum(inner, _), _, false, None, _)
+        if inner.dataType.isInstanceOf[DecimalType] =>
+      toUnscaledExpr(inner).map { case (u, s) =>
+        ae.copy(aggregateFunction = SumUnscaled128(u, s, outScale))
+      }
+    case _ => None
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // CAST(ROUND(SUM(..), k) AS DOUBLE)
+    case c @ Cast(r: Round, DoubleType, _, _) =>
+      r.scale match {
+        case Literal(k: Int, IntegerType) if k >= 0 && k <= 6 =>
+          rewriteSum(r.child, k).getOrElse(c)
+        case _ => c
+      }
+    // CAST(CAST(SUM(..) AS DECIMAL(p, k)) AS DOUBLE)
+    case c @ Cast(Cast(inner, dt: DecimalType, _, _), DoubleType, _, _)
+        if dt.precision >= 20 && dt.scale <= 6 =>
+      rewriteSum(inner, dt.scale).getOrElse(c)
+  }
+}

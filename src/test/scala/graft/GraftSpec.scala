@@ -139,6 +139,41 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decimal fast path: to_unscaled matches Spark's decimal cast exactly") {
+    import org.apache.spark.sql.types.{DecimalType, Decimal}
+    val rnd = new scala.util.Random(42)
+    val samples = Seq(0.0, -0.0, 1.0, -1.0, 0.00005, 2.00005, -2.00005,
+      0.99995, 123456.7890123, 99999.99995, -99999.99995, 1.15, 2.675,
+      8.225, -8.225, 0.1 + 0.2) ++
+      (1 to 2000).map(_ => (rnd.nextLong() % 10000000000L) / 10000.0) ++
+      (1 to 2000).map(_ => rnd.nextDouble() * 200000 - 100000)
+    for (d <- samples; s <- Seq(2, 4)) {
+      val viaCast = Decimal(BigDecimal.decimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP))
+        .toUnscaledLong
+      val viaKernel = graft.functions.DecimalKernels.toUnscaled(d, s)
+      assert(viaCast == viaKernel, s"d=$d scale=$s cast=$viaCast kernel=$viaKernel")
+    }
+  }
+
+  test("decimal fast path: rewritten sumd equals the decimal-sum plan bit-exactly") {
+    val sql = """SELECT l_returnflag,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 4) AS DOUBLE) b,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) c
+      FROM lineitem GROUP BY 1 ORDER BY 1"""
+    Engine.table(spark, dir, "lineitem")
+    val fast = spark.sql(sql)
+    assert(fast.queryExecution.optimizedPlan.toString.contains("sumunscaled128"),
+      "rewrite did not fire")
+    val plain = spark.newSession() // fresh session: no extraOptimizations
+    plain.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem")
+    val expect = plain.sql(sql)
+    assert(!expect.queryExecution.optimizedPlan.toString.contains("sumunscaled128"))
+    val (a, b) = (fast.collect(), expect.collect())
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
   test("sequence packing: bins respect the 512-token budget") {
     val rows = SparkEntry.queries("t10_sequence_pack")(spark, dir).collect()
     assert(rows.nonEmpty)
