@@ -117,6 +117,20 @@ object Streaming {
       s.table(sinkName).orderBy("fp")
     },
 
+    // Watermark-bounded streaming dedup: dropDuplicatesWithinWatermark on
+    // a coarse business key (user, type, hour). Unlike st05's
+    // full-retention dedup table, state here is EVICTED once the watermark
+    // passes — the production shape for continuous ingest where the key
+    // space grows without bound. Output is the surviving key set only, so
+    // the result is arrival-order independent and equals the batch
+    // DISTINCT oracle whenever duplicates arrive within the watermark
+    // (guaranteed here: same-hour duplicates, 2 h delay, time-ordered
+    // source; the multi-batch spec in GraftSpec proves the cross-batch
+    // case).
+    "st06_stream_dedup_watermark" -> { (s, dir) =>
+      dedupWatermarkStream(s, stageDir(dir), Map.empty)
+    },
+
     // Custom stateful streaming: sessionization with
     // flatMapGroupsWithState (KeyValueGroupedDataset). State is the
     // per-user event list; on completion the emitted sessions must agree
@@ -227,7 +241,34 @@ object Streaming {
       s.table(sinkName).orderBy("user_id", "signup_id", "purchase_id")
     })
 
+  /** Watermarked streaming dedup over a staged events directory. */
+  private[graft] def dedupWatermarkStream(
+      s: org.apache.spark.sql.SparkSession, staged: String,
+      readerOpts: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    val sinkName = "st06_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = s.readStream.schema(evSchema).options(readerOpts)
+      .parquet(staged)
+      .withColumn("event_time", col("ts").cast(TimestampType))
+      .withWatermark("event_time", "2 hours")
+      .withColumn("hour_start", date_trunc("hour", col("event_time")))
+      .select(col("user_id"), col("event_type"), col("hour_start"),
+        col("event_time"))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "hour_start"))
+      .select(col("user_id"), col("event_type"), col("hour_start"))
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .start()
+    try { q.processAllAvailable(); recordExplain("st06_stream_dedup_watermark", q) }
+    finally q.stop()
+    s.table(sinkName).orderBy("user_id", "event_type", "hour_start")
+  }
+
   val oracles: Map[String, String] = Map(
+    "st06_stream_dedup_watermark" -> """
+      SELECT DISTINCT user_id, event_type,
+        make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour_start
+      FROM events
+      ORDER BY user_id, event_type, hour_start""",
+
     "st04_stream_stream_join" -> """
       SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
       FROM events a JOIN events b

@@ -396,6 +396,36 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
       plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("st06 watermark dedup: cross-batch duplicates are dropped, result = batch DISTINCT") {
+    // Split the events fixture into time-ordered halves (NOT id parity:
+    // a full-range first batch would advance the watermark past the second
+    // batch's events and drop them as late). Duplicate coarse keys that
+    // straddle the split arrive within the 2 h watermark, so the stateful
+    // dedup must still collapse them to one row.
+    val src = spark.read.parquet(s"$dir/events.parquet")
+    val cut = src.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getAs[Any](0)
+    val staged = new java.io.File("target/tmp_stream/st06_two_batch")
+    staged.mkdirs()
+    def half(name: String, f: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = new java.io.File(staged.getParentFile, s"st06_stage_$name")
+      f.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(staged, s"$name.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    half("a_early", src.filter(col("ts") < lit(cut)).orderBy("ts"))
+    half("b_late", src.filter(col("ts") >= lit(cut)).orderBy("ts"))
+    val multi = graft.streaming.Streaming.dedupWatermarkStream(
+      spark, staged.getAbsolutePath, Map("maxFilesPerTrigger" -> "1")).collect()
+    val batch = src.selectExpr("user_id", "event_type",
+      "date_trunc('hour', cast(ts as timestamp)) AS hour_start")
+      .distinct().orderBy("user_id", "event_type", "hour_start").collect()
+    assert(multi.length == batch.length,
+      s"multi-batch dedup ${multi.length} rows vs batch distinct ${batch.length}")
+    assert(multi.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
+  }
+
   test("st03 sessionize: multi-micro-batch stream matches single-batch result") {
     // Split the events fixture into two parquet files and force one file
     // per trigger: the stateful sessionizer must emit versioned updates
