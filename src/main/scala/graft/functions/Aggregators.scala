@@ -42,11 +42,37 @@ object Aggregators {
         GROUP BY c_nationkey
         ORDER BY c_nationkey
       """)
+    },
+
+    // SpaceSaving heavy hitters through the TypedImperativeAggregate
+    // extension surface: top-10 users by event count from a
+    // capacity-bounded mergeable sketch. capacity (4096) exceeds the key
+    // cardinality at every fixture SF, so no partial summary ever evicts
+    // and the sketch is exact (err 0) — the oracle is the exact top-10.
+    // The undersized-capacity error contract is spec-checked in GraftSpec.
+    "a02_topk_sketch" -> { (s, dir) =>
+      HeavyHitters.register(s)
+      t(s, dir, "events")
+      s.sql("""
+        SELECT key AS user_id, cnt AS n_events, err,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS INT) AS rnk
+        FROM (
+          SELECT t.key, t.count AS cnt, t.err
+          FROM (SELECT inline(topk_sketch(user_id, 10, 4096)) FROM events) t)
+        ORDER BY rnk
+      """)
     })
 
   val oracles: Map[String, String] = Map(
     "a01_custom_aggregator" -> """
       SELECT c_nationkey, MAX(c_acctbal) - MIN(c_acctbal) AS bal_range,
              COUNT(*) AS n
-      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "a02_topk_sketch" -> """
+      SELECT user_id, COUNT(*) AS n_events, CAST(0 AS BIGINT) AS err,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS INT)
+               AS rnk
+      FROM events GROUP BY user_id
+      ORDER BY n_events DESC, user_id LIMIT 10""")
 }

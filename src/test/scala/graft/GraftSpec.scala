@@ -174,6 +174,30 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
 
+  test("topk sketch: undersized capacity keeps the SpaceSaving contract") {
+    graft.functions.HeavyHitters.register(spark)
+    Engine.table(spark, dir, "events")
+    val truth = spark.sql("SELECT user_id, COUNT(*) c FROM events GROUP BY 1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // capacity 8 < 15 distinct users → evictions happen; the estimates must
+    // still bracket the truth: count - err <= true <= count
+    val sk = spark.sql("""SELECT t.key, t.count, t.err FROM
+      (SELECT inline(topk_sketch(user_id, 8, 8)) FROM events) t""").collect()
+    assert(sk.length == 8)
+    sk.foreach { r =>
+      val (k, c, e) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val tr = truth.getOrElse(k, 0L)
+      assert(tr <= c, s"key $k: sketch $c undercounts true $tr")
+      assert(c - e <= tr, s"key $k: count $c - err $e exceeds true $tr")
+    }
+    // exact regime: capacity >= cardinality reproduces the exact top-k
+    val exact = spark.sql("""SELECT t.key, t.count, t.err FROM
+      (SELECT inline(topk_sketch(user_id, 5, 1024)) FROM events) t""").collect()
+    val top5 = truth.toSeq.sortBy { case (k, c) => (-c, k) }.take(5)
+    assert(exact.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      top5.map { case (k, c) => (k, c, 0L) })
+  }
+
   test("sequence packing: bins respect the 512-token budget") {
     val rows = SparkEntry.queries("t10_sequence_pack")(spark, dir).collect()
     assert(rows.nonEmpty)
