@@ -94,9 +94,53 @@ object Windows {
         WHERE o_custkey <= 50
         ORDER BY o_custkey, o_orderdate, o_orderkey
       """)
+    },
+
+    // Scalable GLOBAL running sum — the 100 TB shape for an unpartitioned
+    // `SUM() OVER (ORDER BY ...)`, which Spark would otherwise execute as a
+    // single-partition WindowExec (its own warning: "Moving all data to a
+    // single partition"). Three fully-distributed steps instead:
+    //   1. range-partition + sort by the order key (localCheckpointed once
+    //      so the sampled range boundaries are consistent across branches);
+    //   2. per-partition window (parallel: partitioned by partition id);
+    //   3. per-partition offsets = running sum over the tiny
+    //      partition-totals relation (numPartitions rows), broadcast-joined
+    //      back. No driver-side state, no full-data single partition.
+    "q48_running_scalable" -> { (s, dir) =>
+      val parts = 8
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), dbig(col("o_totalprice")).as("price"))
+        .repartitionByRange(parts, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val offs = base.groupBy("pid")
+        .agg(sum(col("price")).as("part_total"))
+        .withColumn("offset",
+          coalesce(sum(col("part_total")).over(
+            Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0).cast(DecimalType(24, 4))))
+        .select(col("pid").as("opid"), col("offset"))
+      val local = Window.partitionBy("pid").orderBy("o_orderkey")
+      base
+        .withColumn("local_run", sum(col("price")).over(local))
+        .join(broadcast(offs), col("pid") === col("opid"))
+        .select(col("o_orderkey"),
+          (col("offset") + col("local_run")).cast(DecimalType(24, 4))
+            .cast(DoubleType).as("running_total"))
+        .orderBy("o_orderkey")
+        .limit(1000)
     })
 
   val oracles: Map[String, String] = Map(
+    // the distributed two-level prefix sum must equal the plain global
+    // running sum
+    "q48_running_scalable" -> s"""
+      SELECT o_orderkey,
+        CAST(ROUND(SUM(${sql.dbig("o_totalprice")}) OVER (
+          ORDER BY o_orderkey), 4) AS DOUBLE) AS running_total
+      FROM orders ORDER BY o_orderkey LIMIT 1000""",
+
     "q32_window_rank" -> """
       SELECT * FROM (
         SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -174,6 +174,22 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
 
+  test("q48 scalable running sum: no unpartitioned window over the full data") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q48_running_scalable")(spark, dir)
+    // sparkPlan, not executedPlan: AQE wraps the latter and hides children
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // the only global-ordered window allowed is the one over the tiny
+      // partition-totals aggregate — never over a full-table scan
+      val scans = w.collect { case f: FileSourceScanExec => f }
+      assert(scans.isEmpty,
+        s"unpartitioned window sits on a file scan: ${w.simpleStringWithNodeId()}")
+    }
+  }
+
   test("topk sketch: undersized capacity keeps the SpaceSaving contract") {
     graft.functions.HeavyHitters.register(spark)
     Engine.table(spark, dir, "events")
