@@ -33,6 +33,29 @@ object Sources {
           max(col("r_regionkey")).cast(IntegerType).as("max_key"))
     },
 
+    // NDJSON round trip: events -> line-delimited JSON (the interchange
+    // format most training corpora actually arrive in) -> schema'd read
+    // back. Timestamp survives as ISO-8601 text; parse it back to
+    // TIMESTAMP_NTZ µs to prove the read path is lossless.
+    "s09_read_json" -> { (s, dir) =>
+      val out = tmpDir("events_json")
+      // default JSON timestamp format truncates to millis — keep the µs
+      val usFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+      t(s, dir, "events").coalesce(1).write.mode("overwrite")
+        .option("timestampNTZFormat", usFmt).json(out)
+      s.read
+        .schema("event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .option("timestampNTZFormat", usFmt)
+        .json(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(unix_micros(col("ts").cast(TimestampType))).as("first_us"),
+          max(unix_micros(col("ts").cast(TimestampType))).as("last_us"),
+          sumd(dmoney(col("value"))).as("total_value"))
+        .orderBy("event_type")
+    },
+
     // read_csv dialect options (glaredb_ext_csv dialect.rs): custom
     // delimiter + quote, explicit schema.
     "s07_read_csv_dialect" -> { (s, dir) =>
@@ -107,6 +130,13 @@ object Sources {
       SELECT COUNT(*) AS n, MIN(r_name) AS first_region,
              CAST(MAX(r_regionkey) AS INT) AS max_key
       FROM region""",
+
+    "s09_read_json" -> s"""
+      SELECT event_type, COUNT(*) AS n,
+             MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+             ${graft.QueryDsl.sql.sumd(graft.QueryDsl.sql.dmoney("value"))}
+               AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     "s02_read_text" -> """
       SELECT CAST(24 AS INT) AS len, CAST(3 AS INT) AS n_lines""",
