@@ -365,8 +365,20 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("tpcds_q01", "tpcds_q09", "tpcds_q25", "tpcds_q36",
         "tpcds_q59", "tpcds_q65", "tpcds_q89", "tpcds_q98") ++
       Seq("q01_pricing_summary", "q03_topk_revenue", "q05_nation_revenue")
+    // at-scale statistics emulation + PREPARED plan, like graft.Plans:
+    // pre-EnsureRequirements sparkPlan has no Exchange nodes at all, which
+    // silently made this assertion vacuous until round 6
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", (24 << 10).toString)
+    // sf0.01, not this spec's sf0.001: the threshold emulation is
+    // calibrated to sf0.01 file sizes (same setup as graft.Plans)
+    val planDir = "/root/testdata/sf0.01"
     val bad = golden.flatMap { q =>
-      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      val plan = SparkEntry.queries(q)(sess, planDir).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
       val fb = Plans.factBroadcasts(plan)
       if (fb.nonEmpty) Some(s"$q: broadcast over ${fb.mkString(",")}") else None
     }
