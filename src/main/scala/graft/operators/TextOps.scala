@@ -212,6 +212,29 @@ object TextOps {
         }
         .toDF("doc_id", "shard", "seq_id", "n_tokens")
         .orderBy("doc_id")
+    },
+
+    // Corpus-unigram log-probability scoring (the CCNet-style quality
+    // filter shape: score each document under a LM trained on the corpus
+    // itself; gibberish and boilerplate score far from the typical band).
+    // Two passes, both combinable hash aggs keyed by word: (1) global
+    // unigram counts — vocabulary-sized, tiny relative to the corpus, so
+    // AQE broadcasts it into (2) the per-word join that averages
+    // -ln p(word) per document. No driver state; at 100 TB the only wide
+    // stage is keyed on the word.
+    "t11_unigram_logprob" -> { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("w"))
+      val total = t(s, dir, "documents")
+        .select(sum(size(split(norm(col("text")), " "))).as("n"))
+      val freq = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      words.join(freq, "w")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          round(avg(-log(col("cnt").cast(DoubleType) / col("n"))), 6)
+            .as("mean_neg_logp"))
+        .orderBy("doc_id")
     })
 
   val oracles: Map[String, String] = {
@@ -352,6 +375,18 @@ object TextOps {
             CASE WHEN p.fill + d.n_tokens > 512 THEN d.n_tokens
                  ELSE p.fill + d.n_tokens END
           FROM docs d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1)
-        SELECT doc_id, shard, seq_id, n_tokens FROM pack ORDER BY doc_id""")
+        SELECT doc_id, shard, seq_id, n_tokens FROM pack ORDER BY doc_id""",
+
+      "t11_unigram_logprob" -> s"""
+        WITH words AS (
+          SELECT doc_id, UNNEST(STRING_SPLIT($sqlNorm, ' ')) AS w
+          FROM documents),
+        total AS (SELECT COUNT(*) AS n FROM words),
+        freq AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w)
+        SELECT words.doc_id, COUNT(*) AS n_words,
+          ROUND(AVG(-LN(CAST(freq.cnt AS DOUBLE) / total.n)), 6)
+            AS mean_neg_logp
+        FROM words JOIN freq USING (w) CROSS JOIN total
+        GROUP BY words.doc_id ORDER BY words.doc_id""")
   }
 }
