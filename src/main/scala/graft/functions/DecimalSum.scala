@@ -202,6 +202,22 @@ object DecimalSumRewrite extends Rule[LogicalPlan] {
         yield (Subtract(align(ua, sa, sa max sb), align(ub, sb, sa max sb)), sa max sb)
     case UnaryMinus(a, _) =>
       toUnscaledExpr(a).map { case (ua, sa) => (UnaryMinus(ua, failOnError = true), sa) }
+    // the TPC-DS shape: SUM(CASE WHEN <day> THEN price END) — convert every
+    // branch value (missing ELSE = null, which the aggregate skips)
+    case cw: CaseWhen =>
+      val branches = cw.branches.map { case (_, v) => toUnscaledExpr(v) }
+      val els = cw.elseValue.map(toUnscaledExpr)
+      if (branches.exists(_.isEmpty) || els.exists(_.isEmpty)) None
+      else {
+        val scales = (branches.flatten ++ els.flatten).map(_._2)
+        val s = if (scales.isEmpty) 0 else scales.max
+        val newBranches = cw.branches.map(_._1).zip(
+          branches.flatten.map { case (u, su) => align(u, su, s) })
+        val newElse = els.flatten.map { case (u, su) => align(u, su, s) }
+        Some((CaseWhen(newBranches, newElse), s))
+      }
+    case Literal(null, _: DecimalType) =>
+      Some((Literal(null, LongType), 0))
     case _ => None
   }
 
