@@ -91,6 +91,32 @@ object Streaming {
       s.table(sinkName).orderBy("user_id")
     },
 
+    // Stream-static join: the enrichment shape every production pipeline
+    // runs (events stream joined to a slowly-changing dimension). The
+    // static side is a per-user profile derived once from the batch
+    // fixture; it broadcasts into each micro-batch, so the stream side
+    // never shuffles and no join state accumulates (unlike st04's
+    // stream-stream join). Aggregated per profile segment for a
+    // deterministic oracle.
+    "st07_stream_static_join" -> { (s, dir) =>
+      val sinkName = "st07_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val users = graft.Engine.table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(col("event_id")).as("first_event"))
+        .withColumn("segment", (col("user_id") % 5).cast(IntegerType))
+        .select(col("user_id").as("u_id"), col("segment"))
+      val q = s.readStream.schema(evSchema)
+        .parquet(stageDir(dir))
+        .join(broadcast(users), col("user_id") === col("u_id"))
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumd(dmoney(col("value"))).as("total_value"))
+        .writeStream.outputMode("complete").format("memory").queryName(sinkName)
+        .start()
+      try { q.processAllAvailable(); recordExplain("st07_stream_static_join", q) }
+      finally q.stop()
+      s.table(sinkName).orderBy("segment", "event_type")
+    },
+
     // Streaming exact dedup: the documents corpus consumed as a stream,
     // deduplicated by content fingerprint via stateful aggregation — the
     // aggregation state IS the dedup table (fp -> count + canonical id),
@@ -263,6 +289,13 @@ object Streaming {
   }
 
   val oracles: Map[String, String] = Map(
+    "st07_stream_static_join" -> s"""
+      SELECT CAST(user_id % 5 AS INT) AS segment, event_type,
+        COUNT(*) AS n, ${sql.sumd(sql.dmoney("value"))} AS total_value
+      FROM events
+      GROUP BY segment, event_type
+      ORDER BY segment, event_type""",
+
     "st06_stream_dedup_watermark" -> """
       SELECT DISTINCT user_id, event_type,
         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour_start
