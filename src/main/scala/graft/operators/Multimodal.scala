@@ -64,9 +64,46 @@ object Multimodal {
           round(col("mean_byte"), 6).as("mean_byte"),
           to_json(col("frames")).as("frames"))
         .orderBy("doc_id")
+    },
+
+    // Frame sampling (the video shape): each media payload expands to 4
+    // evenly-strided fixed-width frame windows, one output row per frame
+    // with its own fingerprint. Pure column expressions + explode — a
+    // narrow stage whose output cardinality (4x) is controlled by the
+    // sample rate, which is the knob that keeps a 100 TB video corpus
+    // processable (sample, don't decode everything). A real pipeline
+    // replaces the byte-window slice with a codec's frame extraction; the
+    // partitioning, explode shape, and per-frame schema stay identical.
+    "m03_frame_sample" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .withColumn("len", length(col("payload")))
+        .withColumn("stride", greatest(floor(col("len") / 4), lit(1)))
+        .select(col("doc_id"), col("payload"), col("stride"),
+          explode(sequence(lit(0), lit(3))).as("frame_idx"))
+        .select(col("doc_id"),
+          col("frame_idx").cast(IntegerType).as("frame_idx"),
+          (col("frame_idx") * col("stride") + 1).cast(IntegerType).as("frame_off"),
+          md5(expr("substring(payload, cast(frame_idx*stride+1 as int), 16)"))
+            .as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
     })
 
   val oracles: Map[String, String] = Map(
+    // ASCII fixture text: byte windows == char windows, so the frame
+    // fingerprints replay exactly over SUBSTRING
+    "m03_frame_sample" -> """
+      WITH f AS (
+        SELECT doc_id, text, LENGTH(text) AS len,
+               GREATEST(LENGTH(text) // 4, 1) AS stride
+        FROM documents),
+      fr AS (
+        SELECT doc_id, text, stride, UNNEST(RANGE(0, 4)) AS frame_idx FROM f)
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             CAST(frame_idx * stride + 1 AS INT) AS frame_off,
+             MD5(SUBSTRING(text, CAST(frame_idx * stride + 1 AS INT), 16))
+               AS frame_md5
+      FROM fr ORDER BY doc_id, frame_idx""",
     "m01_binary_payload" -> """
       SELECT doc_id,
         CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
