@@ -61,9 +61,41 @@ object Aggregators {
           FROM (SELECT inline(topk_sketch(user_id, 10, 4096)) FROM events) t)
         ORDER BY rnk
       """)
+    },
+
+    // Mergeable HLL sketch COLUMNS (DataSketches via Spark's
+    // hll_sketch_agg / hll_union_agg): per-day sketches built once, then
+    // unioned — the incremental distinct-count shape where a 100 TB
+    // history is never rescanned: daily sketch partials persist and any
+    // rollup (weekly, lifetime) is a union of sketch bytes. HLL register
+    // maxes are commutative, so the estimate is deterministic under any
+    // partitioning; the oracle pins the exact values and an all-TRUE 5%
+    // tolerance bit (q47's pattern).
+    "a03_hll_union" -> { (s, dir) =>
+      t(s, dir, "events")
+      s.sql("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, hll_sketch_agg(user_id) AS sk
+          FROM events GROUP BY 1),
+        merged AS (
+          SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est_total
+          FROM daily),
+        exact AS (SELECT COUNT(DISTINCT user_id) AS exact_total FROM events)
+        SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+               exact.exact_total,
+               ABS(merged.est_total - exact.exact_total) * 1.0
+                 / exact.exact_total <= 0.05 AS union_ok
+        FROM exact CROSS JOIN merged
+      """)
     })
 
   val oracles: Map[String, String] = Map(
+    "a03_hll_union" -> """
+      SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_total,
+             TRUE AS union_ok
+      FROM events""",
+
     "a01_custom_aggregator" -> """
       SELECT c_nationkey, MAX(c_acctbal) - MIN(c_acctbal) AS bal_range,
              COUNT(*) AS n
