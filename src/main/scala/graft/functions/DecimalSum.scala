@@ -26,24 +26,67 @@ import org.apache.spark.sql.types._
 object DecimalKernels {
   private val POWS: Array[Double] = (0 to 15).map(i => math.pow(10, i)).toArray
   private val TWO_64 = java.math.BigInteger.ONE.shiftLeft(64)
+  private val POW10L: Array[Long] = {
+    val a = new Array[Long](19); a(0) = 1L
+    var i = 1; while (i < 19) { a(i) = a(i - 1) * 10L; i += 1 }; a
+  }
 
   /** Exact unscaled-long conversion matching Spark's double→decimal cast
     * (`Decimal.fromDecimal(BigDecimal.decimal(d).setScale(s, HALF_UP))`,
     * i.e. shortest-representation semantics via BigDecimal.valueOf).
     * Fast path: one multiply + rint when the scaled value is nowhere near
-    * a .5 rounding boundary; the boundary band (±1e-4) and anything above
-    * 1e15 falls back to the exact BigDecimal path. */
+    * a .5 rounding boundary. The boundary band scales with magnitude —
+    * fl(d*10^s) can deviate from the exact product by ~2.2e-16·|y|, so a
+    * fixed band would mis-round above |y|≈5e11 — and anything still inside
+    * the band falls back to the exact BigDecimal path. */
   def toUnscaled(d: Double, scale: Int): Long = {
     val y = d * POWS(scale)
     val ay = math.abs(y)
     if (ay < 1e15) {
       val r = Math.rint(y)
       val fromHalf = math.abs(math.abs(y - r) - 0.5)
-      if (fromHalf > 1e-4) return r.toLong
+      if (fromHalf > math.max(1e-4, 4e-16 * ay)) return r.toLong
     }
     java.math.BigDecimal.valueOf(d)
       .setScale(scale, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
+  }
+
+  /** `toUnscaled` with non-ANSI decimal-cast range semantics: returns null
+    * (boxed) when the rounded value would not fit DECIMAL(precision, scale)
+    * — mirroring CAST(double AS DECIMAL(p,s)) yielding NULL on overflow so
+    * the rewritten Sum skips exactly the rows the unrewritten Sum skips.
+    * NaN/Infinity → null, like the decimal cast. */
+  def toUnscaledChecked(d: Double, precision: Int, scale: Int): java.lang.Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
+    val bound = POW10L(math.min(precision, 18))
+    val y = d * POWS(scale)
+    val ay = math.abs(y)
+    if (ay < 1e15) {
+      val r = Math.rint(y)
+      val fromHalf = math.abs(math.abs(y - r) - 0.5)
+      if (fromHalf > math.max(1e-4, 4e-16 * ay)) {
+        val l = r.toLong
+        return if (l > -bound && l < bound) java.lang.Long.valueOf(l) else null
+      }
+    }
+    val u = java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .unscaledValue()
+    if (u.bitLength > 63) return null
+    val l = u.longValue()
+    if (l > -bound && l < bound) java.lang.Long.valueOf(l) else null
+  }
+
+  /** ANSI-mode variant: out-of-range throws (matching the ANSI decimal
+    * cast's NUMERIC_VALUE_OUT_OF_RANGE) instead of nulling. */
+  def toUnscaledAnsi(d: Double, precision: Int, scale: Int): Long = {
+    val r = toUnscaledChecked(d, precision, scale)
+    if (r == null) throw new ArithmeticException(
+      s"$d cannot be represented as Decimal($precision, $scale). " +
+        "If necessary set \"spark.sql.ansi.enabled\" to \"false\" to bypass " +
+        "this error, and return NULL instead.")
+    r.longValue()
   }
 
   /** (hi, lo) 128-bit signed accumulator → double at `outScale`, matching
@@ -59,16 +102,29 @@ object DecimalKernels {
   }
 }
 
-/** Double → unscaled long at `scale` (codegen'd, exact HALF_UP). */
-case class ToUnscaledLong(child: Expression, scale: Int)
+/** Double → unscaled long at `scale` (codegen'd, exact HALF_UP), carrying
+  * the range semantics of the decimal cast it replaces: ANSI mode throws on
+  * DECIMAL(precision, scale) overflow, non-ANSI emits null (so Sum skips
+  * exactly the rows the unrewritten plan skips). */
+case class ToUnscaledLong(child: Expression, precision: Int, scale: Int,
+    ansi: Boolean)
     extends UnaryExpression with UnaryLike[Expression] {
   override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = !ansi || child.nullable
   override protected def nullSafeEval(v: Any): Any =
-    DecimalKernels.toUnscaled(v.asInstanceOf[Double], scale)
+    if (ansi) DecimalKernels.toUnscaledAnsi(v.asInstanceOf[Double], precision, scale)
+    else DecimalKernels.toUnscaledChecked(v.asInstanceOf[Double], precision, scale)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.DecimalKernels.toUnscaled($c, $scale);")
+      if (ansi)
+        s"${ev.value} = graft.functions.DecimalKernels.toUnscaledAnsi($c, $precision, $scale);"
+      else {
+        val tmp = ctx.freshName("unscaled")
+        s"""java.lang.Long $tmp =
+           |  graft.functions.DecimalKernels.toUnscaledChecked($c, $precision, $scale);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+      })
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -175,31 +231,39 @@ case class SumUnscaled128(child: Expression, inScale: Int, outScale: Int)
   *
   * into SumUnscaled128 over unscaled i64 arithmetic whenever every leaf of
   * the summed expression is a double→decimal cast or a decimal literal and
-  * the combined scale stays ≤ 12 (per-row products then fit i64 for money
-  * domains < 10^6 with ANSI multiply guarding the bound loudly). Bit-exact
+  * the combined scale stays ≤ 12. Every Multiply/Add/Subtract the rewrite
+  * constructs is forced to ANSI eval mode (the engine itself runs non-ANSI,
+  * so the session default would wrap silently) — an i64 overflow in the
+  * unscaled arithmetic fails loudly instead of producing a wrong sum.
+  * Bit-exact
   * with the decimal path by construction: same per-leaf HALF_UP cast, exact
   * integer sum, same final rescale+double conversion. */
 object DecimalSumRewrite extends Rule[LogicalPlan] {
 
   private val maxScale = 12
 
+  /** ANSI eval context for every arithmetic node the rewrite constructs:
+    * i64 overflow must throw, never wrap — the session default is non-ANSI. */
+  private val ansi = NumericEvalContext(EvalMode.ANSI, allowDecimalPrecisionLoss = true)
+
   /** decimal expr → equivalent unscaled-long expr + its scale. */
   private def toUnscaledExpr(e: Expression): Option[(Expression, Int)] = e match {
-    case Cast(x, dt: DecimalType, _, _)
+    case Cast(x, dt: DecimalType, _, mode)
         if x.dataType == DoubleType && dt.precision <= 18 && dt.scale <= 6 =>
-      Some((ToUnscaledLong(x, dt.scale), dt.scale))
+      Some((ToUnscaledLong(x, dt.precision, dt.scale,
+        ansi = mode == EvalMode.ANSI), dt.scale))
     case Literal(d: Decimal, dt: DecimalType) if dt.precision <= 18 =>
       Some((Literal(d.toUnscaledLong), dt.scale))
     case Multiply(a, b, _) =>
       for { (ua, sa) <- toUnscaledExpr(a); (ub, sb) <- toUnscaledExpr(b)
             if sa + sb <= maxScale }
-        yield (Multiply(ua, ub), sa + sb)
+        yield (Multiply(ua, ub, ansi), sa + sb)
     case Add(a, b, _) =>
       for { (ua, sa) <- toUnscaledExpr(a); (ub, sb) <- toUnscaledExpr(b) }
-        yield (Add(align(ua, sa, sa max sb), align(ub, sb, sa max sb)), sa max sb)
+        yield (Add(align(ua, sa, sa max sb), align(ub, sb, sa max sb), ansi), sa max sb)
     case Subtract(a, b, _) =>
       for { (ua, sa) <- toUnscaledExpr(a); (ub, sb) <- toUnscaledExpr(b) }
-        yield (Subtract(align(ua, sa, sa max sb), align(ub, sb, sa max sb)), sa max sb)
+        yield (Subtract(align(ua, sa, sa max sb), align(ub, sb, sa max sb), ansi), sa max sb)
     case UnaryMinus(a, _) =>
       toUnscaledExpr(a).map { case (ua, sa) => (UnaryMinus(ua, failOnError = true), sa) }
     // the TPC-DS shape: SUM(CASE WHEN <day> THEN price END) — convert every
@@ -223,7 +287,7 @@ object DecimalSumRewrite extends Rule[LogicalPlan] {
 
   private def align(u: Expression, from: Int, to: Int): Expression =
     if (from == to) u
-    else Multiply(u, Literal(math.pow(10, to - from).toLong))
+    else Multiply(u, Literal(math.pow(10, to - from).toLong), ansi)
 
   /** AggregateExpression(Sum(decimal)) → AggregateExpression(SumUnscaled128). */
   private def rewriteSum(e: Expression, outScale: Int): Option[Expression] = e match {

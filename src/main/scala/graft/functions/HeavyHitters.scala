@@ -27,12 +27,18 @@ import org.apache.spark.sql.types._
 class SpaceSavingSummary(val capacity: Int) extends Serializable {
   // key -> (count, err)
   val counts = new java.util.HashMap[Long, (Long, Long)]()
+  /** True once any key has been evicted (here or in a merged-in summary).
+    * While false the summary is EXACT even at size == capacity, so absent
+    * keys provably have count 0 — without this flag, merging two exact
+    * full-capacity partials would add a spurious floor to absent keys. */
+  var hasEvicted: Boolean = false
 
   def add(key: Long, w: Long): Unit = {
     val cur = counts.get(key)
     if (cur != null) counts.put(key, (cur._1 + w, cur._2))
     else if (counts.size < capacity) counts.put(key, (w, 0L))
     else {
+      hasEvicted = true
       // evict the current minimum; its count becomes the newcomer's error.
       // O(capacity) scan — a production stream-summary keeps count buckets
       // in a linked structure for O(1); capacity is a small constant either
@@ -49,10 +55,10 @@ class SpaceSavingSummary(val capacity: Int) extends Serializable {
   }
 
   /** Pessimistic count floor for keys this summary has never seen: 0 if it
-    * never evicted (it saw its whole substream exactly), else the current
-    * minimum count. */
+    * never evicted (it saw its whole substream exactly — including the
+    * distinct-keys-exactly-capacity case), else the current minimum count. */
   private def absentFloor: Long =
-    if (counts.size < capacity) 0L
+    if (!hasEvicted) 0L
     else {
       var m = Long.MaxValue
       val it = counts.values().iterator()
@@ -64,6 +70,7 @@ class SpaceSavingSummary(val capacity: Int) extends Serializable {
     * contributing its floor to BOTH count and err (keeps the overcount
     * invariant), then trim back to capacity by count. */
   def merge(other: SpaceSavingSummary): SpaceSavingSummary = {
+    hasEvicted ||= other.hasEvicted
     if (other.counts.isEmpty) return this
     if (counts.isEmpty) { counts.putAll(other.counts); return this }
     val fa = absentFloor
@@ -86,6 +93,9 @@ class SpaceSavingSummary(val capacity: Int) extends Serializable {
     counts.clear()
     if (merged.size <= capacity) counts.putAll(merged)
     else {
+      // trimming discards keys with nonzero counts — from here on absent
+      // keys are no longer provably zero
+      hasEvicted = true
       // keep the `capacity` largest counts (key tiebreak for determinism)
       import scala.jdk.CollectionConverters._
       merged.asScala.toSeq
@@ -137,8 +147,9 @@ case class TopKSketch(child: Expression, k: Int, capacity: Int,
   }
 
   override def serialize(buf: SpaceSavingSummary): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + buf.counts.size * 24)
+    val bb = java.nio.ByteBuffer.allocate(9 + buf.counts.size * 24)
     bb.putInt(buf.capacity); bb.putInt(buf.counts.size)
+    bb.put(if (buf.hasEvicted) 1.toByte else 0.toByte)
     val it = buf.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -151,6 +162,7 @@ case class TopKSketch(child: Expression, k: Int, capacity: Int,
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val cap = bb.getInt; val n = bb.getInt
     val s = new SpaceSavingSummary(cap)
+    s.hasEvicted = bb.get() != 0
     (1 to n).foreach { _ =>
       val key = bb.getLong; val c = bb.getLong; val e = bb.getLong
       s.counts.put(key, (c, e))

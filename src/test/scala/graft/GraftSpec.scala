@@ -155,6 +155,73 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decimal fast path: guard band holds at large magnitudes and overflow maps to null") {
+    import org.apache.spark.sql.types.Decimal
+    // values parked exactly on .5 boundaries at magnitudes where fl(d*10^s)
+    // carries ~2.2e-16*|y| of error — a fixed guard band mis-rounds here
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000; s <- Seq(2, 4)) {
+      val u = 1000000000000L + (math.abs(rnd.nextLong()) % 8000000000000L) // 1e12..9e12
+      val d = (u + 0.5) / math.pow(10, s)
+      val viaCast = Decimal(BigDecimal.decimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP))
+        .toUnscaledLong
+      val viaKernel = graft.functions.DecimalKernels.toUnscaled(d, s)
+      assert(viaCast == viaKernel, s"d=$d scale=$s cast=$viaCast kernel=$viaKernel")
+    }
+    // non-ANSI CAST(double AS DECIMAL(12,4)) overflows to null; the checked
+    // kernel must reproduce that (and NaN/Inf → null) so Sum skips the row
+    val k = graft.functions.DecimalKernels
+    assert(k.toUnscaledChecked(1e9, 12, 4) == null)      // 1e13 unscaled >= 10^12
+    assert(k.toUnscaledChecked(-1e9, 12, 4) == null)
+    assert(k.toUnscaledChecked(Double.NaN, 12, 4) == null)
+    assert(k.toUnscaledChecked(Double.PositiveInfinity, 12, 4) == null)
+    assert(k.toUnscaledChecked(99999999.9999, 12, 4) == 999999999999L) // max in-range
+    assert(k.toUnscaledChecked(99999999.99996, 12, 4) == null)         // rounds out of range
+    // end-to-end: out-of-range rows diverge without the fix. Non-ANSI: the
+    // cast nulls overflow rows and Sum skips them — the rewritten plan must
+    // skip exactly the same rows. ANSI (the session default): both throw.
+    Engine.table(spark, dir, "lineitem") // installs DecimalSumRewrite
+    val caseExpr =
+      "CAST(CASE id WHEN 0 THEN 1.5 WHEN 1 THEN 2.5e9 WHEN 2 THEN 3.25 ELSE -4.0e10 END AS DOUBLE) v"
+    val sql2 = "SELECT CAST(ROUND(SUM(CAST(v AS DECIMAL(12,4))), 4) AS DOUBLE) s FROM wide_vals"
+    val plain2 = spark.newSession()
+    spark.range(4).selectExpr(caseExpr).createOrReplaceTempView("wide_vals")
+    plain2.range(4).selectExpr(caseExpr).createOrReplaceTempView("wide_vals")
+    for (sess <- Seq(spark, plain2)) sess.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val fast2 = spark.sql(sql2)
+      assert(fast2.queryExecution.optimizedPlan.toString.contains("sumunscaled128"))
+      assert(!plain2.sql(sql2).queryExecution.optimizedPlan.toString.contains("sumunscaled128"))
+      assert(fast2.collect().toSeq == plain2.sql(sql2).collect().toSeq)
+    } finally {
+      for (sess <- Seq(spark, plain2)) sess.conf.unset("spark.sql.ansi.enabled")
+    }
+    // ANSI default: overflow must still fail loudly under the rewrite
+    val fastAnsi = spark.sql(sql2)
+    assert(fastAnsi.queryExecution.optimizedPlan.toString.contains("sumunscaled128"))
+    intercept[Exception](fastAnsi.collect())
+    intercept[Exception](plain2.sql(sql2).collect())
+  }
+
+  test("topk sketch: merging exact at-capacity partials stays exact") {
+    // two partials each holding exactly `capacity` distinct keys, never
+    // evicting — the merged summary must keep err 0 and exact counts
+    val a = new graft.functions.SpaceSavingSummary(4)
+    val b = new graft.functions.SpaceSavingSummary(4)
+    Seq(1L -> 5L, 2L -> 3L, 3L -> 2L, 4L -> 1L).foreach { case (k, n) =>
+      (1L to n).foreach(_ => a.add(k, 1L)) }
+    Seq(3L -> 4L, 4L -> 6L, 5L -> 2L, 6L -> 1L).foreach { case (k, n) =>
+      (1L to n).foreach(_ => b.add(k, 1L)) }
+    assert(!a.hasEvicted && !b.hasEvicted)
+    val m = a.merge(b)
+    val got = m.topK(6).map { case (k, c, e) => (k, c, e) }.toSet
+    // truth: 1→5, 2→3, 3→6, 4→7, 5→2, 6→1; capacity 4 keeps the largest 4
+    assert(got == Set((4L, 7L, 0L), (3L, 6L, 0L), (1L, 5L, 0L), (2L, 3L, 0L)),
+      s"got $got")
+    // the trim itself discarded keys 5 and 6 → subsequent merges must floor
+    assert(m.hasEvicted)
+  }
+
   test("decimal fast path: rewritten sumd equals the decimal-sum plan bit-exactly") {
     val sql = """SELECT l_returnflag,
       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 4) AS DOUBLE) b,
