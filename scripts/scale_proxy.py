@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""DuckDB proxy timings for the TPC-H scaling experiment.
+
+Runs the repo's own tpch_q* oracle SQL (the exact text the Spark engine
+executes) in DuckDB over a generated scale directory, 32 threads, warm,
+median-of-3 — the same protocol the round-6 judge used for the sf0.1 proxy.
+
+Usage: scale_proxy.py <scaleDir> [<oracle_sql.json>]
+Emits one JSON line: {"sf": dir, "total": s, "queries": {name: sec}}.
+"""
+import json
+import statistics
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem"]
+
+
+def main():
+    d = sys.argv[1]
+    oracle_path = sys.argv[2] if len(sys.argv) > 2 else \
+        "target/verify_new/oracle_sql.json"
+    sql = {k: v for k, v in json.load(open(oracle_path)).items()
+           if k.startswith("tpch_q")}
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')")
+    out = {}
+    for name in sorted(sql):
+        q = sql[name]
+        con.execute(q).fetchall()  # warm (buffer pool + plan)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(q).fetchall()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(runs), 4)
+        print(f"  {name}: {out[name]:.3f}s", file=sys.stderr)
+    print(json.dumps({"sf": d, "total": round(sum(out.values()), 4),
+                      "queries": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,8 +57,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // stage bucketed tables outside the timed region (table layout prep is
-    // a one-time cost in production, not part of the query)
-    graft.operators.Skew.writeBucketed(spark, sfDir, 8)
+    // a one-time cost in production, not part of the query); skipped when
+    // the selection has no bucketed-layout query (e.g. sf1+ scaling runs)
+    if (selected.exists(_.startsWith("k0")))
+      graft.operators.Skew.writeBucketed(spark, sfDir, 8)
 
     // Suite isolation (round-2 verdict: suite-position contamination made
     // tpch_q01 read 4x slower than its identical DataFrame twin; round-5:

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixture-compatible TPC-H generator at arbitrary scale factor.
+  *
+  * The driver fixtures (`/root/testdata/sf*`) carry a reduced TPC-H schema
+  * with their own vocabulary (NATION_k names, 1995–2001 dates, one-word
+  * p_type, independent uniform draws — lines-per-order is Poisson(4), not
+  * dbgen's 1..7). `graft.queries.Tpch` adapts its constants to exactly that
+  * vocabulary, so proving the bench bar at sf ≥ 1 needs data with the SAME
+  * shape, just bigger. This main regenerates every fixture table at a given
+  * sf with matching schema (names, types incl. timestamp dates), value
+  * vocabulary, and per-column distributions, using the same Spark-parallel
+  * hash-mix style as [[graft.sources.TpchGen]] (reference device:
+  * `glaredb_ext_tpch_gen/src/functions/lineitem.rs:21`): `spark.range(n)`
+  * partitions the keyspace, every column derives deterministically from the
+  * row id — no driver-side data, scales to any sf.
+  *
+  * Usage: `ScaleGen <sf> <outDir>` → writes `<outDir>/<table>.parquet/`.
+  * Both the Spark bench and the DuckDB proxy then read the same files, so
+  * Spark-vs-proxy ratios are apples-to-apples at every sf.
+  */
+object ScaleGen {
+
+  private def h(seed: Int, id: Column): Column = xxhash64(lit(seed), id)
+  private def u(seed: Int, id: Column): Column =
+    pmod(h(seed, id), lit(1000000L)).cast(DoubleType) / 1000000.0
+  private def money(seed: Int, id: Column, lo: Double, hi: Double): Column =
+    round(lit(lo) + u(seed, id) * (hi - lo), 2)
+  private def pick(xs: Seq[String], seed: Int, id: Column): Column =
+    element_at(array(xs.map(lit): _*),
+      (pmod(h(seed, id), lit(xs.size)) + 1).cast(IntegerType))
+
+  private val epoch95 = lit(java.sql.Date.valueOf("1995-01-01"))
+  /** fixture order-date window 1995-01-01..2001-08-01 */
+  private def orderDate(id: Column): Column =
+    date_add(epoch95, pmod(h(7, id), lit(2405L)).cast(IntegerType))
+      .cast(TimestampType)
+
+  private val segments =
+    Seq("MACHINERY", "AUTOMOBILE", "BUILDING", "HOUSEHOLD", "FURNITURE")
+  private val types =
+    Seq("LARGE", "STANDARD", "ECONOMY", "PROMO", "MEDIUM", "SMALL")
+  private val colors =
+    Seq("blue", "cold", "hot", "large", "new", "old", "red", "small")
+  private val nouns =
+    Seq("anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget")
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def region(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+      (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name")
+  }
+
+  def nation(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until 25).map(k => (k, s"NATION_$k", k % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+  }
+
+  def customer(spark: SparkSession, sf: Double): DataFrame =
+    spark.range(math.max((150000 * sf).toLong, 1L)).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      pmod(h(31, col("id")), lit(25L)).cast(IntegerType).as("c_nationkey"),
+      money(32, col("id"), -1000.0, 10000.0).as("c_acctbal"),
+      pick(segments, 33, col("id")).as("c_mktsegment"))
+
+  def supplier(spark: SparkSession, sf: Double): DataFrame =
+    spark.range(math.max((10000 * sf).toLong, 1L)).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      pmod(h(41, col("id")), lit(25L)).cast(IntegerType).as("s_nationkey"),
+      money(42, col("id"), -1000.0, 10000.0).as("s_acctbal"))
+
+  def part(spark: SparkSession, sf: Double): DataFrame =
+    spark.range(math.max((200000 * sf).toLong, 1L)).select(
+      col("id").as("p_partkey"),
+      concat_ws(" ", pick(colors, 51, col("id")), pick(nouns, 52, col("id")))
+        .as("p_name"),
+      concat(lit("Brand#"),
+        (pmod(h(53, col("id")), lit(25L)) + 1).cast(StringType)).as("p_brand"),
+      pick(types, 54, col("id")).as("p_type"),
+      (pmod(h(55, col("id")), lit(50L)) + 1).cast(IntegerType).as("p_size"),
+      money(56, col("id"), 900.0, 1000.0).as("p_retailprice"))
+
+  def orders(spark: SparkSession, sf: Double): DataFrame = {
+    val custN = math.max((150000 * sf).toLong, 1L)
+    spark.range(math.max((1500000 * sf).toLong, 1L)).select(
+      col("id").as("o_orderkey"),
+      pmod(h(61, col("id")), lit(custN)).as("o_custkey"),
+      pick(Seq("O", "F", "P"), 62, col("id")).as("o_orderstatus"),
+      money(63, col("id"), 1000.0, 500000.0).as("o_totalprice"),
+      orderDate(col("id")).as("o_orderdate"),
+      pick(priorities, 64, col("id")).as("o_orderpriority"))
+  }
+
+  def lineitem(spark: SparkSession, sf: Double): DataFrame = {
+    val orderN = math.max((1500000 * sf).toLong, 1L)
+    val partN = math.max((200000 * sf).toLong, 1L)
+    val suppN = math.max((10000 * sf).toLong, 1L)
+    spark.range(math.max((6000000 * sf).toLong, 1L)).select(
+      pmod(h(71, col("id")), lit(orderN)).as("l_orderkey"),
+      pmod(h(72, col("id")), lit(partN)).as("l_partkey"),
+      pmod(h(73, col("id")), lit(suppN)).as("l_suppkey"),
+      (pmod(h(74, col("id")), lit(7L)) + 1).cast(IntegerType).as("l_linenumber"),
+      (pmod(h(75, col("id")), lit(50L)) + 1).cast(DoubleType).as("l_quantity"),
+      money(76, col("id"), 900.0, 105000.0).as("l_extendedprice"),
+      (pmod(h(77, col("id")), lit(11L)).cast(DoubleType) / 100.0).as("l_discount"),
+      (pmod(h(78, col("id")), lit(9L)).cast(DoubleType) / 100.0).as("l_tax"),
+      pick(Seq("A", "N", "R"), 79, col("id")).as("l_returnflag"),
+      pick(Seq("F", "O"), 80, col("id")).as("l_linestatus"),
+      date_add(epoch95, (pmod(h(81, col("id")), lit(2498L)) + 1).cast(IntegerType))
+        .cast(TimestampType).as("l_shipdate"))
+  }
+
+  val tables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  def gen(spark: SparkSession, name: String, sf: Double): DataFrame =
+    name match {
+      case "region"   => region(spark)
+      case "nation"   => nation(spark)
+      case "customer" => customer(spark, sf)
+      case "supplier" => supplier(spark, sf)
+      case "part"     => part(spark, sf)
+      case "orders"   => orders(spark, sf)
+      case "lineitem" => lineitem(spark, sf)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sf = args(0).toDouble
+    val out = args(1)
+    val spark = Engine.session(appName = s"graft-scalegen-sf$sf")
+    try {
+      tables.foreach { t =>
+        val df = gen(spark, t, sf)
+        // Fact tables must yield at least one input split per core: Spark
+        // only splits parquet at file boundaries below maxPartitionBytes
+        // (128 MB), so 8×15 MB files = 8 tasks on 32 cores — a 4× scan
+        // parallelism loss vs a row-group-parallel reader. A cluster
+        // writer produces many files per table for the same reason.
+        val parts = t match {
+          case "lineitem" | "orders" =>
+            math.max(Engine.defaultCpus, (sf * 8).toInt)
+          case "customer" | "part" => math.max(4, sf.toInt)
+          case _ => 1
+        }
+        df.repartition(parts)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"wrote $out/$t.parquet")
+      }
+    } finally spark.stop()
+  }
+}
