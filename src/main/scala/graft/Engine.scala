@@ -41,6 +41,13 @@ object Engine {
       // wrong plan shape to scale up. AQE still broadcasts runtime-small
       // intermediates.
       .config("spark.sql.autoBroadcastJoinThreshold", (8L << 20).toString)
+      // Spark 4 session artifact isolation namespaces the whole-stage
+      // codegen cache by session classloader: every newSession() recompiles
+      // identical generated code (2 Janino compiles/query) and then runs
+      // the fresh classes JIT-cold — measured 3-5x on scan-agg queries
+      // (q06 @sf1: ~600 ms -> ~140 ms). The engine never uses session
+      // artifacts (addArtifact), so isolation buys nothing here.
+      .config("spark.sql.artifact.isolation.enabled", "false")
 
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
@@ -78,7 +85,18 @@ object Engine {
         val schema = schemaCache.computeIfAbsent(key,
           _ => spark.read.parquet(path).schema)
         spark.read.schema(schema).parquet(path)
-      } else spark.read.parquet(path) // directory outputs: list + infer
+      } else if (f.isDirectory) {
+        // directory outputs (multi-file tables, e.g. ScaleGen's): validate
+        // by the children's aggregate (size, mtime) — without this, every
+        // query re-reads footers for every table (~70 ms/table at sf1)
+        val parts = f.listFiles()
+        val sig = parts.foldLeft(0L)((a, p) =>
+          a ^ java.lang.Long.rotateLeft(p.length() + p.lastModified(), 17))
+        val key = (path, f.lastModified(), sig)
+        val schema = schemaCache.computeIfAbsent(key,
+          _ => spark.read.parquet(path).schema)
+        spark.read.schema(schema).parquet(path)
+      } else spark.read.parquet(path)
     df.createOrReplaceTempView(name)
     df
   }

@@ -79,15 +79,37 @@ object DecimalKernels {
   }
 
   /** ANSI-mode variant: out-of-range throws (matching the ANSI decimal
-    * cast's NUMERIC_VALUE_OUT_OF_RANGE) instead of nulling. */
+    * cast's NUMERIC_VALUE_OUT_OF_RANGE) instead of nulling. Primitive
+    * return — the hot path must not box (a per-row java.lang.Long
+    * allocation measured 3x on a 6M-row sum). */
   def toUnscaledAnsi(d: Double, precision: Int, scale: Int): Long = {
-    val r = toUnscaledChecked(d, precision, scale)
-    if (r == null) throw new ArithmeticException(
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) ansiOverflow(d, precision, scale)
+    val bound = POW10L(math.min(precision, 18))
+    val y = d * POWS(scale)
+    val ay = math.abs(y)
+    if (ay < 1e15) {
+      val r = Math.rint(y)
+      val fromHalf = math.abs(math.abs(y - r) - 0.5)
+      if (fromHalf > math.max(1e-4, 4e-16 * ay)) {
+        val l = r.toLong
+        if (l > -bound && l < bound) return l
+        ansiOverflow(d, precision, scale)
+      }
+    }
+    val u = java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .unscaledValue()
+    if (u.bitLength > 63) ansiOverflow(d, precision, scale)
+    val l = u.longValue()
+    if (l > -bound && l < bound) l
+    else ansiOverflow(d, precision, scale)
+  }
+
+  private def ansiOverflow(d: Double, precision: Int, scale: Int): Nothing =
+    throw new ArithmeticException(
       s"$d cannot be represented as Decimal($precision, $scale). " +
         "If necessary set \"spark.sql.ansi.enabled\" to \"false\" to bypass " +
         "this error, and return NULL instead.")
-    r.longValue()
-  }
 
   /** (hi, lo) 128-bit signed accumulator → double at `outScale`, matching
     * `sum(decimal) |> round(outScale) |> cast(double)` exactly. */

@@ -56,7 +56,7 @@ object Tpcds {
   private[queries] val cteDefs: Seq[(String, String)] = Seq(
     // 0..3124 — enough for 2557 days
     "dd_seq" -> """dd_seq AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY a.n_nationkey, b.n_nationkey,
+      SELECT ROW_NUMBER() OVER (PARTITION BY 1 ORDER BY a.n_nationkey, b.n_nationkey,
                                          r.r_regionkey) - 1 AS rn
       FROM nation a CROSS JOIN nation b CROSS JOIN region r)""",
 
@@ -85,7 +85,7 @@ object Tpcds {
 
     // 0..15624 — covers the sf0.1 customer count (15000)
     "cust_seq" -> """cust_seq AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY a.n_nationkey, b.n_nationkey,
+      SELECT ROW_NUMBER() OVER (PARTITION BY 1 ORDER BY a.n_nationkey, b.n_nationkey,
                                          c.n_nationkey) - 1 AS rn
       FROM nation a CROSS JOIN nation b CROSS JOIN nation c)""",
 

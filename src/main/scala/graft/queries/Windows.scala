@@ -117,8 +117,12 @@ object Windows {
       val offs = base.groupBy("pid")
         .agg(sum(col("price")).as("part_total"))
         .withColumn("offset",
+          // the window input is the `parts`-row totals relation (bounded
+          // by construction at any data scale); partition by a constant so
+          // WindowExec doesn't warn about an empty partitionSpec
           coalesce(sum(col("part_total")).over(
-            Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+            Window.partitionBy(lit(0)).orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
             lit(0).cast(DecimalType(24, 4))))
         .select(col("pid").as("opid"), col("offset"))
       val local = Window.partitionBy("pid").orderBy("o_orderkey")
