@@ -268,8 +268,22 @@ object DecimalSumRewrite extends Rule[LogicalPlan] {
     * i64 overflow must throw, never wrap — the session default is non-ANSI. */
   private val ansi = NumericEvalContext(EvalMode.ANSI, allowDecimalPrecisionLoss = true)
 
-  /** decimal expr → equivalent unscaled-long expr + its scale. */
-  private def toUnscaledExpr(e: Expression): Option[(Expression, Int)] = e match {
+  /** decimal expr → equivalent unscaled-long expr + its scale. Structural
+    * decompositions first (they avoid materializing intermediate decimals
+    * entirely); any other narrow-decimal expression — an attribute from a
+    * CTE or cached relation whose double→decimal cast happened upstream,
+    * a decimal-typed function result — falls back to [[UnscaledValue]],
+    * which is exact for precision ≤ 18 (the value is stored as a compact
+    * long) and keeps the aggregation itself on the i64 fast path. */
+  private def toUnscaledExpr(e: Expression): Option[(Expression, Int)] =
+    structural(e).orElse(e.dataType match {
+      case dt: DecimalType if dt.precision <= 18 && dt.scale <= 6 &&
+          dt.scale >= 0 && e.deterministic =>
+        Some((UnscaledValue(e), dt.scale))
+      case _ => None
+    })
+
+  private def structural(e: Expression): Option[(Expression, Int)] = e match {
     case Cast(x, dt: DecimalType, _, mode)
         if x.dataType == DoubleType && dt.precision <= 18 && dt.scale <= 6 =>
       Some((ToUnscaledLong(x, dt.precision, dt.scale,
