@@ -9,6 +9,7 @@ Usage: scale_proxy.py <scaleDir> [<oracle_sql.json>]
 Emits one JSON line: {"sf": dir, "total": s, "queries": {name: sec}}.
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -28,8 +29,12 @@ def main():
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     for t in TABLES:
+        # generated scale dirs are directories of part files; the driver
+        # fixtures are single parquet files — support both layouts
+        path = f"{d}/{t}.parquet"
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
     out = {}
     for name in sorted(sql):
         q = sql[name]

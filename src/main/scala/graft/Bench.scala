@@ -35,6 +35,7 @@ object Bench {
     "cb05_daily_histogram", // time histogram + distinct
     "k02_bucketed_join",   // shuffle-free co-located join
     "k03_bucketed_q21",    // TPC-H q21 on bucketed layout (vs tpch_q21)
+    "k05_bucketed_q04",    // TPC-H q04 on staged layout (vs tpch_q04)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery

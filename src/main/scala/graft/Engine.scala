@@ -27,10 +27,18 @@ object Engine {
     b.config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // coalesce by advisory size (64MB), not parallelism: small shuffles
-      // collapse to few tasks (less scheduling overhead at low SF) while
-      // big inputs still fan out by size — the production setting.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Coalesce respecting parallelism (Spark's default): with
+      // parallelismFirst=false AQE targets the 64 MB advisory size, which
+      // at sf1 collapsed q18's 184 MB CPU-bound reduce onto 4 of 32 cores
+      // (measured: final stage wall 3.2 s on 4 tasks, 0.9 s on 32). Size-
+      // first only wins when tasks are I/O-bound or the scheduler is the
+      // bottleneck — neither holds for in-memory agg/join reduces here or
+      // on a real cluster, where executors idle instead.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      // parallelism-first coalescing floors partitions at this size; 1 MB
+      // (Spark default) keeps tiny-SF shuffles from fanning to 32 trivial
+      // tasks while letting CPU-heavy reduces use every core
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // driver-fixtures are small files; keep splits reasonable locally
@@ -41,6 +49,11 @@ object Engine {
       // wrong plan shape to scale up. AQE still broadcasts runtime-small
       // intermediates.
       .config("spark.sql.autoBroadcastJoinThreshold", (8L << 20).toString)
+      // Sort-merge stays the default join. Shuffled-hash was measured both
+      // ways at sf10: -30% on the dim-heavy shapes (q03 3.3->2.4 s, q05
+      // 4.7->3.3 s) but +10-30% on the 4+-way fact joins (q07/q08/q10/q13,
+      // hash-map build + GC pressure), net zero across TPC-H — not worth
+      // trading SMJ's spill robustness for at 100 TB.
       // Spark 4 session artifact isolation namespaces the whole-stage
       // codegen cache by session classloader: every newSession() recompiles
       // identical generated code (2 Janino compiles/query) and then runs

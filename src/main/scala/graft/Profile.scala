@@ -128,6 +128,26 @@ object Profile {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_STAGES=1: per-stage wall/cpu/shuffle metrics (find where
+    // a slow query's execution time actually goes)
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val dur = (for { a <- si.completionTime; b <- si.submissionTime }
+              yield a - b).getOrElse(-1L)
+            val m = si.taskMetrics
+            println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%3d " +
+              f"wall=${dur}%5dms run=${m.executorRunTime}%6d " +
+              f"cpu=${m.executorCpuTime / 1000000}%6d gc=${m.jvmGCTime}%4d " +
+              f"sRead=${m.shuffleReadMetrics.totalBytesRead / 1024}%7dK " +
+              f"sWrite=${m.shuffleWriteMetrics.bytesWritten / 1024}%7dK " +
+              s"name=${si.name.takeWhile(_ != '\n').take(40)}")
+          }
+        })
+
     def once(tag: String): Unit = {
       val s = spark.newSession()
       val t0 = System.nanoTime()

@@ -122,7 +122,12 @@ object Similarity {
     // SQL-expressible): per-probe recall@5 against the in-query brute-force
     // ground truth, reduced to invariants that hold with wide margin on
     // every fixture — all 10 probes find themselves, and mean recall@5
-    // >= 0.5 (measured 0.62–0.66 across sf0.001/0.01/0.1 at nprobe=2of8).
+    // >= 0.8. Recall comes from REPLICATED assignment (each corpus vector
+    // is indexed in its 3 nearest cells — the standard IVF replication
+    // trade: 3x index size buys back the boundary-vector recall that
+    // single-assignment loses) + nprobe=2 of 8 cells at query time
+    // (measured 0.90–1.00 across sf0.001/0.01/0.1; single-assignment was
+    // 0.62–0.66, 2-nearest replication 0.82–0.90).
     "n05_knn_ivf" -> { (s, dir) =>
       GraftFunctions.register(s)
       import org.apache.spark.ml.clustering.KMeans
@@ -130,18 +135,25 @@ object Similarity {
       import org.apache.spark.ml.linalg.Vector
       val e = t(s, dir, "embeddings")
         .withColumn("fvec", array_to_vector(col("embedding")))
-      val nlist = 8; val nprobe = 2
-      val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      val nlist = 8; val nprobe = 2; val nassign = 3
+      val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("fvec").setPredictionCol("cell")
       val model = km.fit(e.select(col("fvec")))
-      val assigned = model.transform(e)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-      // probe cells: nprobe nearest centroids per probe vector
       val centroids = model.clusterCenters.zipWithIndex.map {
         case (c, i) => (i, c.toArray.map(_.toFloat))
       }.toSeq
       val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
-      val probes = assigned.filter(col("vec_id") < 10)
+      // replicated assignment: every vector lands in its `nassign` nearest
+      // cells — a narrow map stage (centroids broadcast), same shape as
+      // the single-assignment transform, 2x the index rows
+      val assigned = e.crossJoin(broadcast(centDf))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          expr("l2_distance(embedding, centroid)").as("cdist"))
+        .withColumn("arank", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(asc("cdist"), asc("cell"))))
+        .filter(col("arank") <= nassign)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
       val probeCells = probes.crossJoin(broadcast(centDf))
         .select(col("probe_id"), col("pvec"), col("cell"),
@@ -155,6 +167,9 @@ object Similarity {
       val ivfTop = assigned.join(broadcast(probeCells), "cell")
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           expr("cosine_sim(pvec, embedding)").as("sim"))
+        // replication can surface the same (probe, neighbor) pair from
+        // two cells — identical sim, drop before ranking
+        .dropDuplicates("probe_id", "neighbor_id")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("probe_id"), col("neighbor_id"), col("rnk"))
@@ -175,7 +190,7 @@ object Similarity {
       hits.agg(
         count(lit(1)).as("n_probes"),
         sum(col("self_hit")).as("n_self_found"),
-        (sum(col("n_hits")).cast(DoubleType) / (count(lit(1)) * 5) >= 0.5)
+        (sum(col("n_hits")).cast(DoubleType) / (count(lit(1)) * 5) >= 0.8)
           .as("mean_recall_ok"))
     },
 
@@ -313,8 +328,9 @@ object Similarity {
       ORDER BY sim DESC, id1, id2 LIMIT 100""",
 
     // n05's quality contract: 10 probes, every probe finds itself, mean
-    // IVF recall@5 vs brute-force >= 0.5. The expected values are
-    // structural (probe count, self-retrieval) or bounded with margin.
+    // IVF recall@5 vs brute-force >= 0.8 (replicated assignment + nprobe=2).
+    // The expected values are structural (probe count, self-retrieval) or
+    // bounded with margin.
     "n05_knn_ivf" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
              CAST(COUNT(*) AS BIGINT) AS n_self_found,

@@ -169,6 +169,29 @@ object Skew {
         .limit(100)
     },
 
+    // TPC-H q04 on the bucketed layout. On the raw fixtures q04 is the one
+    // query whose selective predicate (l_commitdate < l_receiptdate) CANNOT
+    // reach the scan: both dates are derived in the schema-completion CTE,
+    // so every row is read and the dates are recomputed per query. The
+    // staged layout materializes them at ingest (writeBucketedTpch), making
+    // the filter a plain two-column comparison over stored values, and the
+    // EXISTS semi-join to orders a co-located merge on the bucket key —
+    // zero fact exchange. Same values as tpch_q04 (shared oracle).
+    "k05_bucketed_q04" -> { (s, dir) =>
+      val (tli, tor) = writeBucketedTpch(s, dir, 8)
+      val late = s.table(tli)
+        .filter(col("l_commitdate") < col("l_receiptdate"))
+        .select(col("l_orderkey"))
+      s.table(tor)
+        .filter(col("o_orderdate") >= lit("1996-07-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+        .join(late.hint("merge"),
+          col("o_orderkey") === col("l_orderkey"), "leftsemi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
     // TPC-H q18 on the bucketed layout: the per-order quantity sum groups
     // on the bucket key (no exchange), and its join back to orders is a
     // co-located merge; only the customer join shuffles (its own key).
@@ -204,5 +227,6 @@ object Skew {
     // identical values to the plain TPC-H queries — layout must not change
     // semantics, so the oracle is literally theirs
     "k03_bucketed_q21" -> graft.queries.Tpch.oracles("tpch_q21"),
-    "k04_bucketed_q18" -> graft.queries.Tpch.oracles("tpch_q18"))
+    "k04_bucketed_q18" -> graft.queries.Tpch.oracles("tpch_q18"),
+    "k05_bucketed_q04" -> graft.queries.Tpch.oracles("tpch_q04"))
 }

@@ -419,7 +419,7 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n1 == 5 && n2 == 5)
   }
 
-  test("IVF KNN quality contract: all probes self-retrieve, mean recall >= 0.5") {
+  test("IVF KNN quality contract: all probes self-retrieve, mean recall >= 0.8") {
     val r = SparkEntry.queries("n05_knn_ivf")(spark, dir).collect()
     assert(r.length == 1)
     assert(r(0).getAs[Long]("n_probes") == 10L)
