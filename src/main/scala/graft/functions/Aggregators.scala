@@ -55,11 +55,11 @@ object Aggregators {
       t(s, dir, "events")
       s.sql("""
         SELECT key AS user_id, cnt AS n_events, err,
-               -- PARTITION BY a constant: the input is the 10-row sketch
-               -- output (bounded at any scale), but an empty partitionSpec
-               -- makes WindowExec warn about single-partition movement —
-               -- the constant spec states the boundedness explicitly
-               CAST(ROW_NUMBER() OVER (PARTITION BY 1 ORDER BY cnt DESC, key) AS INT) AS rnk
+               -- PARTITION BY cnt % 1 (constant 0, not foldable): the input
+               -- is the 10-row sketch output (bounded at any scale), but an
+               -- empty/folded partitionSpec makes WindowExec warn about
+               -- single-partition movement
+               CAST(ROW_NUMBER() OVER (PARTITION BY cnt % 1 ORDER BY cnt DESC, key) AS INT) AS rnk
         FROM (
           SELECT t.key, t.count AS cnt, t.err
           FROM (SELECT inline(topk_sketch(user_id, 10, 4096)) FROM events) t)

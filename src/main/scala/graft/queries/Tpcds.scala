@@ -55,8 +55,13 @@ object Tpcds {
     * earlier ones; `wrap` includes the transitive closure in this order. */
   private[queries] val cteDefs: Seq[(String, String)] = Seq(
     // 0..3124 — enough for 2557 days
+    // PARTITION BY n_nationkey % 1 (constant 0, but not foldable): the input
+    // is the bounded 25x25x5 dimension cross product at any data scale; a
+    // literal constant gets optimizer-folded back to an empty partitionSpec
+    // and re-triggers WindowExec's single-partition warning
     "dd_seq" -> """dd_seq AS (
-      SELECT ROW_NUMBER() OVER (PARTITION BY 1 ORDER BY a.n_nationkey, b.n_nationkey,
+      SELECT ROW_NUMBER() OVER (PARTITION BY a.n_nationkey % 1
+                                ORDER BY a.n_nationkey, b.n_nationkey,
                                          r.r_regionkey) - 1 AS rn
       FROM nation a CROSS JOIN nation b CROSS JOIN region r)""",
 
@@ -85,7 +90,8 @@ object Tpcds {
 
     // 0..15624 — covers the sf0.1 customer count (15000)
     "cust_seq" -> """cust_seq AS (
-      SELECT ROW_NUMBER() OVER (PARTITION BY 1 ORDER BY a.n_nationkey, b.n_nationkey,
+      SELECT ROW_NUMBER() OVER (PARTITION BY a.n_nationkey % 1
+                                ORDER BY a.n_nationkey, b.n_nationkey,
                                          c.n_nationkey) - 1 AS rn
       FROM nation a CROSS JOIN nation b CROSS JOIN nation c)""",
 
@@ -3372,7 +3378,10 @@ object Tpcds {
 
     // Q44: best/worst performing items by average net profit at one
     // store, ranked from both ends. The exact-decimal average keeps the
-    // rank keys order-independent across engines.
+    // rank keys order-independent across engines. The unpartitioned
+    // rank() windows are the spec's own semantics (one global item
+    // ranking); their input is the per-item AGGREGATE (catalog-sized,
+    // not fact-sized), so the single-partition window is bounded.
     "tpcds_q44" -> s"""
       SELECT asceding.rnk AS rnk,
              i1.i_product_name AS best_performing,
@@ -3417,7 +3426,10 @@ object Tpcds {
     // wr/cr/sr_return_amt > 10000 -> > 100 (fixture return amounts are
     // 1..501); ref 2001-12 -> 2001-10 (fixture shipments end 2001-11-04);
     // ratios computed in DOUBLE (Spark and DuckDB disagree on decimal
-    // division scales) from exact decimal sums.
+    // division scales) from exact decimal sums. The unpartitioned rank()
+    // windows are the spec's per-channel global rankings; their input is
+    // the per-item aggregate (catalog-sized), so the single-partition
+    // window is bounded.
     "tpcds_q49" -> s"""
       SELECT channel AS channel, item AS item,
              return_ratio AS return_ratio, return_rank AS return_rank,

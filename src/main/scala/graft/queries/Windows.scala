@@ -60,6 +60,11 @@ object Windows {
         .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
     },
 
+    // Deliberately global (unpartitioned) window: this query demonstrates
+    // the distribution functions (NTILE/PERCENT_RANK/CUME_DIST) over a
+    // total order, which inherently needs a global sort — the scale-safe
+    // rewrite of an unpartitioned running aggregate is demonstrated by
+    // q48_running_scalable's two-level prefix sum instead.
     "q36_window_dist" -> { (s, dir) =>
       val w = Window.orderBy(col("p_retailprice").asc, col("p_partkey").asc)
       t(s, dir, "part")
@@ -118,10 +123,11 @@ object Windows {
         .agg(sum(col("price")).as("part_total"))
         .withColumn("offset",
           // the window input is the `parts`-row totals relation (bounded
-          // by construction at any data scale); partition by a constant so
-          // WindowExec doesn't warn about an empty partitionSpec
+          // by construction at any data scale); partition by pid % 1
+          // (constant 0, but not foldable — a literal gets optimized back
+          // to an empty spec) so WindowExec doesn't warn
           coalesce(sum(col("part_total")).over(
-            Window.partitionBy(lit(0)).orderBy("pid")
+            Window.partitionBy(pmod(col("pid"), lit(1))).orderBy("pid")
               .rowsBetween(Window.unboundedPreceding, -1)),
             lit(0).cast(DecimalType(24, 4))))
         .select(col("pid").as("opid"), col("offset"))
