@@ -119,18 +119,115 @@ object ScaleGen {
         .cast(TimestampType).as("l_shipdate"))
   }
 
+  // ---- LLM-pipeline tables (events / documents / embeddings) --------------
+  // Same shapes as the driver fixtures: events = 30 days of typed user
+  // events (user count scales, so sessionization state scales); documents =
+  // word-salad text over the fixtures' vocabulary with planted near-dups
+  // (1 in 16 docs is a light mutation of an earlier doc, so LSH candidate
+  // volume scales realistically); embeddings = 64-dim label-clustered
+  // vectors (label centroid + hash noise, so KNN/IVF cells are non-trivial).
+
+  private val epoch24 = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  def events(spark: SparkSession, sf: Double): DataFrame = {
+    val userN = math.max((15000 * sf).toLong, 10L)
+    spark.range(math.max((1000000 * sf).toLong, 100L)).select(
+      col("id").as("event_id"),
+      // fixtures carry ts as TIMESTAMP_NTZ(micros) — match the type exactly
+      timestamp_micros(unix_micros(epoch24) +
+        pmod(h(91, col("id")), lit(30L * 86400000000L)))
+        .cast(TimestampNTZType).as("ts"),
+      pmod(h(92, col("id")), lit(userN)).as("user_id"),
+      pick(eventTypes, 93, col("id")).as("event_type"),
+      (pmod(h(94, col("id")), lit(100000L)).cast(DoubleType) / 100.0).as("value"),
+      concat(lit("{\"k\": "), pmod(h(95, col("id")), lit(100L)).cast(StringType),
+        lit("}")).as("props"))
+  }
+
+  private val docWords = Seq(
+    "spark", "data", "query", "table", "row", "column", "value", "key",
+    "join", "scan", "filter", "group", "sort", "agg", "window", "stream",
+    "batch", "part", "order", "line", "customer", "vector", "hash", "merge",
+    "fast", "slow", "big", "small", "a", "the")
+
+  def documents(spark: SparkSession, sf: Double): DataFrame = {
+    val n = math.max((50000 * sf).toLong, 50L)
+    // Vocabulary must GROW with the corpus: the driver fixtures' 30-word
+    // vocabulary is fine for 5 k docs, but at 500 k docs every document has
+    // nearly the same token distribution, simhash values collapse into few
+    // bands, and LSH candidate generation degenerates toward all-pairs
+    // (measured: d04 4.3 s @50 k docs -> 417 s @500 k on the 30-word vocab).
+    // Real corpora have scale-proportional vocabularies (Heaps' law), so
+    // 70% of word draws get a per-word numeric suffix from a pool that
+    // scales with n; 30% stay bare function words (t01's stopword
+    // heuristics keep working).
+    val variants = math.max(20L, (math.sqrt(n.toDouble) / 3).toLong)
+    // base text: 8..80 words drawn per-position from the vocabulary; docs
+    // with id % 16 == 15 copy doc id-15's words with the first word changed
+    // (a near-duplicate one shingle apart — d03/d04/d05 candidate fodder)
+    val baseId = when(pmod(col("id"), lit(16L)) === 15, col("id") - 15)
+      .otherwise(col("id"))
+    def wordAt(i: Column): Column = {
+      val base = element_at(array(docWords.map(lit): _*),
+        (pmod(h(97, baseId * 131 + i.cast(LongType)), lit(docWords.size)) + 1)
+          .cast(IntegerType))
+      val suffixed = pmod(h(103, baseId * 131 + i.cast(LongType)), lit(10L)) < 7
+      when(suffixed, concat(base, lit("_"),
+        pmod(h(104, baseId * 131 + i.cast(LongType)), lit(variants))
+          .cast(StringType)))
+        .otherwise(base)
+    }
+    val words = transform(
+      sequence(lit(0), pmod(h(96, baseId), lit(73L)).cast(IntegerType) + 7),
+      i => wordAt(i))
+    val mutated = when(pmod(col("id"), lit(16L)) === 15,
+      concat(array(element_at(array(docWords.map(lit): _*),
+        (pmod(h(98, col("id")), lit(docWords.size)) + 1).cast(IntegerType))),
+        slice(words, 2, 1000))).otherwise(words)
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      array_join(mutated, " ").as("text"),
+      when(pmod(h(99, col("id")), lit(20L)) === 0, "de")
+        .when(pmod(h(99, col("id")), lit(20L)) === 1, "fr")
+        .otherwise("en").as("lang"),
+      concat(lit("src"), pmod(h(100, col("id")), lit(20L)).cast(StringType))
+        .as("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  def embeddings(spark: SparkSession, sf: Double): DataFrame = {
+    val n = math.max((20000 * sf).toLong, 50L)
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d => {
+        val label = pmod(col("id"), lit(10L))
+        // label centroid component in [-1, 1] + +-0.35 per-vector noise
+        val cent = (pmod(xxhash64(lit(101), label * 64 + d.cast(LongType)),
+          lit(2000L)).cast(DoubleType) / 1000.0) - 1.0
+        val noise = (pmod(xxhash64(lit(102), col("id") * 64 + d.cast(LongType)),
+          lit(700L)).cast(DoubleType) / 1000.0) - 0.35
+        (cent + noise).cast(FloatType)
+      }).as("embedding"),
+      pmod(col("id"), lit(10L)).cast(IntegerType).as("label"))
+  }
+
   val tables: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings")
 
   def gen(spark: SparkSession, name: String, sf: Double): DataFrame =
     name match {
-      case "region"   => region(spark)
-      case "nation"   => nation(spark)
-      case "customer" => customer(spark, sf)
-      case "supplier" => supplier(spark, sf)
-      case "part"     => part(spark, sf)
-      case "orders"   => orders(spark, sf)
-      case "lineitem" => lineitem(spark, sf)
+      case "region"     => region(spark)
+      case "nation"     => nation(spark)
+      case "customer"   => customer(spark, sf)
+      case "supplier"   => supplier(spark, sf)
+      case "part"       => part(spark, sf)
+      case "orders"     => orders(spark, sf)
+      case "lineitem"   => lineitem(spark, sf)
+      case "events"     => events(spark, sf)
+      case "documents"  => documents(spark, sf)
+      case "embeddings" => embeddings(spark, sf)
     }
 
   def main(args: Array[String]): Unit = {
@@ -146,9 +243,10 @@ object ScaleGen {
         // parallelism loss vs a row-group-parallel reader. A cluster
         // writer produces many files per table for the same reason.
         val parts = t match {
-          case "lineitem" | "orders" =>
+          case "lineitem" | "orders" | "events" =>
             math.max(Engine.defaultCpus, (sf * 8).toInt)
-          case "customer" | "part" => math.max(4, sf.toInt)
+          case "customer" | "part" | "documents" | "embeddings" =>
+            math.max(4, sf.toInt)
           case _ => 1
         }
         df.repartition(parts)
