@@ -36,6 +36,7 @@ object Bench {
     "k02_bucketed_join",   // shuffle-free co-located join
     "k03_bucketed_q21",    // TPC-H q21 on bucketed layout (vs tpch_q21)
     "k05_bucketed_q04",    // TPC-H q04 on staged layout (vs tpch_q04)
+    "k06_staged_q16",      // TPC-H q16 on staged partsupp (vs tpch_q16)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery

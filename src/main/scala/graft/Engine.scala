@@ -49,6 +49,35 @@ object Engine {
       // wrong plan shape to scale up. AQE still broadcasts runtime-small
       // intermediates.
       .config("spark.sql.autoBroadcastJoinThreshold", (8L << 20).toString)
+      // Runtime Bloom-filter join reduction (the reference's scan-filter
+      // story — bloom-filtered row-group pruning — expressed at cluster
+      // scale): a selective filter on one join side builds a bloom over
+      // the join keys and prunes the OTHER side before its shuffle.
+      // Spark's default application-side threshold (10 GB) means it never
+      // fires below cluster scale; 512 MB aims it at exactly the scans
+      // where the shuffle is the bottleneck (the sf10 fact table; on a
+      // cluster, anything over ~4 row groups/executor) while keeping the
+      // filter OFF when the pruned side is itself small — at 128 MB the
+      // filter also fired "backwards" (built over filtered lineitem to
+      // prune orders/part), regressing q12/q14 ~25%. The creation-side
+      // ceiling is raised 10 MB -> 256 MB: the build is one extra agg
+      // over a side the join scans anyway. Measured at sf10, adjacent
+      // suite runs: q03 -23%, q04 -17%, q05 -16%, q07 -18%, q10 -11%,
+      // q17 -24%, 22-query total 48.8 s vs 53.4 s. Thresholds are
+      // sandbox-sized; a 100 TB deploy scales both with executor memory
+      // (the trade is one agg pass vs a fact-shuffle percentage).
+      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        (512L << 20).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        (256L << 20).toString)
+      // Filter sizing stays at Spark's default (1M items / 8.4M bits =
+      // 1 MB): measured at sf10 q05 (2.3M filtered orderkeys, FPP ~28%),
+      // the 1 MB filter beats FPP-optimal 4 MB sizing (3.01 s vs 3.67 s)
+      // and a k=1 same-memory variant (3.20 s) — the probe loop is
+      // L2-resident at 1 MB and the residual false-pass rows are cheap
+      // SMJ skips. GRAFT_BLOOM=false turns the rewrite off for A/B runs.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        sys.env.getOrElse("GRAFT_BLOOM", "true"))
       // Sort-merge stays the default join. Shuffled-hash was measured both
       // ways at sf10: -30% on the dim-heavy shapes (q03 3.3->2.4 s, q05
       // 4.7->3.3 s) but +10-30% on the 4+-way fact joins (q07/q08/q10/q13,
@@ -101,14 +130,19 @@ object Engine {
       } else if (f.isDirectory) {
         // directory outputs (multi-file tables, e.g. ScaleGen's): validate
         // by the children's aggregate (size, mtime) — without this, every
-        // query re-reads footers for every table (~70 ms/table at sf1)
+        // query re-reads footers for every table (~70 ms/table at sf1).
+        // Flat (all-regular-file) directories only: a nested/partitioned
+        // layout can be rewritten in place without changing the
+        // subdirectories' own length/mtime, which would serve a stale schema.
         val parts = f.listFiles()
-        val sig = parts.foldLeft(0L)((a, p) =>
-          a ^ java.lang.Long.rotateLeft(p.length() + p.lastModified(), 17))
-        val key = (path, f.lastModified(), sig)
-        val schema = schemaCache.computeIfAbsent(key,
-          _ => spark.read.parquet(path).schema)
-        spark.read.schema(schema).parquet(path)
+        if (parts.forall(_.isFile)) {
+          val sig = parts.foldLeft(0L)((a, p) =>
+            a ^ java.lang.Long.rotateLeft(p.length() + p.lastModified(), 17))
+          val key = (path, f.lastModified(), sig)
+          val schema = schemaCache.computeIfAbsent(key,
+            _ => spark.read.parquet(path).schema)
+          spark.read.schema(schema).parquet(path)
+        } else spark.read.parquet(path)
       } else spark.read.parquet(path)
     df.createOrReplaceTempView(name)
     df

@@ -78,6 +78,35 @@ object DecimalKernels {
     if (l > -bound && l < bound) java.lang.Long.valueOf(l) else null
   }
 
+  /** Primitive-return variant of `toUnscaledChecked` for generated code:
+    * out-of-range / NaN / Infinity → `Long.MinValue` sentinel instead of a
+    * boxed null. The sentinel is unreachable as a real result — valid
+    * unscaled values are bounded by ±10^18 (< 2^63) — so the caller can
+    * branch on it without ambiguity, keeping the default non-ANSI hot path
+    * allocation-free (a per-row java.lang.Long boxing measured 1.7x on the
+    * sf0.1 decimal-sum suite). */
+  final val OVERFLOW_SENTINEL: Long = java.lang.Long.MIN_VALUE
+  def toUnscaledSentinel(d: Double, precision: Int, scale: Int): Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return OVERFLOW_SENTINEL
+    val bound = POW10L(math.min(precision, 18))
+    val y = d * POWS(scale)
+    val ay = math.abs(y)
+    if (ay < 1e15) {
+      val r = Math.rint(y)
+      val fromHalf = math.abs(math.abs(y - r) - 0.5)
+      if (fromHalf > math.max(1e-4, 4e-16 * ay)) {
+        val l = r.toLong
+        return if (l > -bound && l < bound) l else OVERFLOW_SENTINEL
+      }
+    }
+    val u = java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .unscaledValue()
+    if (u.bitLength > 63) return OVERFLOW_SENTINEL
+    val l = u.longValue()
+    if (l > -bound && l < bound) l else OVERFLOW_SENTINEL
+  }
+
   /** ANSI-mode variant: out-of-range throws (matching the ANSI decimal
     * cast's NUMERIC_VALUE_OUT_OF_RANGE) instead of nulling. Primitive
     * return — the hot path must not box (a per-row java.lang.Long
@@ -141,11 +170,15 @@ case class ToUnscaledLong(child: Expression, precision: Int, scale: Int,
       if (ansi)
         s"${ev.value} = graft.functions.DecimalKernels.toUnscaledAnsi($c, $precision, $scale);"
       else {
+        // Primitive sentinel, not a boxed nullable Long: Long.MIN_VALUE is
+        // unreachable as a valid unscaled value (bounded by ±10^18), and a
+        // per-row java.lang.Long allocation here regressed every rewritten
+        // decimal-sum bench query (q03 0.24→0.40 s at sf0.1).
         val tmp = ctx.freshName("unscaled")
-        s"""java.lang.Long $tmp =
-           |  graft.functions.DecimalKernels.toUnscaledChecked($c, $precision, $scale);
-           |if ($tmp == null) { ${ev.isNull} = true; }
-           |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+        s"""long $tmp =
+           |  graft.functions.DecimalKernels.toUnscaledSentinel($c, $precision, $scale);
+           |if ($tmp == java.lang.Long.MIN_VALUE) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp; }""".stripMargin
       })
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -265,8 +298,23 @@ object DecimalSumRewrite extends Rule[LogicalPlan] {
   private val maxScale = 12
 
   /** ANSI eval context for every arithmetic node the rewrite constructs:
-    * i64 overflow must throw, never wrap — the session default is non-ANSI. */
+    * i64 overflow must throw, never wrap, whatever the session mode.
+    * (Measured at sf0.1: ANSI MathUtils.*Exact arithmetic benches within
+    * noise of plain ops here — Math.multiplyExact is a JIT intrinsic and
+    * the overflow branch never trains hot.) */
   private val ansi = NumericEvalContext(EvalMode.ANSI, allowDecimalPrecisionLoss = true)
+
+  /** An unscaled-long rewrite of a decimal subtree: the long expression,
+    * its decimal scale, an upper bound on the unscaled value's decimal
+    * digits (from declared precisions), and whether any leaf came through
+    * the bare-column [[UnscaledValue]] fallback. The digit bound gates
+    * Multiply rewrites over fallback leaves: a bare decimal(18, s) column
+    * really can hold 10^18, so an i64 product over two of them could throw
+    * (forced-ANSI) on values vanilla Spark sums fine — whereas the
+    * Cast-from-double leaves carry precisions this repo's queries declare
+    * tightly, where the ANSI throw is the intended loud backstop. */
+  private case class Unscaled(expr: Expression, scale: Int, digits: Int,
+      hasFallback: Boolean)
 
   /** decimal expr → equivalent unscaled-long expr + its scale. Structural
     * decompositions first (they avoid materializing intermediate decimals
@@ -275,33 +323,47 @@ object DecimalSumRewrite extends Rule[LogicalPlan] {
     * a decimal-typed function result — falls back to [[UnscaledValue]],
     * which is exact for precision ≤ 18 (the value is stored as a compact
     * long) and keeps the aggregation itself on the i64 fast path. */
-  private def toUnscaledExpr(e: Expression): Option[(Expression, Int)] =
+  private def toUnscaledExpr(e: Expression): Option[Unscaled] =
     structural(e).orElse(e.dataType match {
       case dt: DecimalType if dt.precision <= 18 && dt.scale <= 6 &&
           dt.scale >= 0 && e.deterministic =>
-        Some((UnscaledValue(e), dt.scale))
+        Some(Unscaled(UnscaledValue(e), dt.scale, dt.precision, hasFallback = true))
       case _ => None
     })
 
-  private def structural(e: Expression): Option[(Expression, Int)] = e match {
+  private def structural(e: Expression): Option[Unscaled] = e match {
     case Cast(x, dt: DecimalType, _, mode)
         if x.dataType == DoubleType && dt.precision <= 18 && dt.scale <= 6 =>
-      Some((ToUnscaledLong(x, dt.precision, dt.scale,
-        ansi = mode == EvalMode.ANSI), dt.scale))
+      Some(Unscaled(ToUnscaledLong(x, dt.precision, dt.scale,
+        ansi = mode == EvalMode.ANSI), dt.scale, dt.precision, hasFallback = false))
     case Literal(d: Decimal, dt: DecimalType) if dt.precision <= 18 =>
-      Some((Literal(d.toUnscaledLong), dt.scale))
+      Some(Unscaled(Literal(d.toUnscaledLong), dt.scale,
+        math.max(1, math.abs(d.toUnscaledLong).toString.length), hasFallback = false))
     case Multiply(a, b, _) =>
-      for { (ua, sa) <- toUnscaledExpr(a); (ub, sb) <- toUnscaledExpr(b)
-            if sa + sb <= maxScale }
-        yield (Multiply(ua, ub, ansi), sa + sb)
+      for { ua <- toUnscaledExpr(a); ub <- toUnscaledExpr(b)
+            if ua.scale + ub.scale <= maxScale &&
+              // product of fallback (bare-column) leaves must provably fit
+              // i64 — their declared precision is all we know about them
+              (!(ua.hasFallback || ub.hasFallback) || ua.digits + ub.digits <= 18) }
+        yield Unscaled(Multiply(ua.expr, ub.expr, ansi), ua.scale + ub.scale,
+          ua.digits + ub.digits, ua.hasFallback || ub.hasFallback)
     case Add(a, b, _) =>
-      for { (ua, sa) <- toUnscaledExpr(a); (ub, sb) <- toUnscaledExpr(b) }
-        yield (Add(align(ua, sa, sa max sb), align(ub, sb, sa max sb), ansi), sa max sb)
+      for { ua <- toUnscaledExpr(a); ub <- toUnscaledExpr(b) } yield {
+        val s = ua.scale max ub.scale
+        Unscaled(Add(align(ua.expr, ua.scale, s), align(ub.expr, ub.scale, s), ansi), s,
+          math.max(ua.digits + (s - ua.scale), ub.digits + (s - ub.scale)) + 1,
+          ua.hasFallback || ub.hasFallback)
+      }
     case Subtract(a, b, _) =>
-      for { (ua, sa) <- toUnscaledExpr(a); (ub, sb) <- toUnscaledExpr(b) }
-        yield (Subtract(align(ua, sa, sa max sb), align(ub, sb, sa max sb), ansi), sa max sb)
+      for { ua <- toUnscaledExpr(a); ub <- toUnscaledExpr(b) } yield {
+        val s = ua.scale max ub.scale
+        Unscaled(Subtract(align(ua.expr, ua.scale, s), align(ub.expr, ub.scale, s), ansi), s,
+          math.max(ua.digits + (s - ua.scale), ub.digits + (s - ub.scale)) + 1,
+          ua.hasFallback || ub.hasFallback)
+      }
     case UnaryMinus(a, _) =>
-      toUnscaledExpr(a).map { case (ua, sa) => (UnaryMinus(ua, failOnError = true), sa) }
+      toUnscaledExpr(a).map(ua =>
+        ua.copy(expr = UnaryMinus(ua.expr, failOnError = true)))
     // the TPC-DS shape: SUM(CASE WHEN <day> THEN price END) — convert every
     // branch value (missing ELSE = null, which the aggregate skips)
     case cw: CaseWhen =>
@@ -309,15 +371,17 @@ object DecimalSumRewrite extends Rule[LogicalPlan] {
       val els = cw.elseValue.map(toUnscaledExpr)
       if (branches.exists(_.isEmpty) || els.exists(_.isEmpty)) None
       else {
-        val scales = (branches.flatten ++ els.flatten).map(_._2)
-        val s = if (scales.isEmpty) 0 else scales.max
+        val all = branches.flatten ++ els.flatten
+        val s = if (all.isEmpty) 0 else all.map(_.scale).max
         val newBranches = cw.branches.map(_._1).zip(
-          branches.flatten.map { case (u, su) => align(u, su, s) })
-        val newElse = els.flatten.map { case (u, su) => align(u, su, s) }
-        Some((CaseWhen(newBranches, newElse), s))
+          branches.flatten.map(u => align(u.expr, u.scale, s)))
+        val newElse = els.flatten.map(u => align(u.expr, u.scale, s))
+        val digits = if (all.isEmpty) 1 else all.map(u => u.digits + (s - u.scale)).max
+        Some(Unscaled(CaseWhen(newBranches, newElse), s, digits,
+          all.exists(_.hasFallback)))
       }
     case Literal(null, _: DecimalType) =>
-      Some((Literal(null, LongType), 0))
+      Some(Unscaled(Literal(null, LongType), 0, 1, hasFallback = false))
     case _ => None
   }
 
@@ -329,8 +393,8 @@ object DecimalSumRewrite extends Rule[LogicalPlan] {
   private def rewriteSum(e: Expression, outScale: Int): Option[Expression] = e match {
     case ae @ AggregateExpression(Sum(inner, _), _, false, None, _)
         if inner.dataType.isInstanceOf[DecimalType] =>
-      toUnscaledExpr(inner).map { case (u, s) =>
-        ae.copy(aggregateFunction = SumUnscaled128(u, s, outScale))
+      toUnscaledExpr(inner).map { u =>
+        ae.copy(aggregateFunction = SumUnscaled128(u.expr, u.scale, outScale))
       }
     case _ => None
   }

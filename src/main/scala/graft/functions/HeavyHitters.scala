@@ -70,11 +70,17 @@ class SpaceSavingSummary(val capacity: Int) extends Serializable {
     * contributing its floor to BOTH count and err (keeps the overcount
     * invariant), then trim back to capacity by count. */
   def merge(other: SpaceSavingSummary): SpaceSavingSummary = {
-    hasEvicted ||= other.hasEvicted
-    if (other.counts.isEmpty) return this
-    if (counts.isEmpty) { counts.putAll(other.counts); return this }
+    if (other.counts.isEmpty) { hasEvicted ||= other.hasEvicted; return this }
+    if (counts.isEmpty) {
+      counts.putAll(other.counts); hasEvicted ||= other.hasEvicted; return this
+    }
+    // floors from each side's PRE-merge eviction state: an exact side
+    // (never evicted) contributes floor 0 even when the other side has
+    // evicted — folding other.hasEvicted in first would inflate fa to this
+    // side's min count and loosen keys present only in `other`
     val fa = absentFloor
     val fb = other.absentFloor
+    hasEvicted ||= other.hasEvicted
     val merged = new java.util.HashMap[Long, (Long, Long)]()
     val ia = counts.entrySet().iterator()
     while (ia.hasNext) {

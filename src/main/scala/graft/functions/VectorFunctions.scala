@@ -416,7 +416,17 @@ case class SortedFingerprint(child: Expression)
 
 /** SQL registration so queries can use these via `expr("cosine_sim(a,b)")`. */
 object GraftFunctions {
+  // Sessions already registered (weak keys: sessions are GC-able). Every
+  // query entry point calls register defensively; re-registering in the
+  // same session is a no-op semantically but logs a "replaced a previously
+  // registered function" warning per function per query — dozens of lines
+  // in a bench/verify tail.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     // SQL callers may pass array<double>/array<decimal> literals; the
     // kernels read float arrays, so coerce at the boundary (no-op when the

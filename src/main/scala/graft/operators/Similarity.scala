@@ -145,7 +145,7 @@ object Similarity {
       val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
       // replicated assignment: every vector lands in its `nassign` nearest
       // cells — a narrow map stage (centroids broadcast), same shape as
-      // the single-assignment transform, 2x the index rows
+      // the single-assignment transform, `nassign`x (= 3x) the index rows
       val assigned = e.crossJoin(broadcast(centDf))
         .select(col("vec_id"), col("embedding"), col("cell"),
           expr("l2_distance(embedding, centroid)").as("cdist"))

@@ -124,6 +124,43 @@ object Skew {
     (tli, tor)
   }
 
+  /** Stage the synthesized `partsupp` reference table (a real deployment
+    * stores it; only the reduced driver fixtures lack it) bucketed+sorted
+    * by ps_partkey, alongside `part` bucketed by p_partkey. tpch_q16
+    * re-expands partsupp per query via a part × 4 cross join with a
+    * count(*) scalar subquery — at sf10 that recompute dominates the query.
+    * On the staged layout the part⋈partsupp join is a co-located merge:
+    * zero exchange of either table. */
+  def writeStagedPartsupp(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      nBuckets: Int): (String, String) = {
+    val tag = Integer.toHexString(dir.hashCode).take(8)
+    val (tps, tpt) = (s"graft_bkt_partsupp_$tag", s"graft_bkt_part_$tag")
+    if (!spark.catalog.tableExists(tps)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq(tps, tpt).foreach { tbl =>
+        val f = new java.io.File(wh, tbl)
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+      }
+      t(spark, dir, "part")
+      t(spark, dir, "supplier")
+      spark.sql(graft.queries.Tpch.partsuppSelect)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "ps_partkey").sortBy("ps_partkey")
+        .saveAsTable(tps)
+      t(spark, dir, "part")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "p_partkey").sortBy("p_partkey")
+        .saveAsTable(tpt)
+    }
+    (tps, tpt)
+  }
+
   val bucketedQueries: Map[String, Q] = Map(
     // Join of two tables bucketed on the join key: zero Exchange nodes
     // (asserted by spec) — at scale the only cost is the local merge.
@@ -209,6 +246,37 @@ object Skew {
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
         .orderBy(desc("o_totalprice"), asc("o_orderdate"), asc("o_orderkey"))
         .limit(100)
+    },
+
+    // TPC-H q16 on the staged layout: partsupp is a stored bucketed table
+    // (not a per-query cross-join expansion), part is co-bucketed on the
+    // join key — the part⋈partsupp join is a zero-exchange merge; only the
+    // small filtered result shuffles for the distinct-count group-by, and
+    // the complaints suppliers broadcast for the NOT IN anti join. Same
+    // values as tpch_q16 (shared oracle).
+    "k06_staged_q16" -> { (s, dir) =>
+      val (tps, tpt) = writeStagedPartsupp(s, dir, 8)
+      // supplier_x's synthesized s_comment, filtered exactly like the query
+      val complaints = t(s, dir, "supplier")
+        .withColumn("s_comment",
+          when(col("s_suppkey") % 13 === 0,
+            lit("slow Customer service Complaints logged"))
+            .otherwise(lit("dependable supplier")))
+        .filter(col("s_comment").like("%Customer%Complaints%"))
+        .select(col("s_suppkey"))
+      val pt = s.table(tpt)
+        .filter(col("p_brand") =!= "Brand#45" &&
+          !col("p_type").like("MEDIUM%") &&
+          col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      s.table(tps)
+        .join(broadcast(complaints),
+          col("ps_suppkey") === col("s_suppkey"), "leftanti")
+        .join(pt.hint("merge"), col("p_partkey") === col("ps_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+          asc("p_size"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +296,6 @@ object Skew {
     // semantics, so the oracle is literally theirs
     "k03_bucketed_q21" -> graft.queries.Tpch.oracles("tpch_q21"),
     "k04_bucketed_q18" -> graft.queries.Tpch.oracles("tpch_q18"),
-    "k05_bucketed_q04" -> graft.queries.Tpch.oracles("tpch_q04"))
+    "k05_bucketed_q04" -> graft.queries.Tpch.oracles("tpch_q04"),
+    "k06_staged_q16" -> graft.queries.Tpch.oracles("tpch_q16"))
 }

@@ -100,6 +100,14 @@ object Tpch {
                WHEN 2 THEN 'NONE' ELSE 'TAKE BACK RETURN' END AS l_shipinstruct
       FROM lineitem)""")
 
+  /** The partsupp schema-completion SQL as a standalone SELECT, for staging
+    * the synthesized table once at ingest (operators/Skew.writeStagedTpch)
+    * instead of re-expanding the cross join inside every query. */
+  private[graft] val partsuppSelect: String = {
+    val cte = cteDefs.toMap.apply("partsupp")
+    s"WITH $cte SELECT * FROM partsupp"
+  }
+
   /** Prepend the schema CTEs the query references; merges with a query's
     * own WITH clause. */
   private def wrap(q: String): String = {

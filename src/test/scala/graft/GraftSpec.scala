@@ -203,6 +203,67 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](plain2.sql(sql2).collect())
   }
 
+  test("decimal fast path: sentinel kernel agrees with the boxed checked kernel") {
+    // the codegen path uses the primitive Long.MIN_VALUE-sentinel variant;
+    // it must null/keep exactly the same values as toUnscaledChecked
+    val k = graft.functions.DecimalKernels
+    val rnd = new scala.util.Random(11)
+    val probes = Seq(1e9, -1e9, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 99999999.9999, 99999999.99996, 0.0, -0.00005,
+      1.5, 123456.789) ++ (1 to 500).map(_ => (rnd.nextDouble() - 0.5) * 2e9)
+    for (d <- probes; (p, s) <- Seq((12, 4), (18, 6), (6, 2))) {
+      val boxed = k.toUnscaledChecked(d, p, s)
+      val sent = k.toUnscaledSentinel(d, p, s)
+      if (boxed == null) assert(sent == Long.MinValue, s"d=$d p=$p s=$s")
+      else assert(sent == boxed.longValue(), s"d=$d p=$p s=$s boxed=$boxed sent=$sent")
+    }
+  }
+
+  test("decimal fast path: bare-column products only rewrite when provably in i64") {
+    // bare decimal(18,6) columns can hold 10^18 unscaled; an i64 product of
+    // two of them could throw under the rewrite's forced-ANSI Multiply on
+    // values vanilla Spark sums fine — so the Multiply rewrite must skip
+    // them, while the direct sum (i64-safe) still rewrites
+    Engine.table(spark, dir, "lineitem") // installs DecimalSumRewrite
+    spark.range(10)
+      .selectExpr("CAST(id AS DECIMAL(18,6)) a", "CAST(id AS DECIMAL(18,6)) b",
+        "CAST(id AS DECIMAL(6,4)) c", "CAST(id AS DECIMAL(8,2)) d")
+      .createOrReplaceTempView("bare_decimals")
+    def plan(q: String) = spark.sql(q).queryExecution.optimizedPlan.toString
+    val wide = "SELECT CAST(ROUND(SUM(a * b), 4) AS DOUBLE) s FROM bare_decimals"
+    assert(!plan(wide).contains("sumunscaled128"),
+      "18-digit bare-column product must not be rewritten into i64")
+    val direct = "SELECT CAST(ROUND(SUM(a), 4) AS DOUBLE) s FROM bare_decimals"
+    assert(plan(direct).contains("sumunscaled128"),
+      "direct bare-column sum should still take the i64 fast path")
+    // narrow bare columns whose product bound fits 18 digits still rewrite
+    val narrow = "SELECT CAST(ROUND(SUM(c * d), 4) AS DOUBLE) s FROM bare_decimals"
+    assert(plan(narrow).contains("sumunscaled128"),
+      "6+8-digit bare-column product fits i64 and should rewrite")
+  }
+
+  test("topk sketch: exact side merged with an evicted side keeps its floor at 0") {
+    // `this` never evicted (exact over its substream) — keys present only in
+    // `other` must NOT be inflated by this side's min count, regardless of
+    // other.hasEvicted (the flag fold must not run before the floor reads)
+    val a = new graft.functions.SpaceSavingSummary(4)
+    Seq(1L -> 9L, 2L -> 7L).foreach { case (k, n) =>
+      (1L to n).foreach(_ => a.add(k, 1L)) }
+    val b = new graft.functions.SpaceSavingSummary(2)
+    Seq(10L -> 5L, 11L -> 4L, 12L -> 3L).foreach { case (k, n) =>
+      (1L to n).foreach(_ => b.add(k, 1L)) }
+    assert(!a.hasEvicted && b.hasEvicted)
+    // b after its evictions: {10:(5,0), 12:(7,4)} → b's floor is 5
+    val m = a.merge(b)
+    val got = m.topK(4).map { case (k, c, _) => k -> c }.toMap
+    // a-side keys gain b's floor (b evicted, min count 5); b-only keys keep
+    // their b-side counts exactly — fa must stay 0 (a never evicted)
+    assert(got(1L) == 9L + 5L && got(2L) == 7L + 5L, s"got $got")
+    assert(got(10L) == 5L && got(12L) == 7L,
+      s"b-only keys inflated (fa leaked into floor): $got")
+    assert(m.hasEvicted)
+  }
+
   test("topk sketch: merging exact at-capacity partials stays exact") {
     // two partials each holding exactly `capacity` distinct keys, never
     // evicting — the merged summary must keep err 0 and exact counts
