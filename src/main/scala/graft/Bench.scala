@@ -35,8 +35,10 @@ object Bench {
     "cb05_daily_histogram", // time histogram + distinct
     "k02_bucketed_join",   // shuffle-free co-located join
     "k03_bucketed_q21",    // TPC-H q21 on bucketed layout (vs tpch_q21)
+    "k04_bucketed_q18",    // TPC-H q18 on bucketed layout (vs tpch_q18)
     "k05_bucketed_q04",    // TPC-H q04 on staged layout (vs tpch_q04)
     "k06_staged_q16",      // TPC-H q16 on staged partsupp (vs tpch_q16)
+    "k07_bucketed_q05",    // TPC-H q05 on bucketed layout (vs tpch_q05)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery
@@ -62,7 +64,7 @@ object Bench {
     // a one-time cost in production, not part of the query); skipped when
     // the selection has no bucketed-layout query (e.g. sf1+ scaling runs)
     if (selected.exists(_.startsWith("k0")))
-      graft.operators.Skew.writeBucketed(spark, sfDir, 8)
+      graft.operators.Skew.writeBucketed(spark, sfDir, graft.operators.Skew.defaultBuckets)
 
     // Suite isolation (round-2 verdict: suite-position contamination made
     // tpch_q01 read 4x slower than its identical DataFrame twin; round-5:

@@ -19,6 +19,15 @@ import org.apache.spark.sql.types._
   */
 object Skew {
 
+  /** Bucket count for the staged layouts: one bucket per local core. Too
+    * few buckets caps every downstream bucket-local stage at that task
+    * count — 8 buckets left k03/k04's CPU-bound per-order stages on 8 of
+    * 32 cores at sf10 (the same starvation the AQE parallelism-first fix
+    * addressed for shuffles). A cluster deployment picks
+    * rows-per-bucket-sized counts (thousands); cores is the local-mode
+    * equivalent.  Bucket count is part of the staged table identity. */
+  def defaultBuckets: Int = graft.Engine.defaultCpus
+
   def saltedJoin(
       big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
       nSalts: Int): DataFrame = {
@@ -52,7 +61,7 @@ object Skew {
   def writeBucketed(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       nBuckets: Int): (String, String) = {
-    val tag = Integer.toHexString(dir.hashCode).take(8)
+    val tag = Integer.toHexString(dir.hashCode).take(8) + "_" + nBuckets
     val (to, tc) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
     if (!spark.catalog.tableExists(to)) {
       // the in-memory catalog is per-JVM but the warehouse dir persists:
@@ -92,7 +101,7 @@ object Skew {
   def writeBucketedTpch(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       nBuckets: Int): (String, String) = {
-    val tag = Integer.toHexString(dir.hashCode).take(8)
+    val tag = Integer.toHexString(dir.hashCode).take(8) + "_" + nBuckets
     val (tli, tor) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders2_$tag")
     if (!spark.catalog.tableExists(tli)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
@@ -134,7 +143,7 @@ object Skew {
   def writeStagedPartsupp(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       nBuckets: Int): (String, String) = {
-    val tag = Integer.toHexString(dir.hashCode).take(8)
+    val tag = Integer.toHexString(dir.hashCode).take(8) + "_" + nBuckets
     val (tps, tpt) = (s"graft_bkt_partsupp_$tag", s"graft_bkt_part_$tag")
     if (!spark.catalog.tableExists(tps)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
@@ -165,7 +174,7 @@ object Skew {
     // Join of two tables bucketed on the join key: zero Exchange nodes
     // (asserted by spec) — at scale the only cost is the local merge.
     "k02_bucketed_join" -> { (s, dir) =>
-      val (to, tc) = writeBucketed(s, dir, 8)
+      val (to, tc) = writeBucketed(s, dir, defaultBuckets)
       s.table(to).hint("merge")
         .join(s.table(tc).hint("merge"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
@@ -180,7 +189,7 @@ object Skew {
     // shuffled; only the tiny supplier⋈nation dim broadcasts. Same values
     // as tpch_q21 (that query's oracle IS this oracle).
     "k03_bucketed_q21" -> { (s, dir) =>
-      val (tli, tor) = writeBucketedTpch(s, dir, 8)
+      val (tli, tor) = writeBucketedTpch(s, dir, defaultBuckets)
       val li = s.table(tli)
       val late = li.filter(col("l_receiptdate") > col("l_commitdate"))
       val l1 = late.select(col("l_orderkey"), col("l_suppkey"))
@@ -215,7 +224,7 @@ object Skew {
     // EXISTS semi-join to orders a co-located merge on the bucket key —
     // zero fact exchange. Same values as tpch_q04 (shared oracle).
     "k05_bucketed_q04" -> { (s, dir) =>
-      val (tli, tor) = writeBucketedTpch(s, dir, 8)
+      val (tli, tor) = writeBucketedTpch(s, dir, defaultBuckets)
       val late = s.table(tli)
         .filter(col("l_commitdate") < col("l_receiptdate"))
         .select(col("l_orderkey"))
@@ -233,7 +242,7 @@ object Skew {
     // on the bucket key (no exchange), and its join back to orders is a
     // co-located merge; only the customer join shuffles (its own key).
     "k04_bucketed_q18" -> { (s, dir) =>
-      val (tli, tor) = writeBucketedTpch(s, dir, 8)
+      val (tli, tor) = writeBucketedTpch(s, dir, defaultBuckets)
       val sums = s.table(tli)
         .groupBy(col("l_orderkey"))
         .agg(sumd(drate(col("l_quantity"))).as("sum_qty"))
@@ -255,7 +264,7 @@ object Skew {
     // the complaints suppliers broadcast for the NOT IN anti join. Same
     // values as tpch_q16 (shared oracle).
     "k06_staged_q16" -> { (s, dir) =>
-      val (tps, tpt) = writeStagedPartsupp(s, dir, 8)
+      val (tps, tpt) = writeStagedPartsupp(s, dir, defaultBuckets)
       // supplier_x's synthesized s_comment, filtered exactly like the query
       val complaints = t(s, dir, "supplier")
         .withColumn("s_comment",
@@ -277,6 +286,43 @@ object Skew {
         .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
         .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
           asc("p_size"))
+    },
+
+    // TPC-H q05 on the bucketed layout. On raw fixtures q05 is the worst
+    // scaler in the suite (sf10→sf30 marginal 18x the proxy): BOTH facts
+    // shuffle on l_orderkey for the SMJ while only ~1/7 of orders survive
+    // the date filter. Here the orders⋈lineitem join is a co-located
+    // merge (zero fact exchange); supplier⋈nation⋈region broadcasts; the
+    // single remaining shuffle is the already-joined row stream against
+    // customer on its own key. Same values as tpch_q05 (shared oracle).
+    "k07_bucketed_q05" -> { (s, dir) =>
+      val (tli, tor) = writeBucketedTpch(s, dir, defaultBuckets)
+      val nr = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+      val supNR = t(s, dir, "supplier")
+        .join(nr, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ordersF = s.table(tor)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      s.table(tli)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ordersF.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNR), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("c_custkey") === col("o_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        // the decimal conversion happens INSIDE the aggregate (like the SQL
+        // text), after the joins have dropped 6/7 of the rows — computing
+        // it at the scan paid 60M decimal multiplies and shuffled a
+        // 16-byte decimal instead of two 8-byte doubles
+        .agg(sumd(dmoney(col("l_extendedprice")) *
+          (one - drate(col("l_discount")))).as("revenue"))
+        .orderBy(desc("revenue"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -297,5 +343,6 @@ object Skew {
     "k03_bucketed_q21" -> graft.queries.Tpch.oracles("tpch_q21"),
     "k04_bucketed_q18" -> graft.queries.Tpch.oracles("tpch_q18"),
     "k05_bucketed_q04" -> graft.queries.Tpch.oracles("tpch_q04"),
-    "k06_staged_q16" -> graft.queries.Tpch.oracles("tpch_q16"))
+    "k06_staged_q16" -> graft.queries.Tpch.oracles("tpch_q16"),
+    "k07_bucketed_q05" -> graft.queries.Tpch.oracles("tpch_q05"))
 }
