@@ -336,6 +336,20 @@ object DecimalSumRewrite extends Rule[LogicalPlan] {
         if x.dataType == DoubleType && dt.precision <= 18 && dt.scale <= 6 =>
       Some(Unscaled(ToUnscaledLong(x, dt.precision, dt.scale,
         ansi = mode == EvalMode.ANSI), dt.scale, dt.precision, hasFallback = false))
+    // the integral promote Spark inserts for decimal*int (e.g. q11's
+    // supplycost * ps_availqty): the unscaled value IS the integer, and
+    // the digit bound is a HARD type bound (int < 10^10), not a declared
+    // precision — so this is a trusted leaf, not a fallback
+    case Cast(x, dt: DecimalType, _, _)
+        if dt.scale == 0 && dt.precision <= 18 &&
+          (x.dataType == IntegerType || x.dataType == ShortType ||
+            x.dataType == ByteType) =>
+      val digits = x.dataType match {
+        case ByteType => 3
+        case ShortType => 5
+        case _ => 10
+      }
+      Some(Unscaled(Cast(x, LongType), 0, digits, hasFallback = false))
     case Literal(d: Decimal, dt: DecimalType) if dt.precision <= 18 =>
       Some(Unscaled(Literal(d.toUnscaledLong), dt.scale,
         math.max(1, math.abs(d.toUnscaledLong).toString.length), hasFallback = false))

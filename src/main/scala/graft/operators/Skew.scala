@@ -323,6 +323,57 @@ object Skew {
         .agg(sumd(dmoney(col("l_extendedprice")) *
           (one - drate(col("l_discount")))).as("revenue"))
         .orderBy(desc("revenue"))
+    },
+
+    // TPC-H q11 on the staged partsupp: the per-query synthesis cross-join
+    // disappears (the table is stored), supplier⋈nation broadcasts, and
+    // both the HAVING scalar subquery and the main aggregation scan the
+    // same bucketed table. Same values as tpch_q11 (shared oracle).
+    "k08_staged_q11" -> { (s, dir) =>
+      val (tps, _) = writeStagedPartsupp(s, dir, defaultBuckets)
+      val sup = t(s, dir, "supplier")
+        .join(t(s, dir, "nation").filter(col("n_name") === "NATION_7"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      def joined = s.table(tps)
+        .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      val threshold = joined
+        .agg((sumd(dmoney(col("ps_supplycost")) * col("ps_availqty")) *
+          lit(0.001)).as("t"))
+      joined
+        .groupBy(col("ps_partkey"))
+        .agg(sumd(dmoney(col("ps_supplycost")) * col("ps_availqty"))
+          .as("value"))
+        .join(broadcast(threshold), col("value") > col("t"), "inner")
+        .select(col("ps_partkey"), col("value"))
+        .orderBy(desc("value"))
+    },
+
+    // TPC-H q03 on the bucketed layout: lineitem⋈orders is a co-located
+    // merge on the bucket key, the mktsegment-filtered customer broadcasts,
+    // and the per-orderkey revenue aggregation is bucket-local — the only
+    // data movement is the final top-10. Same values as tpch_q03.
+    "k09_bucketed_q03" -> { (s, dir) =>
+      val (tli, tor) = writeBucketedTpch(s, dir, defaultBuckets)
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ordersF = s.table(tor)
+        .filter(col("o_orderdate") < lit("1996-03-15 00:00:00").cast("timestamp"))
+        // o_shippriority is an orders_x schema-completion column (constant 0
+        // in the reduced fixtures) — derived here exactly like the CTE
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          lit(0).as("o_shippriority"))
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+      s.table(tli)
+        .filter(col("l_shipdate") > lit("1996-03-15 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ordersF.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_shippriority"))
+        .agg(sumd(dmoney(col("l_extendedprice")) *
+          (one - drate(col("l_discount")))).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+        .limit(10)
     })
 
   val oracles: Map[String, String] = Map(
@@ -344,5 +395,7 @@ object Skew {
     "k04_bucketed_q18" -> graft.queries.Tpch.oracles("tpch_q18"),
     "k05_bucketed_q04" -> graft.queries.Tpch.oracles("tpch_q04"),
     "k06_staged_q16" -> graft.queries.Tpch.oracles("tpch_q16"),
-    "k07_bucketed_q05" -> graft.queries.Tpch.oracles("tpch_q05"))
+    "k07_bucketed_q05" -> graft.queries.Tpch.oracles("tpch_q05"),
+    "k08_staged_q11" -> graft.queries.Tpch.oracles("tpch_q11"),
+    "k09_bucketed_q03" -> graft.queries.Tpch.oracles("tpch_q03"))
 }

@@ -242,6 +242,17 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
       "6+8-digit bare-column product fits i64 and should rewrite")
   }
 
+  test("decimal fast path: decimal*int product shapes still rewrite (q11)") {
+    // Spark promotes the int operand to decimal(10,0); the bare-column
+    // product guard must treat that cast as a trusted hard-bounded leaf,
+    // not an unknown fallback — q11's supplycost*availqty sums lost the
+    // rewrite when the guard first landed
+    val df = SparkEntry.queries("tpch_q11")(spark, dir)
+    val n = "sumunscaled128".r
+      .findAllIn(df.queryExecution.optimizedPlan.toString.toLowerCase).length
+    assert(n == 2, s"expected 2 rewritten sums in tpch_q11, got $n")
+  }
+
   test("topk sketch: exact side merged with an evicted side keeps its floor at 0") {
     // `this` never evicted (exact over its substream) — keys present only in
     // `other` must NOT be inflated by this side's min count, regardless of
