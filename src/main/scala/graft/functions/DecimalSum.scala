@@ -413,17 +413,70 @@ object DecimalSumRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    // CAST(ROUND(SUM(..), k) AS DOUBLE)
-    case c @ Cast(r: Round, DoubleType, _, _) =>
-      r.scale match {
-        case Literal(k: Int, IntegerType) if k >= 0 && k <= 6 =>
-          rewriteSum(r.child, k).getOrElse(c)
-        case _ => c
-      }
-    // CAST(CAST(SUM(..) AS DECIMAL(p, k)) AS DOUBLE)
-    case c @ Cast(Cast(inner, dt: DecimalType, _, _), DoubleType, _, _)
-        if dt.precision >= 20 && dt.scale <= 6 =>
-      rewriteSum(inner, dt.scale).getOrElse(c)
+  /** The two sumd-shaped output casts, with `rw` supplying the Sum
+    * replacement (expression-local or Project-alias-aware). */
+  private def rewriteShapes(e: Expression,
+      rw: (Expression, Int) => Option[Expression]): Option[Expression] =
+    e match {
+      // CAST(ROUND(SUM(..), k) AS DOUBLE)
+      case Cast(r: Round, DoubleType, _, _) =>
+        r.scale match {
+          case Literal(k: Int, IntegerType) if k >= 0 && k <= 6 =>
+            rw(r.child, k)
+          case _ => None
+        }
+      // CAST(CAST(SUM(..) AS DECIMAL(p, k)) AS DOUBLE)
+      case Cast(Cast(inner, dt: DecimalType, _, _), DoubleType, _, _)
+          if dt.precision >= 20 && dt.scale <= 6 =>
+        rw(inner, dt.scale)
+      case _ => None
+    }
+
+  def apply(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    // Pass 1 — aggregate-over-Project aliases (the q09 shape): the Sum's
+    // child is an attribute whose defining expression lives one node down
+    // (`amount = disc - supplycost*qty` in a subquery select), often at a
+    // precision the bare-column fallback must refuse (21,8). Resolve the
+    // alias, convert the DEFINITION to unscaled longs, materialize it as a
+    // new long column in the same Project (column pruning drops the unused
+    // decimal original), and aggregate the long.
+    val aliased = plan.transform {
+      case agg @ Aggregate(groupings, aggs, proj @ Project(projList, projChild), hint) =>
+        val env = AttributeMap(projList.collect {
+          case a: Alias if a.child.dataType.isInstanceOf[DecimalType] =>
+            (a.toAttribute, a.child)
+        })
+        if (env.isEmpty) agg
+        else {
+          val extra = scala.collection.mutable.ArrayBuffer[Alias]()
+          def rwAlias(e: Expression, outScale: Int): Option[Expression] = e match {
+            case ae @ AggregateExpression(Sum(attr: Attribute, _), _, false, None, _)
+                if env.contains(attr) =>
+              toUnscaledExpr(env(attr)).map { u =>
+                val col = Alias(u.expr, attr.name + "_unscaled")()
+                extra += col
+                ae.copy(aggregateFunction =
+                  SumUnscaled128(col.toAttribute, u.scale, outScale))
+              }
+            case _ => None
+          }
+          var changed = false
+          def subst(e: Expression): Expression =
+            rewriteShapes(e, rwAlias) match {
+              case Some(r) => changed = true; r
+              case None => e.mapChildren(subst)
+            }
+          val newAggs = aggs.map(a => subst(a).asInstanceOf[NamedExpression])
+          if (!changed) agg
+          else Aggregate(groupings, newAggs,
+            Project(projList ++ extra, projChild), hint)
+        }
+    }
+    // Pass 2 — expression-local shapes (Sum directly over the conversion).
+    aliased.transformAllExpressions {
+      case c @ Cast(_, DoubleType, _, _) =>
+        rewriteShapes(c, rewriteSum).getOrElse(c)
+    }
   }
 }

@@ -253,6 +253,17 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 2, s"expected 2 rewritten sums in tpch_q11, got $n")
   }
 
+  test("decimal fast path: aggregate-over-Project alias sums rewrite (q09)") {
+    // the Sum's child is an attribute aliased one node down (q09's
+    // `amount = disc - supplycost*qty`, decimal(21,8) — beyond the bare
+    // fallback's cap); the alias-aware pass must resolve the definition,
+    // materialize the unscaled long in the Project, and swap the Sum
+    val df = SparkEntry.queries("tpch_q09")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert("sumunscaled128".r.findAllIn(plan).length == 1,
+      "q09's aliased decimal sum should take the i64 fast path")
+  }
+
   test("topk sketch: exact side merged with an evicted side keeps its floor at 0") {
     // `this` never evicted (exact over its substream) — keys present only in
     // `other` must NOT be inflated by this side's min count, regardless of
