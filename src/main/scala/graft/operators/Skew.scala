@@ -374,6 +374,30 @@ object Skew {
           (one - drate(col("l_discount")))).as("revenue"))
         .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
         .limit(10)
+    },
+
+    // TPC-H q13 on the custkey-bucketed layout (the same staged tables
+    // k02 uses): the customer LEFT JOIN orders is a co-located merge, the
+    // per-customer order count is bucket-local, and only the tiny
+    // c_count histogram crosses the wire. o_comment is an orders_x
+    // schema-completion column, derived here exactly like the CTE.
+    "k10_bucketed_q13" -> { (s, dir) =>
+      val (to, tc) = writeBucketed(s, dir, defaultBuckets)
+      val ordersC = s.table(to)
+        .withColumn("o_comment",
+          when(col("o_orderkey") % 11 === 0,
+            lit("pending special packages requests"))
+            .otherwise(lit("routine order")))
+        .filter(!col("o_comment").like("%special%requests%"))
+        .select(col("o_custkey"), col("o_orderkey"))
+      s.table(tc).select(col("c_custkey"))
+        .join(ordersC.hint("merge"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -397,5 +421,6 @@ object Skew {
     "k06_staged_q16" -> graft.queries.Tpch.oracles("tpch_q16"),
     "k07_bucketed_q05" -> graft.queries.Tpch.oracles("tpch_q05"),
     "k08_staged_q11" -> graft.queries.Tpch.oracles("tpch_q11"),
+    "k10_bucketed_q13" -> graft.queries.Tpch.oracles("tpch_q13"),
     "k09_bucketed_q03" -> graft.queries.Tpch.oracles("tpch_q03"))
 }
