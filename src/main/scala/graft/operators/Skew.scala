@@ -398,6 +398,57 @@ object Skew {
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // TPC-H q02 on the staged partsupp: the correlated MIN(ps_supplycost)
+    // subquery becomes a bucket-local aggregation over the stored table,
+    // its join back to the main partsupp pass is a co-located merge on the
+    // bucket key (as is the part join), and the EUROPE supplier side
+    // broadcasts. The supplier_x/part_x schema-completion columns are
+    // derived exactly like the CTEs. Same values as tpch_q02.
+    "k11_staged_q02" -> { (s, dir) =>
+      val (tps, tpt) = writeStagedPartsupp(s, dir, defaultBuckets)
+      val supEu = t(s, dir, "supplier")
+        .join(t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .withColumn("s_address", concat(lit("Address_"), col("s_suppkey")))
+        .withColumn("s_phone", concat((lit(10) + col("s_nationkey")).cast("string"),
+          lit("-"), lpad((col("s_suppkey") % 10000000).cast("string"), 7, "0")))
+        .withColumn("s_comment",
+          when(col("s_suppkey") % 13 === 0,
+            lit("slow Customer service Complaints logged"))
+            .otherwise(lit("dependable supplier")))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"), col("s_address"), col("s_phone"), col("s_comment"))
+      val minCost = s.table(tps)
+        .join(broadcast(supEu.select(col("s_suppkey").as("msk"))),
+          col("ps_suppkey") === col("msk"))
+        .groupBy(col("ps_partkey"))
+        .agg(min(col("ps_supplycost")).as("mincost"))
+        .select(col("ps_partkey").as("mk"), col("mincost"))
+      val pt = s.table(tpt)
+        .filter(col("p_size") === 15 && col("p_type").like("%ECONOMY"))
+        .withColumn("p_mfgr",
+          concat(lit("Manufacturer#"), (col("p_partkey") % 5 + 1).cast("string")))
+        .select(col("p_partkey"), col("p_mfgr"))
+      s.table(tps)
+        .join(broadcast(supEu), col("ps_suppkey") === col("s_suppkey"))
+        // `<=` (not `===`): equality on mincost would be extracted as a
+        // second equi-key and force a (partkey, supplycost) re-shuffle on
+        // both sides, defeating the bucket co-location. This side is
+        // already EUROPE-only, so ps_supplycost >= mincost always holds
+        // and <= is exactly equality.
+        .join(minCost.hint("merge"), col("ps_partkey") === col("mk") &&
+          col("ps_supplycost") <= col("mincost"))
+        .join(pt.hint("merge"), col("p_partkey") === col("ps_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_mfgr"), col("s_address"), col("s_phone"),
+          col("s_comment"))
+        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+          asc("p_partkey"))
+        .limit(100)
     })
 
   val oracles: Map[String, String] = Map(
@@ -422,5 +473,6 @@ object Skew {
     "k07_bucketed_q05" -> graft.queries.Tpch.oracles("tpch_q05"),
     "k08_staged_q11" -> graft.queries.Tpch.oracles("tpch_q11"),
     "k10_bucketed_q13" -> graft.queries.Tpch.oracles("tpch_q13"),
+    "k11_staged_q02" -> graft.queries.Tpch.oracles("tpch_q02"),
     "k09_bucketed_q03" -> graft.queries.Tpch.oracles("tpch_q03"))
 }
