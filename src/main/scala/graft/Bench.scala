@@ -42,6 +42,7 @@ object Bench {
     "k09_bucketed_q03",    // TPC-H q03 on bucketed layout (vs tpch_q03)
     "k10_bucketed_q13",    // TPC-H q13 on custkey-bucketed layout (vs tpch_q13)
     "k11_staged_q02",      // TPC-H q02 on staged partsupp (vs tpch_q02)
+    "k12_bucketed_q12",    // TPC-H q12 on bucketed layout (vs tpch_q12)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery

@@ -120,7 +120,11 @@ object Skew {
           l_shipdate + INTERVAL 1 DAY * ((l_orderkey * 3 + l_linenumber * 7) % 61 - 30)
             AS l_commitdate,
           l_shipdate + INTERVAL 1 DAY * ((l_orderkey * 5 + l_linenumber * 11) % 30 + 1)
-            AS l_receiptdate
+            AS l_receiptdate,
+          CASE (l_orderkey + l_linenumber) % 7
+            WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR' WHEN 2 THEN 'RAIL'
+            WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
+            ELSE 'FOB' END AS l_shipmode
         FROM lineitem""")
         .write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
@@ -449,6 +453,32 @@ object Skew {
         .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
           asc("p_partkey"))
         .limit(100)
+    },
+
+    // TPC-H q12 on the bucketed layout: on raw fixtures ALL of q12's
+    // selective predicates (shipmode + three date comparisons) are over
+    // schema-completion columns derived per query, so every row is read
+    // and recomputed. The staged table stores them, the filters reach the
+    // scan, and the orders join is a co-located merge — zero fact
+    // exchange. Same values as tpch_q12.
+    "k12_bucketed_q12" -> { (s, dir) =>
+      val (tli, tor) = writeBucketedTpch(s, dir, defaultBuckets)
+      val li = s.table(tli)
+        .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("l_commitdate") < col("l_receiptdate") &&
+          col("l_shipdate") < col("l_commitdate") &&
+          col("l_receiptdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_receiptdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipmode"))
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      s.table(tor).select(col("o_orderkey"), col("o_orderpriority"))
+        .join(li.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_shipmode"))
+        .agg(sum(when(urgent, 1L).otherwise(0L)).cast("long")
+            .as("high_line_count"),
+          sum(when(!urgent, 1L).otherwise(0L)).cast("long")
+            .as("low_line_count"))
+        .orderBy("l_shipmode")
     })
 
   val oracles: Map[String, String] = Map(
@@ -474,5 +504,6 @@ object Skew {
     "k08_staged_q11" -> graft.queries.Tpch.oracles("tpch_q11"),
     "k10_bucketed_q13" -> graft.queries.Tpch.oracles("tpch_q13"),
     "k11_staged_q02" -> graft.queries.Tpch.oracles("tpch_q02"),
+    "k12_bucketed_q12" -> graft.queries.Tpch.oracles("tpch_q12"),
     "k09_bucketed_q03" -> graft.queries.Tpch.oracles("tpch_q03"))
 }
