@@ -22,8 +22,8 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
   // at the driver's sf0.01 correctness gate.
   private val emptyOkAtTinySf = Set(
     "tpch_q02", "tpch_q07", "tpch_q11", "tpch_q20", "tpch_q21",
-    // bucketed-layout q21: same selective filters as tpch_q21
-    "k03_bucketed_q21",
+    // staged-layout twins: same selective filters as their tpch originals
+    "k03_bucketed_q21", "k08_staged_q11", "k11_staged_q02",
     // q06 HAVING count>=10, q19 selective manager+zip filter
     "tpcds_q06", "tpcds_q19",
     // HAVING count>100 (q27/q28), OFFSET 10 past the tiny group count
