@@ -97,6 +97,17 @@ object Engine {
       // merge join over the staged tables re-Sorts ~GB per task of data
       // that is already sorted on disk — measured 2x on the sf30 twins.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+  // NOTE on parquet timestamps: deprecated INT96 (Spark's compatibility
+  // default for session-tz TimestampType) carries NO footer min/max
+  // statistics, so row-group pruning and footer-based selectivity
+  // estimation (plans/PruneWeakBloom.scala) are blind on it. All engine
+  // DATE-like columns are TIMESTAMP_NTZ (like the driver fixtures), which
+  // always writes INT64 micros WITH stats — ScaleGen generates NTZ
+  // directly. outputTimestampType is deliberately NOT forced session-wide:
+  // derived tz-aware outputs (window(), to_utc_timestamp) must keep
+  // writing INT96 so the driver's pyarrow-side compare reads them naive,
+  // matching the DuckDB oracle (measured: forcing TIMESTAMP_MICROS broke
+  // q52/st01/st06 with tz-aware-vs-naive value mismatches).
 
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
@@ -121,6 +132,13 @@ object Engine {
     if (!opts.contains(graft.functions.DecimalSumRewrite))
       spark.experimental.extraOptimizations =
         opts :+ graft.functions.DecimalSumRewrite
+    val opts2 = spark.experimental.extraOptimizations
+    // runs after Spark's InjectRuntimeFilter (extraOptimizations are the
+    // final optimizer batch): removes injected blooms whose creation-side
+    // filter provably keeps >25% of rows (see plans/PruneWeakBloom.scala)
+    if (!opts2.contains(graft.plans.PruneWeakBloom))
+      spark.experimental.extraOptimizations =
+        opts2 :+ graft.plans.PruneWeakBloom
   }
 
   /** Read one driver fixture table and register it as a temp view. */

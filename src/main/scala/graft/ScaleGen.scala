@@ -37,8 +37,12 @@ object ScaleGen {
   private val epoch95 = lit(java.sql.Date.valueOf("1995-01-01"))
   /** fixture order-date window 1995-01-01..2001-08-01 */
   private def orderDate(id: Column): Column =
+    // TIMESTAMP_NTZ like the driver fixtures: stored as INT64 micros with
+    // footer min/max stats (a TimestampType cast wrote deprecated INT96,
+    // which carries NO statistics — killing parquet row-group pruning and
+    // the bloom rule's footer-based selectivity estimates on every date)
     date_add(epoch95, pmod(h(7, id), lit(2405L)).cast(IntegerType))
-      .cast(TimestampType)
+      .cast(TimestampNTZType)
 
   private val segments =
     Seq("MACHINERY", "AUTOMOBILE", "BUILDING", "HOUSEHOLD", "FURNITURE")
@@ -116,7 +120,7 @@ object ScaleGen {
       pick(Seq("A", "N", "R"), 79, col("id")).as("l_returnflag"),
       pick(Seq("F", "O"), 80, col("id")).as("l_linestatus"),
       date_add(epoch95, (pmod(h(81, col("id")), lit(2498L)) + 1).cast(IntegerType))
-        .cast(TimestampType).as("l_shipdate"))
+        .cast(TimestampNTZType).as("l_shipdate"))
   }
 
   // ---- LLM-pipeline tables (events / documents / embeddings) --------------
