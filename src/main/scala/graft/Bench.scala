@@ -43,6 +43,9 @@ object Bench {
     "k10_bucketed_q13",    // TPC-H q13 on custkey-bucketed layout (vs tpch_q13)
     "k11_staged_q02",      // TPC-H q02 on staged partsupp (vs tpch_q02)
     "k12_bucketed_q12",    // TPC-H q12 on bucketed layout (vs tpch_q12)
+    "k13_bucketed_q09",    // TPC-H q09, partsupp join computed inline (vs tpch_q09)
+    "k14_bucketed_q10",    // TPC-H q10 on bucketed layout (vs tpch_q10)
+    "k15_fused_q15",       // TPC-H q15 single-scan fused (vs tpch_q15)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery
@@ -52,6 +55,56 @@ object Bench {
       "tpcds_q59", "tpcds_q65", "tpcds_q89", "tpcds_q98") ++
     // ClickBench ports: 90-sum wide aggregate, heavy high-cardinality group
     Seq("cbx_q29", "cbx_q32")
+
+  /** Staged-layout twins vs their default-layout originals: same oracle,
+    * different physical layout. Emitted as first-class same-run pairs in
+    * bench.json so layout deltas are always measured inside ONE session
+    * (cross-round absolute comparisons were twice voided by machine drift —
+    * round-7/8 verdicts). */
+  val twinOf: Map[String, String] = Map(
+    "k03_bucketed_q21" -> "tpch_q21",
+    "k04_bucketed_q18" -> "tpch_q18",
+    "k05_bucketed_q04" -> "tpch_q04",
+    "k06_staged_q16" -> "tpch_q16",
+    "k07_bucketed_q05" -> "tpch_q05",
+    "k09_bucketed_q03" -> "tpch_q03",
+    "k10_bucketed_q13" -> "tpch_q13",
+    "k11_staged_q02" -> "tpch_q02",
+    "k12_bucketed_q12" -> "tpch_q12",
+    "k13_bucketed_q09" -> "tpch_q09",
+    "k14_bucketed_q10" -> "tpch_q10",
+    "k15_fused_q15" -> "tpch_q15")
+
+  /** Fixed-work single-thread CPU probe (~2e9 xorshift64 steps). Run before
+    * and after the suite; the pair makes machine drift VISIBLE IN THE
+    * ARTIFACT instead of poisoning cross-round comparisons (the round-7
+    * "boxing regression" and the round-8 "27% regression" were both later
+    * adjudicated as host slowdown — this number settles it instantly). */
+  def calibrate(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 2000000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("") // defeat dead-code elimination
+    dt
+  }
+
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").take(3).mkString(" ")
+    catch { case _: Exception => "" }
+
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line. */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Exception => (0L, 0L) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,10 +117,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val loadPre = loadavg()
+    val jiffiesPre = cpuJiffies()
+    val calPre = calibrate()
+
     // stage bucketed tables outside the timed region (table layout prep is
     // a one-time cost in production, not part of the query); skipped when
     // the selection has no bucketed-layout query (e.g. sf1+ scaling runs)
-    if (selected.exists(_.startsWith("k0")))
+    if (selected.exists(_.startsWith("k")))
       graft.operators.Skew.writeBucketed(spark, sfDir, graft.operators.Skew.defaultBuckets)
 
     // Suite isolation (round-2 verdict: suite-position contamination made
@@ -125,20 +182,42 @@ object Bench {
       System.gc()
       r
     }
+    val calPost = calibrate()
+    val loadPost = loadavg()
+    val jiffiesPost = cpuJiffies()
+    val stealPct =
+      if (jiffiesPost._2 > jiffiesPre._2)
+        100.0 * (jiffiesPost._1 - jiffiesPre._1) / (jiffiesPost._2 - jiffiesPre._2)
+      else 0.0
+
     val qs = results.map { case (k, (m, _)) => "\"" + k + f"\":$m%.4f" }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, (_, rs)) =>
       "\"" + k + "\":" + rs.map(r => f"$r%.4f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    // same-run layout pairs: default vs staged twin measured in THIS session
+    val medians = results.map { case (k, (m, _)) => k -> m }.toMap
+    val pairsJson = twinOf.toSeq.sortBy(_._2).flatMap { case (twin, dflt) =>
+      (medians.get(twin), medians.get(dflt)) match {
+        case (Some(t), Some(d)) if t > 0 && d > 0 =>
+          Some("\"" + dflt + "\":" +
+            f"""{"default":$d%.4f,"twin_query":"$twin","twin":$t%.4f,"delta_pct":${100.0 * (t - d) / d}%.1f}""")
+        case _ => None
+      }
+    }.mkString("{", ",", "}")
+    // drift guard: fixed-work CPU calibration (pre/post), 1/5/15-min load
+    // averages (pre/post), and hypervisor steal % across the suite window
+    val driftJson =
+      f"""{"calibration_sec":[$calPre%.3f,$calPost%.3f],"loadavg_pre":"$loadPre","loadavg_post":"$loadPost","steal_pct":$stealPct%.2f}"""
     // stdout gets the one-line summary WITHOUT per-run arrays (the round-3
     // bench JSON was truncated by the driver's stdout-tail capture because
     // the runs arrays doubled the line length); the full record including
     // per-run values goes to a file the driver/judge can read whole.
     val summary =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","queries":$qs,"pairs":$pairsJson,"drift":$driftJson,"sf":"$sfDir"}"""
     val full =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","queries":$qs,"pairs":$pairsJson,"drift":$driftJson,"runs":$runsJson,"sf":"$sfDir"}"""
     println(summary)
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)

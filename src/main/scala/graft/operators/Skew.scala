@@ -477,6 +477,126 @@ object Skew {
         .limit(100)
     },
 
+    // TPC-H q09 on the bucketed layout, with the partsupp JOIN ELIMINATED.
+    // The synthesized partsupp is pure integer arithmetic over
+    // (partkey, supplier index 0..3) — so instead of shuffling 4x|part|
+    // rows to look up ps_supplycost by (l_partkey, l_suppkey), the twin
+    // inverts the ps_suppkey formula per lineitem row: test which of the 4
+    // candidate supplier slots (if any) matches l_suppkey, keep matching
+    // rows (exactly the partsupp inner-join semantics — the synthesized
+    // table is duplicate-free for >=4 suppliers, so at most one slot
+    // matches), and compute ps_supplycost from (l_partkey, slot) inline.
+    // With orders⋈lineitem a co-located merge on the bucket key and
+    // part/supplier⋈nation broadcast, the fact data is NEVER exchanged:
+    // the only shuffle is the ~|nation|x|year| final aggregate. At 100 TB
+    // this is the generated-column / join-index pattern: a join to a
+    // DERIVABLE table is a per-row expression, not data movement.
+    // Same values as tpch_q09 (shared oracle).
+    "k13_bucketed_q09" -> { (s, dir) =>
+      val (tli, tor) = writeBucketedTpch(s, dir, defaultBuckets)
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").like("%red%")).select(col("p_partkey"))
+      val supN = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val sCount = t(s, dir, "supplier").agg(count(lit(1)).as("s_count"))
+      val quarter = floor(col("s_count") / lit(4)).cast(LongType)
+      def slotSupp(i: Int): Column =
+        pmod(col("l_partkey") - 1 + lit(i.toLong) * quarter, col("s_count")) + 1
+      val slot = when(col("l_suppkey") === slotSupp(0), 0L)
+        .when(col("l_suppkey") === slotSupp(1), 1L)
+        .when(col("l_suppkey") === slotSupp(2), 2L)
+        .when(col("l_suppkey") === slotSupp(3), 3L)
+      val supplycost = round(
+        pmod(col("l_partkey") * 31 + col("ps_i") * 17, lit(100000L))
+          .cast(DoubleType) / 100.0 + 1.0, 2)
+      s.table(tli)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(s.table(tor).select(col("o_orderkey"), col("o_orderdate"))
+          .hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .crossJoin(broadcast(sCount))
+        .withColumn("ps_i", slot)
+        .filter(col("ps_i").isNotNull)
+        .withColumn("ps_supplycost", supplycost)
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sumd(dmoney(col("l_extendedprice")) *
+            (one - drate(col("l_discount"))) -
+            dmoney(col("ps_supplycost")) * drate(col("l_quantity")))
+          .as("sum_profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    },
+
+    // TPC-H q10 on the bucketed layout: lineitem(R-returns)⋈orders(3-month
+    // window) is a co-located merge, revenue is pre-aggregated per custkey
+    // BEFORE customer is touched (the shuffle carries ~|active customers|
+    // aggregated rows, not fact rows), and nation broadcasts. The wide
+    // customer table never shuffles — AQE broadcasts the small aggregated
+    // side at runtime. Same values as tpch_q10 (shared oracle).
+    "k14_bucketed_q10" -> { (s, dir) =>
+      val (tli, tor) = writeBucketedTpch(s, dir, defaultBuckets)
+      val li = s.table(tli).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = s.table(tor)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sumd(dmoney(col("l_extendedprice")) *
+          (one - drate(col("l_discount")))).as("revenue"))
+      // customer_x schema-completion columns, derived exactly like the CTE
+      t(s, dir, "customer")
+        .withColumn("c_address", concat(lit("Address_"), col("c_custkey")))
+        .withColumn("c_phone",
+          concat((lit(10) + col("c_nationkey")).cast(StringType), lit("-"),
+            lpad((col("c_custkey") % 10000000).cast(StringType), 7, "0")))
+        .withColumn("c_comment",
+          concat(lit("customer profile "), (col("c_custkey") % 7).cast(StringType)))
+        .join(rev, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"), col("c_address"), col("c_phone"),
+          col("c_comment"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H q15 with the double-scan FUSED: the SQL text references the
+    // revenue0 CTE twice (per-supplier group + global max), and Catalyst
+    // inlines CTEs, so the default plan scans lineitem TWICE. The twin
+    // materializes the ~|supplier|-row aggregate once (localCheckpoint —
+    // the exchange-reuse pattern for a 100 TB fact scan feeding multiple
+    // consumers), then the max and the winner join both read the tiny
+    // cached result; supplier never shuffles (the <=handful of winners
+    // broadcast). Same values as tpch_q15 (shared oracle).
+    "k15_fused_q15" -> { (s, dir) =>
+      val rev0 = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sumd(dmoney(col("l_extendedprice")) *
+          (one - drate(col("l_discount")))).as("total_revenue"))
+        .localCheckpoint()
+      val mx = rev0.agg(max(col("total_revenue")).as("mx"))
+      val winners = rev0
+        .join(broadcast(mx), col("total_revenue") === col("mx")).drop("mx")
+      // supplier_x schema-completion columns, derived exactly like the CTE
+      t(s, dir, "supplier")
+        .withColumn("s_address", concat(lit("Address_"), col("s_suppkey")))
+        .withColumn("s_phone",
+          concat((lit(10) + col("s_nationkey")).cast(StringType), lit("-"),
+            lpad((col("s_suppkey") % 10000000).cast(StringType), 7, "0")))
+        .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_address"),
+          col("s_phone"), col("total_revenue"))
+        .orderBy(asc("s_suppkey"))
+    },
+
     // TPC-H q12 on the bucketed layout: on raw fixtures ALL of q12's
     // selective predicates (shipmode + three date comparisons) are over
     // schema-completion columns derived per query, so every row is read
@@ -527,5 +647,8 @@ object Skew {
     "k10_bucketed_q13" -> graft.queries.Tpch.oracles("tpch_q13"),
     "k11_staged_q02" -> graft.queries.Tpch.oracles("tpch_q02"),
     "k12_bucketed_q12" -> graft.queries.Tpch.oracles("tpch_q12"),
-    "k09_bucketed_q03" -> graft.queries.Tpch.oracles("tpch_q03"))
+    "k09_bucketed_q03" -> graft.queries.Tpch.oracles("tpch_q03"),
+    "k13_bucketed_q09" -> graft.queries.Tpch.oracles("tpch_q09"),
+    "k14_bucketed_q10" -> graft.queries.Tpch.oracles("tpch_q10"),
+    "k15_fused_q15" -> graft.queries.Tpch.oracles("tpch_q15"))
 }

@@ -82,6 +82,22 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  test("staged twins return exactly their default originals' rows") {
+    // layout must never change semantics: every k-twin's row set equals its
+    // default-layout original's, bit-exactly (decimal sums are associative,
+    // so the different plan shapes produce identical doubles)
+    // columns sorted by name first (exactly the driver compare's protocol —
+    // twins may project the same columns in a different order)
+    def rows(name: String): Set[Seq[Any]] = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    }
+    Bench.twinOf.foreach { case (twin, dflt) =>
+      assert(rows(twin) === rows(dflt), s"$twin rows differ from $dflt")
+    }
+  }
+
   test("cosine_sim: self-similarity is 1, matches scala computation") {
     graft.functions.GraftFunctions.register(spark)
     val rows = Engine.table(spark, dir, "embeddings")
