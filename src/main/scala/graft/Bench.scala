@@ -39,6 +39,7 @@ object Bench {
     "k05_bucketed_q04",    // TPC-H q04 on staged layout (vs tpch_q04)
     "k06_staged_q16",      // TPC-H q16 on staged partsupp (vs tpch_q16)
     "k07_bucketed_q05",    // TPC-H q05 on bucketed layout (vs tpch_q05)
+    "k08_staged_q11",      // TPC-H q11 on staged partsupp, fused (vs tpch_q11)
     "k09_bucketed_q03",    // TPC-H q03 on bucketed layout (vs tpch_q03)
     "k10_bucketed_q13",    // TPC-H q13 on custkey-bucketed layout (vs tpch_q13)
     "k11_staged_q02",      // TPC-H q02 on staged partsupp (vs tpch_q02)
@@ -46,6 +47,7 @@ object Bench {
     "k13_bucketed_q09",    // TPC-H q09, partsupp join computed inline (vs tpch_q09)
     "k14_bucketed_q10",    // TPC-H q10 on bucketed layout (vs tpch_q10)
     "k15_fused_q15",       // TPC-H q15 single-scan fused (vs tpch_q15)
+    "k16_staged_q01",      // TPC-H q01 over stored-unscaled i64 (vs tpch_q01)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery
@@ -67,13 +69,15 @@ object Bench {
     "k05_bucketed_q04" -> "tpch_q04",
     "k06_staged_q16" -> "tpch_q16",
     "k07_bucketed_q05" -> "tpch_q05",
+    "k08_staged_q11" -> "tpch_q11",
     "k09_bucketed_q03" -> "tpch_q03",
     "k10_bucketed_q13" -> "tpch_q13",
     "k11_staged_q02" -> "tpch_q02",
     "k12_bucketed_q12" -> "tpch_q12",
     "k13_bucketed_q09" -> "tpch_q09",
     "k14_bucketed_q10" -> "tpch_q10",
-    "k15_fused_q15" -> "tpch_q15")
+    "k15_fused_q15" -> "tpch_q15",
+    "k16_staged_q01" -> "tpch_q01")
 
   /** Fixed-work single-thread CPU probe (~2e9 xorshift64 steps). Run before
     * and after the suite; the pair makes machine drift VISIBLE IN THE

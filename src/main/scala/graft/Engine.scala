@@ -70,6 +70,16 @@ object Engine {
         (512L << 20).toString)
       .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
         (256L << 20).toString)
+      // Creation-item cap stays at Spark's 4M default — raising it was
+      // MEASURED NEGATIVE at sf30 (round 9): with maxNumItems=32M, q05's
+      // ~6.8M-key orders bloom fires and costs +15..50% (14.98 s off /
+      // 17.2-22.6 s on across 3 A/B runs) and q03's ~8M-key bloom +20%
+      // (11.2 -> 13.4 s). Past ~4M items the filter auto-sizes to the 8 MB
+      // bit cap, every probe is a cache miss on 180M fact rows, and the
+      // creation adds a full extra pass over filtered orders — the sf10
+      // win (1 MB L2-resident filter) inverts. Queries whose keys outgrow
+      // the cap want the bucketed-layout twins (k07/k09), not a bigger
+      // bloom; Spark's default cap is the right cliff-edge.
       // Filter sizing stays at Spark's default (1M items / 8.4M bits =
       // 1 MB): measured at sf10 q05 (2.3M filtered orderkeys, FPP ~28%),
       // the 1 MB filter beats FPP-optimal 4 MB sizing (3.01 s vs 3.67 s)

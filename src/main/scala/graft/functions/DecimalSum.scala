@@ -480,3 +480,36 @@ object DecimalSumRewrite extends Rule[LogicalPlan] {
     }
   }
 }
+
+/** SQL registration for the unscaled-long kernels, for STORED-unscaled
+  * layouts (operators/Skew.writeBucketedTpch stages the q01 money/rate
+  * columns as unscaled i64 at ingest — the Decimal64 storage idea applied
+  * where the scan IS the query):
+  *   - `to_unscaled64(d, precision, scale)`: double → unscaled long, exact
+  *     HALF_UP, non-ANSI null-on-overflow (identical to the decimal cast
+  *     the oracle path applies, so stored values match row-for-row);
+  *   - `sum_unscaled128(u, inScale, outScale)`: 128-bit exact sum of
+  *     unscaled longs surfaced as double — identical finishing to
+  *     `sumd(decimal-expr)` (same rescale + HALF_UP + double), so plans
+  *     over stored-unscaled columns stay bit-identical to the decimal
+  *     plans they replace.
+  */
+object DecimalFunctions {
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("to_unscaled64",
+      es => ToUnscaledLong(Cast(es(0), DoubleType), intArg(es(1)), intArg(es(2)),
+        ansi = false), "built-in")
+    reg.createOrReplaceTempFunction("sum_unscaled128",
+      es => SumUnscaled128(es(0), intArg(es(1)), intArg(es(2)))
+        .toAggregateExpression(), "built-in")
+  }
+}

@@ -7,21 +7,85 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing for training-data pipelines.
   *
   * Media (image/audio/video) is modeled as opaque `binary` payloads with
-  * typed metadata — here synthesized deterministically from `documents.text`
-  * since the fixtures carry no real media and the container has no decode
-  * libraries. The *decode step is a stub* (clearly marked); everything
-  * around it — schema, binary column handling, per-partition batch shape,
-  * feature extraction layout — is the real Spark plumbing that a production
-  * decoder (e.g. a Pandas UDF via mapInPandas, or a JNI codec in
-  * mapPartitions) would drop into.
+  * typed metadata. The container ships no codec libraries and the fixtures
+  * no real media, so the image payloads are *synthesized* (deterministic
+  * P6 PPM bytes per doc) — but the decode step is a REAL decoder: `Ppm`
+  * below parses any binary PPM (magic, comment lines, ASCII dimension
+  * tokens, raw RGB24 samples) exactly as the published netpbm format
+  * specifies. Everything around it — schema, binary column handling,
+  * per-partition batch shape, feature extraction layout — is the Spark
+  * plumbing a production codec (libjpeg via JNI, or a Pandas UDF via
+  * mapInPandas) drops into unchanged.
   */
 object Multimodal {
 
-  /** STUB decode: a real pipeline would decode image bytes here. The stub
-    * derives deterministic pseudo-features from the payload bytes so the
-    * batch shape, schema, and partitioning are exercised end-to-end. */
-  case class MediaFeatures(
-      doc_id: Long, byte_len: Int, mean_byte: Double, frames: Array[Int])
+  /** Features a decoder emits per image: dimensions + per-channel means. */
+  case class ImageFeatures(
+      doc_id: Long, byte_len: Int, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Minimal REAL codec for the netpbm P6 (binary RGB) format — pure JVM,
+    * ~50 LoC, decodes any spec-conforming PPM: magic token, `#` comment
+    * lines, whitespace-separated ASCII width/height/maxval, a single
+    * whitespace byte, then width*height RGB24 samples. */
+  object Ppm {
+
+    /** Deterministic synthetic image for doc `id` (the fixture side —
+      * the container has no real media): variable dims 8..16 x 8..14 and
+      * pixel bytes from a linear congruence, plus a comment line so the
+      * decoder's comment handling is exercised on every payload. */
+    def encode(id: Long): Array[Byte] = {
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val header = s"P6\n# graft synthetic\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = new Array[Byte](3 * w * h)
+      var i = 0
+      while (i < px.length) {
+        px(i) = ((id + i.toLong * 7) % 256).toByte
+        i += 1
+      }
+      header ++ px
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): ImageFeatures = {
+      var pos = 0
+      def skipSpaceAndComments(): Unit = {
+        var going = true
+        while (going && pos < bytes.length) {
+          val c = bytes(pos)
+          if (c == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') pos += 1
+          else going = false
+        }
+      }
+      def token(): String = {
+        skipSpaceAndComments()
+        val start = pos
+        while (pos < bytes.length && !Character.isWhitespace(bytes(pos).toChar))
+          pos += 1
+        new String(bytes, start, pos - start, "US-ASCII")
+      }
+      val magic = token()
+      require(magic == "P6", s"not a binary PPM: magic '$magic'")
+      val w = token().toInt
+      val h = token().toInt
+      val maxval = token().toInt
+      require(maxval > 0 && maxval < 256, s"unsupported maxval $maxval")
+      pos += 1 // exactly ONE whitespace byte separates header from raster
+      require(bytes.length - pos >= 3 * w * h, "truncated raster")
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var k = 0
+      while (k < w * h) {
+        sr += bytes(pos) & 0xff
+        sg += bytes(pos + 1) & 0xff
+        sb += bytes(pos + 2) & 0xff
+        pos += 3
+        k += 1
+      }
+      val n = (w * h).toDouble
+      ImageFeatures(id, bytes.length, w, h, sr / n, sg / n, sb / n)
+    }
+  }
 
   val queries: Map[String, Q] = Map(
     // Expression-level binary ops: payload synthesis, length, hash, slice
@@ -40,29 +104,25 @@ object Multimodal {
     },
 
     // Partition-parallel decode stage: typed mapPartitions over binary
-    // payloads -> feature struct per row. The decode body is the stub; the
-    // operator shape (narrow stage, per-partition batching, typed Encoder
-    // output) is the scale-out path for real codecs.
+    // payloads -> feature struct per row. Payload synthesis (first narrow
+    // stage) stands in for the storage read; the decode is the REAL Ppm
+    // parser above. The operator shape — narrow stage, per-partition
+    // batching, typed Encoder output, no shuffle until the features are
+    // columnar — is exactly the scale-out path for production codecs.
     "m02_decode_features" -> { (s, dir) =>
       import s.implicits._
       val payloads = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-        .as[(Long, Array[Byte])]
-      payloads.mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          // ??? real decoder goes here; deterministic stub features:
-          val mean = if (bytes.isEmpty) 0.0
-            else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-          MediaFeatures(id, bytes.length, mean,
-            Array.tabulate(4)(f => if (bytes.length > f) bytes(f) & 0xff else 0))
-        }
-      }.toDF()
-        // frames serialized to JSON and the mean rounded: the byte sum is an
-        // exact integer in double arithmetic, so round(…, 6) is
-        // deterministic across engines and the row is harness-hashable.
-        .select(col("doc_id"), col("byte_len"),
-          round(col("mean_byte"), 6).as("mean_byte"),
-          to_json(col("frames")).as("frames"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Ppm.encode(id))))
+      payloads.mapPartitions(_.map { case (id, bytes) =>
+        Ppm.decode(id, bytes)
+      }).toDF()
+        // channel sums are exact integers in double arithmetic, so the
+        // means round deterministically across engines
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
         .orderBy("doc_id")
     },
 
@@ -111,17 +171,26 @@ object Multimodal {
         HEX(ENCODE(SUBSTRING(text, 1, 8))) AS thumb
       FROM documents ORDER BY doc_id""",
 
-    // The fixture text is pure ASCII (verified: octet_length(encode(text)) =
-    // length(text) for every row), so byte values equal code points and the
-    // decode-stub features are exactly reproducible in SQL.
+    // The synthesized P6 payload is arithmetic over (doc_id, flat byte
+    // index), so the oracle replays the decoder's ground truth exactly:
+    // header length = len("P6\n# graft synthetic\n") + len(w) + 1 + len(h)
+    // + 1 + len("255\n") = 27 + len(w) + len(h), and channel c's samples
+    // sit at flat indices 3k + c with value (doc_id + 7*(3k+c)) % 256.
     "m02_decode_features" -> """
+      WITH dims AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INT) AS width,
+               CAST(8 + doc_id % 7 AS INT) AS height
+        FROM documents)
       SELECT doc_id,
-        CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
-        ROUND(LIST_AVG(LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1),
-          i -> UNICODE(SUBSTRING(text, CAST(i AS INT), 1)))), 6) AS mean_byte,
-        CAST(TO_JSON(LIST_TRANSFORM(RANGE(1, 5),
-          f -> CASE WHEN LENGTH(text) >= f
-                    THEN UNICODE(SUBSTRING(text, CAST(f AS INT), 1))
-                    ELSE 0 END)) AS VARCHAR) AS frames
-      FROM documents ORDER BY doc_id""")
+        CAST(27 + LENGTH(CAST(width AS VARCHAR)) + LENGTH(CAST(height AS VARCHAR))
+             + 3 * width * height AS INT) AS byte_len,
+        width, height,
+        ROUND(LIST_AVG(LIST_TRANSFORM(RANGE(0, width * height),
+          k -> (doc_id + 7 * (3 * k + 0)) % 256)), 6) AS mean_r,
+        ROUND(LIST_AVG(LIST_TRANSFORM(RANGE(0, width * height),
+          k -> (doc_id + 7 * (3 * k + 1)) % 256)), 6) AS mean_g,
+        ROUND(LIST_AVG(LIST_TRANSFORM(RANGE(0, width * height),
+          k -> (doc_id + 7 * (3 * k + 2)) % 256)), 6) AS mean_b
+      FROM dims ORDER BY doc_id""")
 }

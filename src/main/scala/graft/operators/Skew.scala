@@ -123,6 +123,12 @@ object Skew {
         }
       }
       t(spark, dir, "lineitem")
+      graft.functions.DecimalFunctions.register(spark)
+      // The *_u columns store the hot money/rate doubles as unscaled i64
+      // at ingest (Decimal64-style storage): to_unscaled64 is the exact
+      // HALF_UP decimal cast, so downstream sum_unscaled128 aggregation is
+      // bit-identical to the decimal-sum plans while skipping the per-row
+      // double→decimal→unscaled conversion entirely (k16's q01 kernel).
       spark.sql("""
         SELECT lineitem.*,
           l_shipdate + INTERVAL 1 DAY * ((l_orderkey * 3 + l_linenumber * 7) % 61 - 30)
@@ -132,7 +138,11 @@ object Skew {
           CASE (l_orderkey + l_linenumber) % 7
             WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR' WHEN 2 THEN 'RAIL'
             WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
-            ELSE 'FOB' END AS l_shipmode
+            ELSE 'FOB' END AS l_shipmode,
+          to_unscaled64(l_quantity, 6, 4) AS l_qty_u,
+          to_unscaled64(l_extendedprice, 12, 4) AS l_price_u,
+          to_unscaled64(l_discount, 6, 4) AS l_disc_u,
+          to_unscaled64(l_tax, 6, 4) AS l_tax_u
         FROM lineitem""")
         .repartition(nBuckets, col("l_orderkey"))
         .write.mode("overwrite").format("parquet")
@@ -353,23 +363,31 @@ object Skew {
 
     // TPC-H q11 on the staged partsupp: the per-query synthesis cross-join
     // disappears (the table is stored), supplier⋈nation broadcasts, and
-    // both the HAVING scalar subquery and the main aggregation scan the
-    // same bucketed table. Same values as tpch_q11 (shared oracle).
+    // the per-part sums are materialized ONCE (localCheckpoint, ~|filtered
+    // parts| rows) feeding both the HAVING threshold and the output — one
+    // scan of the stored table instead of two. Exact i64 group sums
+    // re-summed 128-bit = the all-rows sum by associativity. Same values
+    // as tpch_q11 (shared oracle).
     "k08_staged_q11" -> { (s, dir) =>
       val (tps, _) = writeStagedPartsupp(s, dir, defaultBuckets)
+      graft.functions.DecimalFunctions.register(s)
       val sup = t(s, dir, "supplier")
         .join(t(s, dir, "nation").filter(col("n_name") === "NATION_7"),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
-      def joined = s.table(tps)
+      val byPart = s.table(tps)
         .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
-      val threshold = joined
-        .agg((sumd(dmoney(col("ps_supplycost")) * col("ps_availqty")) *
-          lit(0.001)).as("t"))
-      joined
+        .withColumn("row_u",
+          expr("to_unscaled64(ps_supplycost, 12, 4)") * col("ps_availqty"))
         .groupBy(col("ps_partkey"))
-        .agg(sumd(dmoney(col("ps_supplycost")) * col("ps_availqty"))
-          .as("value"))
+        .agg(sum(col("row_u")).as("gu"))
+        .localCheckpoint()
+      val threshold = byPart
+        .agg((expr("sum_unscaled128(gu, 4, 4)") * lit(0.001)).as("t"))
+      byPart
+        .withColumn("value",
+          (col("gu").cast(DecimalType(38, 4)) / lit(10000))
+            .cast(DecimalType(24, 4)).cast(DoubleType))
         .join(broadcast(threshold), col("value") > col("t"), "inner")
         .select(col("ps_partkey"), col("value"))
         .orderBy(desc("value"))
@@ -597,6 +615,43 @@ object Skew {
         .orderBy(asc("s_suppkey"))
     },
 
+    // TPC-H q01 on the staged layout with STORED-UNSCALED money/rate
+    // columns: the default plan spends its time converting 4 doubles/row
+    // to decimal and back around the exact-sum kernel (pure scan-agg CPU —
+    // the one q01 cost with no plan defect). The staged table stores the
+    // exact unscaled i64 at ingest (write-time to_unscaled64 = the same
+    // HALF_UP cast), so the query is a pure long-multiply + 128-bit-sum
+    // kernel over stored integers: zero per-row conversions, bit-identical
+    // results. Product magnitudes are bounded by the TPC-H domains
+    // (price < 1e6 at scale 4 -> |charge_u| < ~1.2e18 < 2^63). Same values
+    // as tpch_q01 (shared oracle).
+    "k16_staged_q01" -> { (s, dir) =>
+      val (tli, _) = writeBucketedTpch(s, dir, defaultBuckets)
+      graft.functions.DecimalFunctions.register(s)
+      s.table(tli)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_qty_u"), col("l_price_u"), col("l_disc_u"),
+          (col("l_price_u") * (lit(10000L) - col("l_disc_u"))).as("dp_u"),
+          (col("l_price_u") * (lit(10000L) - col("l_disc_u")) *
+            (lit(10000L) + col("l_tax_u"))).as("ch_u"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr("sum_unscaled128(l_qty_u, 4, 4)").as("sum_qty"),
+          expr("sum_unscaled128(l_price_u, 4, 4)").as("sum_base_price"),
+          expr("sum_unscaled128(dp_u, 8, 4)").as("sum_disc_price"),
+          expr("sum_unscaled128(ch_u, 12, 4)").as("sum_charge"),
+          expr("sum_unscaled128(l_disc_u, 4, 4)").as("sum_disc"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+          (col("sum_qty") / col("count_order")).as("avg_qty"),
+          (col("sum_base_price") / col("count_order")).as("avg_price"),
+          (col("sum_disc") / col("count_order")).as("avg_disc"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // TPC-H q12 on the bucketed layout: on raw fixtures ALL of q12's
     // selective predicates (shipmode + three date comparisons) are over
     // schema-completion columns derived per query, so every row is read
@@ -650,5 +705,6 @@ object Skew {
     "k09_bucketed_q03" -> graft.queries.Tpch.oracles("tpch_q03"),
     "k13_bucketed_q09" -> graft.queries.Tpch.oracles("tpch_q09"),
     "k14_bucketed_q10" -> graft.queries.Tpch.oracles("tpch_q10"),
-    "k15_fused_q15" -> graft.queries.Tpch.oracles("tpch_q15"))
+    "k15_fused_q15" -> graft.queries.Tpch.oracles("tpch_q15"),
+    "k16_staged_q01" -> graft.queries.Tpch.oracles("tpch_q01"))
 }

@@ -27,7 +27,10 @@ import org.apache.spark.sql.types._
   * This rule runs AFTER injection (extraOptimizations = the optimizer's
   * final batch) and removes `BloomFilterMightContain` conjuncts whose
   * creation side provably keeps more than `maxCreationSelectivity`
-  * (default 0.25) of its rows. Selectivity is estimated the way the
+  * (default 0.25) of its rows, OR more than `maxCreationRows` (default 4M)
+  * rows in absolute terms — past that the filter outgrows cache and the
+  * per-fact-row probe cost inverts the win (measured at sf30: q05 +14..50%,
+  * q03 +20% vs bloom-off). Selectivity is estimated the way the
   * reference engine's scan filters do it (GlareDB
   * `storage/scan_filter.rs:18`, `glaredb_ext_parquet/src/bloom_filter/` —
   * file-statistics-driven pruning decisions): from parquet FOOTER min/max
@@ -55,6 +58,16 @@ object PruneWeakBloom extends Rule[LogicalPlan] with PredicateHelper {
       sys.env.getOrElse("GRAFT_BLOOM_PRUNE", "true")).toBoolean
   private def threshold: Double =
     conf.getConfString("spark.graft.bloom.maxCreationSelectivity", "0.25").toDouble
+  /** Absolute kept-row ceiling. Past ~4M distinct keys the filter
+    * auto-sizes to Spark's 8 MB bit cap: every fact-row probe becomes a
+    * cache miss and the creation adds a full extra pass over the filtered
+    * side — measured at sf30 (round 9), q05's ~6.8M-key bloom costs
+    * +14..50% and q03's ~8.2M-key bloom +20% versus bloom-off, while the
+    * same plans win at sf10 where the filters stay L2-resident. Matches
+    * Spark's own maxNumItems default, applied where Spark's size-estimate
+    * gate misses. */
+  private def maxCreationRows: Double =
+    conf.getConfString("spark.graft.bloom.maxCreationRows", "4000000").toDouble
 
   /** Fixed factor for predicate classes footers cannot estimate but whose
     * shape is selective (equality, IN, prefix/suffix/contains). Matches the
@@ -80,20 +93,30 @@ object PruneWeakBloom extends Rule[LogicalPlan] with PredicateHelper {
   private def shouldPrune(b: BloomFilterMightContain): Boolean =
     b.bloomFilterExpression match {
       case s: ScalarSubquery =>
-        creationSelectivity(s.plan) match {
-          case Some(sel) if sel > threshold =>
+        creationEstimate(s.plan) match {
+          case Some((sel, rows)) if sel > threshold =>
             logInfo(s"pruning runtime bloom filter: creation-side " +
               f"selectivity $sel%.3f > $threshold%.2f")
+            true
+          case Some((sel, Some(rows))) if sel * rows > maxCreationRows =>
+            logInfo(s"pruning runtime bloom filter: creation-side keeps " +
+              f"~${sel * rows}%.0f rows > $maxCreationRows%.0f (filter " +
+              "outgrows cache; probe cost inverts the win)")
             true
           case _ => false
         }
       case _ => false
     }
 
-  /** Some(estimated selectivity) only when the creation side is a
-    * single-relation scan (no joins) and EVERY filter conjunct is
-    * estimable; None (= keep the bloom) otherwise. */
-  private[graft] def creationSelectivity(plan: LogicalPlan): Option[Double] = {
+  private[graft] def creationSelectivity(plan: LogicalPlan): Option[Double] =
+    creationEstimate(plan).map(_._1)
+
+  /** Some((estimated selectivity, exact footer row count)) only when the
+    * creation side is a single-relation scan (no joins) and EVERY filter
+    * conjunct is estimable; None (= keep the bloom) otherwise. The row
+    * count is None when footers are unreadable but ranges came from cache. */
+  private[graft] def creationEstimate(
+      plan: LogicalPlan): Option[(Double, Option[Long])] = {
     if (plan.exists(_.isInstanceOf[Join])) return None
     val rels = plan.collect {
       case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
@@ -160,7 +183,7 @@ object PruneWeakBloom extends Rule[LogicalPlan] with PredicateHelper {
         case _ => return None // no stats → keep the bloom
       }
     }
-    Some(sel)
+    Some((sel, footerRowCount(fsRel)))
   }
 
   private def litToDouble(l: Literal): Option[Double] = (l.value, l.dataType) match {
@@ -179,6 +202,28 @@ object PruneWeakBloom extends Rule[LogicalPlan] with PredicateHelper {
     * relation, from parquet footers only (driver-side metadata reads,
     * cached). None when any file lacks usable stats for the column. */
   private val statsCache = TrieMap.empty[(Int, Long, String), Option[(Double, Double)]]
+
+  /** Exact total row count of the relation from parquet footers (driver-side
+    * metadata reads, cached by the same (files, size) key). */
+  private val rowCountCache = TrieMap.empty[(Int, Long), Option[Long]]
+
+  private def footerRowCount(rel: HadoopFsRelation): Option[Long] = {
+    val files = rel.location.inputFiles
+    if (files.isEmpty) return None
+    val key = (files.toSeq.hashCode, rel.location.sizeInBytes)
+    rowCountCache.getOrElseUpdate(key, {
+      try {
+        val hconf = new Configuration()
+        var n = 0L
+        files.foreach { f =>
+          val reader = ParquetFileReader.open(hconf, new org.apache.hadoop.fs.Path(f))
+          try n += reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally reader.close()
+        }
+        Some(n)
+      } catch { case _: Exception => None }
+    })
+  }
 
   private def footerRange(
       rel: HadoopFsRelation, colName: String): Option[(Double, Double)] = {

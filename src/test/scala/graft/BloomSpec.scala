@@ -127,6 +127,25 @@ class BloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rOff === rOn)
   }
 
+  test("bloom prune: kept-row ceiling prunes even selective blooms") {
+    // strong selectivity (~9%) but the session's maxCreationRows is set
+    // below the kept-row estimate -> pruned; the default 4M ceiling keeps it
+    val strongCut = "1995-08-01 00:00:00"
+    val tiny = bloomSession(prune = true)
+    tiny.conf.set("spark.graft.bloom.maxCreationRows", "10")
+    assert(bloomCount(dateJoin(tiny, strongCut)) === 0,
+      "bloom whose creation side keeps > maxCreationRows should be pruned")
+    val dflt = bloomSession(prune = true)
+    assert(bloomCount(dateJoin(dflt, strongCut)) >= 1,
+      "same bloom survives under the default 4M ceiling")
+  }
+
+  test("bloom prune: creation estimate carries the exact footer row count") {
+    val df = spark.read.parquet(synthPath).filter(col("x") >= 750L)
+    val est = graft.plans.PruneWeakBloom.creationEstimate(planOf(df))
+    assert(est.isDefined && est.get._2.contains(1000L), s"estimate was $est")
+  }
+
   test("bloom prune: disabled flag keeps every injected bloom") {
     val off = bloomSession(prune = false)
     val df = dateJoin(off, "2001-01-01 00:00:00")

@@ -82,6 +82,25 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  test("ppm decoder: decodes spec-conforming P6 files, not just its own") {
+    import graft.operators.Multimodal.Ppm
+    // round-trip of the synthetic encoder
+    val f = Ppm.decode(42L, Ppm.encode(42L))
+    assert(f.width === (8 + 42 % 9) && f.height === (8 + 42 % 7))
+    assert(f.mean_r >= 0 && f.mean_r <= 255)
+    // a foreign P6: different whitespace style, multiple comments, 2x1
+    // raster [(10,20,30), (30,40,50)]
+    val foreign = "P6 # c1\n# c2\n 2\t1 255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 30, 40, 50)
+    val g = Ppm.decode(7L, foreign)
+    assert(g.width === 2 && g.height === 1)
+    assert(g.mean_r === 20.0 && g.mean_g === 30.0 && g.mean_b === 40.0)
+    // malformed magic is rejected
+    intercept[IllegalArgumentException] {
+      Ppm.decode(0L, "P5\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1))
+    }
+  }
+
   test("staged twins return exactly their default originals' rows") {
     // layout must never change semantics: every k-twin's row set equals its
     // default-layout original's, bit-exactly (decimal sums are associative,
@@ -262,8 +281,10 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Spark promotes the int operand to decimal(10,0); the bare-column
     // product guard must treat that cast as a trusted hard-bounded leaf,
     // not an unknown fallback — q11's supplycost*availqty sums lost the
-    // rewrite when the guard first landed
-    val df = SparkEntry.queries("tpch_q11")(spark, dir)
+    // rewrite when the guard first landed. Probes the SQL-text plan: the
+    // default catalog entry is the fused DataFrame variant, which carries
+    // its unscaled sums explicitly instead of via the rewrite.
+    val df = graft.queries.Tpch.sqlTextQuery("tpch_q11")(spark, dir)
     val n = "sumunscaled128".r
       .findAllIn(df.queryExecution.optimizedPlan.toString.toLowerCase).length
     assert(n == 2, s"expected 2 rewritten sums in tpch_q11, got $n")
