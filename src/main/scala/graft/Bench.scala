@@ -48,6 +48,8 @@ object Bench {
     "k14_bucketed_q10",    // TPC-H q10 on bucketed layout (vs tpch_q10)
     "k15_fused_q15",       // TPC-H q15 single-scan fused (vs tpch_q15)
     "k16_staged_q01",      // TPC-H q01 over stored-unscaled i64 (vs tpch_q01)
+    "k17_bucketed_q08",    // TPC-H q08 on bucketed layout (vs tpch_q08)
+    "k18_fused_q14",       // TPC-H q14, part shuffle eliminated (vs tpch_q14)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery
@@ -77,7 +79,9 @@ object Bench {
     "k13_bucketed_q09" -> "tpch_q09",
     "k14_bucketed_q10" -> "tpch_q10",
     "k15_fused_q15" -> "tpch_q15",
-    "k16_staged_q01" -> "tpch_q01")
+    "k16_staged_q01" -> "tpch_q01",
+    "k17_bucketed_q08" -> "tpch_q08",
+    "k18_fused_q14" -> "tpch_q14")
 
   /** Fixed-work single-thread CPU probe (~2e9 xorshift64 steps). Run before
     * and after the suite; the pair makes machine drift VISIBLE IN THE

@@ -25,19 +25,28 @@ object Plans {
   private val cachedFactTables =
     Seq("store_sales", "catalog_sales", "web_sales", "inventory")
 
-  /** Fact-table scans (parquet or cached star facts) under any broadcast
-    * exchange in the plan. */
-  def factBroadcasts(plan: SparkPlan): Seq[String] =
+  /** Fact-table scans (parquet or cached star facts) whose RAW ROWS are the
+    * payload of a broadcast exchange. Traversal stops at aggregates: an
+    * aggregation below the exchange bounds the broadcast payload by its
+    * group cardinality, so a fact scan under it ships group rows, not fact
+    * rows (k18 broadcasts the per-partkey revenue aggregate of a lineitem
+    * month — legitimate at any scale; a raw lineitem broadcast is not). */
+  def factBroadcasts(plan: SparkPlan): Seq[String] = {
+    def rawFactScans(p: SparkPlan): Seq[String] = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        Nil // payload bounded by group count, not input rows
+      case f: FileSourceScanExec =>
+        val loc = f.relation.location.rootPaths.mkString(",")
+        factTables.filter(t => loc.contains(t + ".parquet"))
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        val name = m.relation.cacheBuilder.tableName.getOrElse("")
+        cachedFactTables.filter(name.contains)
+      case other => other.children.flatMap(rawFactScans)
+    }
     plan.collect { case b: BroadcastExchangeExec =>
-      b.collect {
-        case f: FileSourceScanExec =>
-          val loc = f.relation.location.rootPaths.mkString(",")
-          factTables.filter(t => loc.contains(t + ".parquet"))
-        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          val name = m.relation.cacheBuilder.tableName.getOrElse("")
-          cachedFactTables.filter(name.contains)
-      }.flatten
+      b.children.flatMap(rawFactScans)
     }.flatten.distinct
+  }
 
   def hasTopK(plan: SparkPlan): Boolean =
     plan.collectFirst { case t: TakeOrderedAndProjectExec => t }.isDefined
@@ -71,7 +80,7 @@ object Plans {
       "k04_bucketed_q18", "k05_bucketed_q04", "k06_staged_q16", "k07_bucketed_q05",
       "k08_staged_q11", "k09_bucketed_q03", "k10_bucketed_q13", "k11_staged_q02",
       "k12_bucketed_q12", "k13_bucketed_q09", "k14_bucketed_q10",
-      "k15_fused_q15",
+      "k15_fused_q15", "k16_staged_q01", "k17_bucketed_q08", "k18_fused_q14",
       "t01_lang_id", "t08_decontaminate", "t09_repetition",
       "t11_unigram_logprob", "a02_topk_sketch", "a03_hll_union",
       "m02_decode_features", "m03_frame_sample")
@@ -168,7 +177,8 @@ object Plans {
       "k11_staged_q02" -> "partkey",
       "k12_bucketed_q12" -> "orderkey",
       "k13_bucketed_q09" -> "orderkey",
-      "k14_bucketed_q10" -> "orderkey")
+      "k14_bucketed_q10" -> "orderkey",
+      "k17_bucketed_q08" -> "orderkey")
     val bucketShuffleViolations =
       plans.filter(p => bucketKeyOf.contains(p._1)).flatMap { p =>
         val key = bucketKeyOf(p._1)

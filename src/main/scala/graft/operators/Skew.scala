@@ -652,6 +652,71 @@ object Skew {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // TPC-H q08 on the bucketed layout: the 8-way join collapses to ONE
+    // co-located merge (lineitem⋈orders on the bucket key) plus three
+    // broadcasts — the AMERICA-customer constraint rides on the
+    // denormalized c_nationkey the staged orders already carry (the same
+    // join index k07 uses), STANDARD parts and supplier⋈nation broadcast.
+    // Zero fact exchange; the only shuffle is the |years|-row final
+    // aggregate. Same values as tpch_q08 (shared oracle).
+    "k17_bucketed_q08" -> { (s, dir) =>
+      val (tli, tor) = writeBucketedTpch(s, dir, defaultBuckets)
+      val amKeys = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val ordersF = s.table(tor)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <= lit("1997-12-31 00:00:00").cast("timestamp"))
+        .join(broadcast(amKeys), col("c_nationkey") === col("n_nationkey"),
+          "leftsemi")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val supN2 = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val partStd = t(s, dir, "part")
+        .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+      val volume = dmoney(col("l_extendedprice")) * (one - drate(col("l_discount")))
+      s.table(tli)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ordersF.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(partStd), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN2), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sumd(when(col("nation") === "NATION_3", volume)
+            .otherwise(lit(0).cast(DecimalType(12, 4)))) / sumd(volume), 6)
+          .as("mkt_share"))
+        .orderBy(asc("o_year"))
+    },
+
+    // TPC-H q14 with the part shuffle ELIMINATED: the month of lineitem is
+    // pre-aggregated to exact unscaled-i64 revenue per partkey (p_type is
+    // constant per part, so the promo/total split factors through the
+    // per-part sums exactly), and that small aggregate broadcasts into a
+    // streaming scan of part — neither fact nor dimension is ever
+    // exchanged beyond the tiny per-partkey partials. Same values as
+    // tpch_q14 (shared oracle).
+    "k18_fused_q14" -> { (s, dir) =>
+      graft.functions.DecimalFunctions.register(s)
+      val la = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+        // unscaled scale-8 revenue: price_u(4) x (1 - disc)_u(4); per-row
+        // < 1e14, per-part-month sums < 1e16 — exact in i64
+        .withColumn("row_u",
+          expr("to_unscaled64(l_extendedprice, 12, 4)") *
+            (lit(10000L) - expr("to_unscaled64(l_discount, 6, 4)")))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("row_u")).as("gu"))
+      t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+        .join(broadcast(la), col("p_partkey") === col("l_partkey"))
+        .agg(round(lit(100.0) *
+          expr("sum_unscaled128(CASE WHEN p_type LIKE 'PROMO%' THEN gu ELSE 0L END, 8, 4)") /
+          expr("sum_unscaled128(gu, 8, 4)"), 6).as("promo_revenue"))
+    },
+
     // TPC-H q12 on the bucketed layout: on raw fixtures ALL of q12's
     // selective predicates (shipmode + three date comparisons) are over
     // schema-completion columns derived per query, so every row is read
@@ -706,5 +771,7 @@ object Skew {
     "k13_bucketed_q09" -> graft.queries.Tpch.oracles("tpch_q09"),
     "k14_bucketed_q10" -> graft.queries.Tpch.oracles("tpch_q10"),
     "k15_fused_q15" -> graft.queries.Tpch.oracles("tpch_q15"),
-    "k16_staged_q01" -> graft.queries.Tpch.oracles("tpch_q01"))
+    "k16_staged_q01" -> graft.queries.Tpch.oracles("tpch_q01"),
+    "k17_bucketed_q08" -> graft.queries.Tpch.oracles("tpch_q08"),
+    "k18_fused_q14" -> graft.queries.Tpch.oracles("tpch_q14"))
 }
