@@ -308,19 +308,39 @@ object SketchKernels {
   }
 
   def shingleHashes(str: UTF8String, n: Int): ArrayData = {
+    // Primitive open-addressing dedup (insertion-order output preserved).
+    // The previous LinkedHashSet[java.lang.Long] boxed every shingle of
+    // every document — ~50 bytes of garbage per n-gram, hundreds of KB per
+    // document — which made the d03 signature stage GC-bound and its
+    // first-run warm-up pathological at sf30 (62 s first run vs 24 s
+    // steady; young-gen growth + allocation stalls, not C2). 0 is remapped
+    // to the table's empty sentinel via a separate flag.
     val bytes = str.getBytes
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val m = if (bytes.length <= n) 1 else bytes.length - n + 1
+    var cap = 4
+    while (cap < m * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    val out = new Array[Long](m)
+    var cnt = 0
+    var hasZero = false
+    def insert(h: Long): Unit = {
+      if (h == 0L) {
+        if (!hasZero) { hasZero = true; out(cnt) = 0L; cnt += 1 }
+      } else {
+        var idx = (h ^ (h >>> 33)).toInt & mask
+        while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & mask
+        if (table(idx) == 0L) { table(idx) = h; out(cnt) = h; cnt += 1 }
+      }
+    }
     if (bytes.length <= n) {
-      seen.add(fnv1a64(bytes, 0, bytes.length))
+      insert(fnv1a64(bytes, 0, bytes.length))
     } else {
       var i = 0
-      while (i + n <= bytes.length) { seen.add(fnv1a64(bytes, i, n)); i += 1 }
+      while (i + n <= bytes.length) { insert(fnv1a64(bytes, i, n)); i += 1 }
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (cnt == m) out else java.util.Arrays.copyOf(out, cnt))
   }
 }
 

@@ -559,6 +559,93 @@ object Tpch {
         .orderBy(desc("value"))
     }
 
+    /** q17: the SQL plan computes the per-part avg over ALL of lineitem
+      * (a full shuffle by partkey) and scans lineitem twice; only ~1/40 of
+      * parts survive the brand+container filter, and restricting to them
+      * does not change any surviving part's per-part rows. Fused: filter
+      * lineitem ONCE through a broadcast of the filtered part keys,
+      * localCheckpoint the small survivor set, and compute both the
+      * per-part threshold and the final sum from it. */
+    val q17: Q = { (s, dir) =>
+      import graft.QueryDsl.{dmoney, drate}
+      Seq("part", "lineitem").foreach(Engine.table(s, dir, _))
+      // part_x's p_container, derived exactly like the CTE
+      val container = concat(
+        when(col("p_partkey") % 5 === 0, "SM")
+          .when(col("p_partkey") % 5 === 1, "LG")
+          .when(col("p_partkey") % 5 === 2, "MED")
+          .when(col("p_partkey") % 5 === 3, "JUMBO").otherwise("WRAP"),
+        lit(" "),
+        when(col("p_partkey") % 8 === 0, "CASE")
+          .when(col("p_partkey") % 8 === 1, "BOX")
+          .when(col("p_partkey") % 8 === 2, "BAG")
+          .when(col("p_partkey") % 8 === 3, "JAR")
+          .when(col("p_partkey") % 8 === 4, "PKG")
+          .when(col("p_partkey") % 8 === 5, "PACK")
+          .when(col("p_partkey") % 8 === 6, "CAN").otherwise("DRUM"))
+      val ptKeys = Engine.table(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && container === "MED BOX")
+        .select(col("p_partkey"))
+      val liF = Engine.table(s, dir, "lineitem")
+        .join(broadcast(ptKeys), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .localCheckpoint()
+      val thr = liF.groupBy(col("l_partkey").as("tk"))
+        .agg((lit(0.2) * (graft.QueryDsl.sumd(drate(col("l_quantity"))) /
+          count(lit(1)))).as("qty_thr"))
+      liF.join(broadcast(thr), col("l_partkey") === col("tk"))
+        .filter(col("l_quantity") < col("qty_thr"))
+        .agg((graft.QueryDsl.sumd(dmoney(col("l_extendedprice"))) / 7.0).as("avg_yearly"))
+    }
+
+    /** q20: the SQL plan synthesizes the FULL partsupp and shuffles the
+      * whole lineitem by (partkey, suppkey) for the correlated half-sum;
+      * only red parts and one shipdate year matter. Fused: the half-sums
+      * aggregate the red+year slice of lineitem (broadcast-filtered), and
+      * partsupp is synthesized from red parts only (ps_partkey = p_partkey
+      * is injective). A group with no lineitem rows yields SUM = NULL in
+      * the subquery, which fails `availqty > NULL` — the inner join
+      * reproduces that drop exactly. */
+    val q20: Q = { (s, dir) =>
+      import graft.QueryDsl.drate
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem").foreach(Engine.table(s, dir, _))
+      val redKeys = Engine.table(s, dir, "part")
+        .filter(col("p_name").like("red%")).select(col("p_partkey"))
+      val halfSums = Engine.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(redKeys), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg((lit(0.5) * graft.QueryDsl.sumd(drate(col("l_quantity"))))
+          .as("half_qty"))
+      val sCnt = Engine.table(s, dir, "supplier").agg(count(lit(1)).as("s_count"))
+      val psRed = Engine.table(s, dir, "part")
+        .filter(col("p_name").like("red%")).select(col("p_partkey"))
+        .crossJoin(broadcast(sCnt))
+        .select(col("p_partkey").as("ps_partkey"), col("s_count"),
+          explode(array((0 to 3).map(i => lit(i.toLong)): _*)).as("i"))
+        .select(col("ps_partkey"),
+          (pmod(col("ps_partkey") - 1 +
+            col("i") * floor(col("s_count") / lit(4)).cast(LongType),
+            col("s_count")) + 1).as("ps_suppkey"),
+          (((col("ps_partkey") * 7 + col("i") * 13) % 9999) + 1)
+            .cast(IntegerType).as("ps_availqty"))
+      val suppkeys = psRed
+        .join(halfSums, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > col("half_qty"))
+        .select(col("ps_suppkey")).distinct()
+      Engine.table(s, dir, "supplier")
+        .join(Engine.table(s, dir, "nation")
+          .filter(col("n_name") === "NATION_4"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(suppkeys, col("s_suppkey") === col("ps_suppkey"), "leftsemi")
+        .withColumn("s_address", concat(lit("Address_"), col("s_suppkey")))
+        .select(col("s_name"), col("s_address"))
+        .orderBy(asc("s_name"))
+    }
+
     val q16: Q = { (s, dir) =>
       Seq("supplier", "part").foreach(Engine.table(s, dir, _))
       val pt = Engine.table(s, dir, "part")
@@ -596,7 +683,8 @@ object Tpch {
     texts.map { case (name, text) => name -> run(text) } ++
       // GRAFT_TPCH_FUSED=false falls back to the pure SQL texts (A/B runs)
       (if (sys.env.getOrElse("GRAFT_TPCH_FUSED", "true").toBoolean)
-        Map("tpch_q11" -> Fused.q11, "tpch_q16" -> Fused.q16)
+        Map("tpch_q11" -> Fused.q11, "tpch_q16" -> Fused.q16,
+          "tpch_q17" -> Fused.q17, "tpch_q20" -> Fused.q20)
       else Map.empty[String, Q])
 
   val oracles: Map[String, String] = texts.map { case (n, t) => n -> wrap(t) }

@@ -101,6 +101,20 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fused TPC-H variants return exactly the SQL texts' rows") {
+    // the fused DataFrame implementations override only execution strategy;
+    // values must be bit-identical to the dialect-common SQL (which is also
+    // the oracle text)
+    def rows(q: graft.QueryDsl.Q): Set[Seq[Any]] = {
+      val df = q(spark, dir)
+      df.select(df.columns.sorted.toSeq.map(col): _*).collect().map(_.toSeq).toSet
+    }
+    Seq("tpch_q11", "tpch_q16", "tpch_q17", "tpch_q20").foreach { q =>
+      assert(rows(SparkEntry.queries(q)) ===
+        rows(graft.queries.Tpch.sqlTextQuery(q)), s"$q fused != SQL text")
+    }
+  }
+
   test("staged twins return exactly their default originals' rows") {
     // layout must never change semantics: every k-twin's row set equals its
     // default-layout original's, bit-exactly (decimal sums are associative,
