@@ -50,6 +50,12 @@ object Bench {
     "k16_staged_q01",      // TPC-H q01 over stored-unscaled i64 (vs tpch_q01)
     "k17_bucketed_q08",    // TPC-H q08 on bucketed layout (vs tpch_q08)
     "k18_fused_q14",       // TPC-H q14, part shuffle eliminated (vs tpch_q14)
+    "k19_denorm_q05",      // TPC-H q05 on the denormalized projection (vs tpch_q05)
+    "k20_denorm_q07",      // TPC-H q07 on the denormalized projection (vs tpch_q07)
+    "k21_denorm_q03",      // TPC-H q03 on the denormalized projection (vs tpch_q03)
+    "k22_denorm_q06",      // TPC-H q06 on the denormalized projection (vs tpch_q06)
+    "k23_denorm_q09",      // TPC-H q09 on the denormalized projection (vs tpch_q09)
+    "k24_denorm_q10",      // TPC-H q10 on the denormalized projection (vs tpch_q10)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery
@@ -81,7 +87,13 @@ object Bench {
     "k15_fused_q15" -> "tpch_q15",
     "k16_staged_q01" -> "tpch_q01",
     "k17_bucketed_q08" -> "tpch_q08",
-    "k18_fused_q14" -> "tpch_q14")
+    "k18_fused_q14" -> "tpch_q14",
+    "k19_denorm_q05" -> "tpch_q05",
+    "k20_denorm_q07" -> "tpch_q07",
+    "k21_denorm_q03" -> "tpch_q03",
+    "k22_denorm_q06" -> "tpch_q06",
+    "k23_denorm_q09" -> "tpch_q09",
+    "k24_denorm_q10" -> "tpch_q10")
 
   /** Fixed-work single-thread CPU probe (~2e9 xorshift64 steps). Run before
     * and after the suite; the pair makes machine drift VISIBLE IN THE
@@ -206,11 +218,13 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     // same-run layout pairs: default vs staged twin measured in THIS session
     val medians = results.map { case (k, (m, _)) => k -> m }.toMap
+    // keyed by the TWIN query (a default may have several twins, e.g.
+    // tpch_q05 has both k07 bucketed and k19 denormalized)
     val pairsJson = twinOf.toSeq.sortBy(_._2).flatMap { case (twin, dflt) =>
       (medians.get(twin), medians.get(dflt)) match {
         case (Some(t), Some(d)) if t > 0 && d > 0 =>
-          Some("\"" + dflt + "\":" +
-            f"""{"default":$d%.4f,"twin_query":"$twin","twin":$t%.4f,"delta_pct":${100.0 * (t - d) / d}%.1f}""")
+          Some("\"" + twin + "\":" +
+            f"""{"default_query":"$dflt","default":$d%.4f,"twin":$t%.4f,"delta_pct":${100.0 * (t - d) / d}%.1f}""")
         case _ => None
       }
     }.mkString("{", ",", "}")

@@ -81,6 +81,8 @@ object Plans {
       "k08_staged_q11", "k09_bucketed_q03", "k10_bucketed_q13", "k11_staged_q02",
       "k12_bucketed_q12", "k13_bucketed_q09", "k14_bucketed_q10",
       "k15_fused_q15", "k16_staged_q01", "k17_bucketed_q08", "k18_fused_q14",
+      "k19_denorm_q05", "k20_denorm_q07", "k21_denorm_q03",
+      "k22_denorm_q06", "k23_denorm_q09", "k24_denorm_q10",
       "t01_lang_id", "t08_decontaminate", "t09_repetition",
       "t11_unigram_logprob", "a02_topk_sketch", "a03_hll_union",
       "m02_decode_features", "m03_frame_sample")
@@ -195,7 +197,44 @@ object Plans {
         else if (shuffled) Seq(s"${p._1}(shuffled-bucket-join)")
         else Nil
       }
-    val violations = plans.filter(_._3.nonEmpty).map(_._1) ++
+    // Denormalized-projection contract (k19/k20): the fact is scanned ONCE,
+    // every join is a broadcast (the order/customer attributes are stored
+    // on the fact row — there is nothing left to merge), and the only
+    // shuffle in the whole plan is the final few-row aggregate.
+    // k24 is excluded from the strict set: its customer join is planned SMJ
+    // by size-blind initial planning (AQE broadcasts the per-custkey revenue
+    // aggregate at runtime); the fact-side contract (single scan, pre-agg
+    // before customer) is covered by fact_bcast + the k14 pattern.
+    val denormSet = Seq("k19_denorm_q05", "k20_denorm_q07",
+      "k21_denorm_q03", "k22_denorm_q06", "k23_denorm_q09")
+    // "raw fact rows never cross the wire": a ShuffleExchange is legitimate
+    // only when an aggregate below it bounds the payload by group count
+    // (the final group-by / ORDER BY / scalar-count exchanges); a denorm
+    // fact scan under a shuffle with NO aggregate in between is a
+    // violation (it would re-shuffle the 100 TB table the layout exists to
+    // avoid moving).
+    def rawDenormScans(p: SparkPlan): Seq[String] = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => Nil
+      case f: FileSourceScanExec =>
+        if (f.relation.location.rootPaths.mkString(",")
+            .contains("graft_dnm_")) Seq("denorm") else Nil
+      case other => other.children.flatMap(rawDenormScans)
+    }
+    val denormViolations =
+      plans.filter(p => denormSet.contains(p._1)).flatMap { p =>
+        val smj = p._5.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }
+        val shuffledRaw = p._5.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.children.flatMap(rawDenormScans)
+        }.flatten
+        (if (smj.nonEmpty) Seq(s"${p._1}(merge-join-planned)") else Nil) ++
+          (if (shuffledRaw.nonEmpty)
+             Seq(s"${p._1}(raw-fact-shuffle)")
+           else Nil)
+      }
+    val violations = plans.filter(_._3.nonEmpty).map(_._1) ++ denormViolations ++
       plans.filter(p => topkExpected(p._1) && !p._4).map(_._1) ++
       (if (t08Broadcast) Nil else Seq("t08_decontaminate(no-broadcast)")) ++
       nljViolations ++ bcastProbeViolations ++ bucketShuffleViolations
