@@ -56,6 +56,8 @@ object Bench {
     "k22_denorm_q06",      // TPC-H q06 on the denormalized projection (vs tpch_q06)
     "k23_denorm_q09",      // TPC-H q09 on the denormalized projection (vs tpch_q09)
     "k24_denorm_q10",      // TPC-H q10 on the denormalized projection (vs tpch_q10)
+    "k25_denorm_q08",      // TPC-H q08 on the denormalized projection (vs tpch_q08)
+    "k26_denorm_q14",      // TPC-H q14 on the denormalized projection (vs tpch_q14)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery
@@ -93,7 +95,9 @@ object Bench {
     "k21_denorm_q03" -> "tpch_q03",
     "k22_denorm_q06" -> "tpch_q06",
     "k23_denorm_q09" -> "tpch_q09",
-    "k24_denorm_q10" -> "tpch_q10")
+    "k24_denorm_q10" -> "tpch_q10",
+    "k25_denorm_q08" -> "tpch_q08",
+    "k26_denorm_q14" -> "tpch_q14")
 
   /** Fixed-work single-thread CPU probe (~2e9 xorshift64 steps). Run before
     * and after the suite; the pair makes machine drift VISIBLE IN THE

@@ -83,6 +83,7 @@ object Plans {
       "k15_fused_q15", "k16_staged_q01", "k17_bucketed_q08", "k18_fused_q14",
       "k19_denorm_q05", "k20_denorm_q07", "k21_denorm_q03",
       "k22_denorm_q06", "k23_denorm_q09", "k24_denorm_q10",
+      "k25_denorm_q08", "k26_denorm_q14",
       "t01_lang_id", "t08_decontaminate", "t09_repetition",
       "t11_unigram_logprob", "a02_topk_sketch", "a03_hll_union",
       "m02_decode_features", "m03_frame_sample")
@@ -206,7 +207,8 @@ object Plans {
     // aggregate at runtime); the fact-side contract (single scan, pre-agg
     // before customer) is covered by fact_bcast + the k14 pattern.
     val denormSet = Seq("k19_denorm_q05", "k20_denorm_q07",
-      "k21_denorm_q03", "k22_denorm_q06", "k23_denorm_q09")
+      "k21_denorm_q03", "k22_denorm_q06", "k23_denorm_q09",
+      "k25_denorm_q08", "k26_denorm_q14")
     // "raw fact rows never cross the wire": a ShuffleExchange is legitimate
     // only when an aggregate below it bounds the payload by group count
     // (the final group-by / ORDER BY / scalar-count exchanges); a denorm

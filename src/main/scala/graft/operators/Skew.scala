@@ -205,8 +205,9 @@ object Skew {
     (tps, tpt)
   }
 
-  /** Denormalized lineitem projection: the order date and the customer's
-    * nation/segment are folded INTO the fact row at ingest, and the table is
+  /** Denormalized lineitem projection: the order date, the customer's
+    * nation/segment and the part type are folded INTO the fact row at
+    * ingest, and the table is
     * range-partitioned + sorted by o_orderdate so both o_orderdate and
     * l_shipdate predicates prune row groups via zone maps (shipdate trails
     * orderdate by 1–121 days, so sorting one nearly sorts the other). The
@@ -249,13 +250,16 @@ object Skew {
           col("o_custkey").as("l_custkey"),
           col("c_nationkey").as("l_cnation"),
           col("c_mktsegment").as("l_cmkt"))
+      val ptype = t(spark, dir, "part")
+        .select(col("p_partkey").as("dn_pk"), col("p_type").as("l_ptype"))
       t(spark, dir, "lineitem")
         .join(ordCust, col("l_orderkey") === col("dn_ok"), "left")
+        .join(ptype, col("l_partkey") === col("dn_pk"), "left")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"),
           col("l_shipdate"), col("l_returnflag"),
           col("o_orderdate"), col("l_custkey"), col("l_cnation"),
-          col("l_cmkt"),
+          col("l_cmkt"), col("l_ptype"),
           (expr("to_unscaled64(l_extendedprice, 12, 4)") *
             (lit(10000L) - expr("to_unscaled64(l_discount, 6, 4)")))
             .as("l_rev_u"),
@@ -980,6 +984,58 @@ object Skew {
           col("c_comment"))
         .orderBy(desc("revenue"), asc("c_custkey"))
         .limit(20)
+    },
+
+    // TPC-H q08 on the denormalized projection: the 8-way join is one
+    // fact scan — the 2-year window prunes via the sort key, the STANDARD
+    // part-type filter hits the STORED (dictionary-encoded) l_ptype at the
+    // scan, the AMERICA-customer constraint is a broadcast semi against the
+    // stored l_cnation, and the supplier nation broadcasts. The only
+    // shuffle is the |years|-row final aggregate. Same values as tpch_q08
+    // (shared oracle; k17 is the bucketed variant of the same query).
+    "k25_denorm_q08" -> { (s, dir) =>
+      val tdn = writeDenormLineitem(s, dir, defaultBuckets)
+      graft.functions.DecimalFunctions.register(s)
+      val amKeys = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val supN2 = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      s.table(tdn)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <= lit("1997-12-31 00:00:00").cast("timestamp") &&
+          col("l_ptype") === "STANDARD")
+        .select(col("l_suppkey"), col("l_cnation"), col("o_orderdate"),
+          col("l_rev_u"))
+        .join(broadcast(amKeys), col("l_cnation") === col("n_nationkey"),
+          "leftsemi")
+        .join(broadcast(supN2), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          expr("sum_unscaled128(CASE WHEN nation = 'NATION_3' THEN l_rev_u ELSE 0L END, 8, 4)") /
+            expr("sum_unscaled128(l_rev_u, 8, 4)"), 6).as("mkt_share"))
+        .orderBy(asc("o_year"))
+    },
+
+    // TPC-H q14 on the denormalized projection: the promo-share month is
+    // ~1/80 of the table and prunes via the sort key; p_type is stored on
+    // the fact row (the part join becomes a null check — exact for the
+    // unique-key left join), so the whole query is one pruned scan + an
+    // ungrouped conditional sum over stored unscaled i64. ZERO joins, zero
+    // shuffles beyond the single-partition reduce. Same values as tpch_q14
+    // (shared oracle; k18 is the aggregate-broadcast variant).
+    "k26_denorm_q14" -> { (s, dir) =>
+      val tdn = writeDenormLineitem(s, dir, defaultBuckets)
+      graft.functions.DecimalFunctions.register(s)
+      s.table(tdn)
+        .filter(col("l_shipdate") >= lit("1996-09-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01 00:00:00").cast("timestamp") &&
+          col("l_ptype").isNotNull)
+        .agg(round(lit(100.0) *
+          expr("sum_unscaled128(CASE WHEN l_ptype LIKE 'PROMO%' THEN l_rev_u ELSE 0L END, 8, 4)") /
+          expr("sum_unscaled128(l_rev_u, 8, 4)"), 6).as("promo_revenue"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -1018,5 +1074,7 @@ object Skew {
     "k21_denorm_q03" -> graft.queries.Tpch.oracles("tpch_q03"),
     "k22_denorm_q06" -> graft.queries.Tpch.oracles("tpch_q06"),
     "k23_denorm_q09" -> graft.queries.Tpch.oracles("tpch_q09"),
-    "k24_denorm_q10" -> graft.queries.Tpch.oracles("tpch_q10"))
+    "k24_denorm_q10" -> graft.queries.Tpch.oracles("tpch_q10"),
+    "k25_denorm_q08" -> graft.queries.Tpch.oracles("tpch_q08"),
+    "k26_denorm_q14" -> graft.queries.Tpch.oracles("tpch_q14"))
 }
