@@ -58,6 +58,7 @@ object Bench {
     "k24_denorm_q10",      // TPC-H q10 on the denormalized projection (vs tpch_q10)
     "k25_denorm_q08",      // TPC-H q08 on the denormalized projection (vs tpch_q08)
     "k26_denorm_q14",      // TPC-H q14 on the denormalized projection (vs tpch_q14)
+    "k27_bucketed_q22",    // TPC-H q22 on the custkey-bucketed layout (vs tpch_q22)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery
@@ -97,7 +98,8 @@ object Bench {
     "k23_denorm_q09" -> "tpch_q09",
     "k24_denorm_q10" -> "tpch_q10",
     "k25_denorm_q08" -> "tpch_q08",
-    "k26_denorm_q14" -> "tpch_q14")
+    "k26_denorm_q14" -> "tpch_q14",
+    "k27_bucketed_q22" -> "tpch_q22")
 
   /** Fixed-work single-thread CPU probe (~2e9 xorshift64 steps). Run before
     * and after the suite; the pair makes machine drift VISIBLE IN THE

@@ -83,7 +83,7 @@ object Plans {
       "k15_fused_q15", "k16_staged_q01", "k17_bucketed_q08", "k18_fused_q14",
       "k19_denorm_q05", "k20_denorm_q07", "k21_denorm_q03",
       "k22_denorm_q06", "k23_denorm_q09", "k24_denorm_q10",
-      "k25_denorm_q08", "k26_denorm_q14",
+      "k25_denorm_q08", "k26_denorm_q14", "k27_bucketed_q22",
       "t01_lang_id", "t08_decontaminate", "t09_repetition",
       "t11_unigram_logprob", "a02_topk_sketch", "a03_hll_union",
       "m02_decode_features", "m03_frame_sample")
@@ -181,7 +181,8 @@ object Plans {
       "k12_bucketed_q12" -> "orderkey",
       "k13_bucketed_q09" -> "orderkey",
       "k14_bucketed_q10" -> "orderkey",
-      "k17_bucketed_q08" -> "orderkey")
+      "k17_bucketed_q08" -> "orderkey",
+      "k27_bucketed_q22" -> "custkey")
     val bucketShuffleViolations =
       plans.filter(p => bucketKeyOf.contains(p._1)).flatMap { p =>
         val key = bucketKeyOf(p._1)

@@ -266,9 +266,19 @@ object Skew {
           expr("to_unscaled64(l_extendedprice, 12, 4)").as("l_price_u"),
           expr("to_unscaled64(l_discount, 6, 4)").as("l_disc_u"),
           expr("to_unscaled64(l_quantity, 6, 4)").as("l_qty_u"))
-        .repartitionByRange(nParts, col("o_orderdate"), col("l_orderkey"))
-        .sortWithinPartitions(col("o_orderdate"), col("l_shipdate"))
+        // Two-level zone-map layout (the fixtures generate l_shipdate
+        // INDEPENDENT of o_orderdate — corr ≈ 0 measured — so one sort key
+        // cannot serve both date families): files are range-partitioned by
+        // o_orderdate (file-level zone maps prune the q05/q08/q10 windows),
+        // rows within each file are sorted by l_shipdate into small row
+        // groups (row-group zone maps prune the q06/q07/q14 windows inside
+        // every surviving file). 4 files/core keeps file-level pruning at
+        // ~1% granularity while tasks stay ≫ scheduling cost; 16 MB row
+        // groups give ~4-8 shipdate zones per file.
+        .repartitionByRange(nParts * 4, col("o_orderdate"), col("l_orderkey"))
+        .sortWithinPartitions(col("l_shipdate"), col("o_orderdate"))
         .write.mode("overwrite").format("parquet")
+        .option("parquet.block.size", (16L << 20).toString)
         .saveAsTable(tdn)
     }
     tdn
@@ -1036,6 +1046,36 @@ object Skew {
         .agg(round(lit(100.0) *
           expr("sum_unscaled128(CASE WHEN l_ptype LIKE 'PROMO%' THEN l_rev_u ELSE 0L END, 8, 4)") /
           expr("sum_unscaled128(l_rev_u, 8, 4)"), 6).as("promo_revenue"))
+    },
+
+    // TPC-H q22 on the custkey-bucketed layout: the synthesized phone
+    // prefix is CAST(10 + c_nationkey AS STRING), so the country-code IN
+    // list is a nationkey filter that reaches the scan; the global-average
+    // threshold broadcasts (1 row); and the NOT EXISTS anti join against
+    // big-ticket orders is a CO-LOCATED merge on the bucket key — neither
+    // table is ever shuffled. Same values as tpch_q22 (shared oracle).
+    "k27_bucketed_q22" -> { (s, dir) =>
+      val (to, tc) = writeBucketed(s, dir, defaultBuckets)
+      // '13','31','23','29','30','18','17' as (prefix - 10) nation keys
+      val keys = Seq(3, 21, 13, 19, 20, 8, 7)
+      val cand = s.table(tc)
+        .filter(col("c_nationkey").isin(keys: _*))
+        .select(col("c_custkey"), col("c_acctbal"),
+          (col("c_nationkey") + 10).cast(StringType).as("cntrycode"))
+      val thr = s.table(tc)
+        .filter(col("c_nationkey").isin(keys: _*) && col("c_acctbal") > 0.0)
+        .agg((sumd(dmoney(col("c_acctbal"))) / count(lit(1))).as("thr"))
+      val bigOrders = s.table(to)
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      cand
+        .join(broadcast(thr), col("c_acctbal") > col("thr"))
+        .join(bigOrders.hint("merge"),
+          col("c_custkey") === col("o_custkey"), "leftanti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sumd(dmoney(col("c_acctbal"))).as("totacctbal"))
+        .orderBy("cntrycode")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1076,5 +1116,6 @@ object Skew {
     "k23_denorm_q09" -> graft.queries.Tpch.oracles("tpch_q09"),
     "k24_denorm_q10" -> graft.queries.Tpch.oracles("tpch_q10"),
     "k25_denorm_q08" -> graft.queries.Tpch.oracles("tpch_q08"),
-    "k26_denorm_q14" -> graft.queries.Tpch.oracles("tpch_q14"))
+    "k26_denorm_q14" -> graft.queries.Tpch.oracles("tpch_q14"),
+    "k27_bucketed_q22" -> graft.queries.Tpch.oracles("tpch_q22"))
 }
