@@ -26,8 +26,13 @@ def main():
     for name in sorted(proxy["queries"]):
         p = proxy["queries"][name]
         d = q.get(name, -1)
+        if d <= 0:
+            # Bench records -1 for a missing/failed query; letting it flow
+            # into min() would silently shrink the composites.
+            sys.exit(f"ERROR: default query {name!r} missing or failed in "
+                     f"bench.json (recorded {d}); refusing to report.")
         tw = min(twins.get(name, []), key=lambda t: t[1], default=None)
-        best = min([d] + ([tw[1]] if tw else []))
+        best = min([d] + ([tw[1]] if tw and tw[1] > 0 else []))
         rows.append((name, p, d, tw, best))
     print(f"{'query':10} {'proxy':>7} {'default':>8} {'d/p':>5} "
           f"{'best twin':>16} {'twin':>7} {'t/p':>5} {'best/p':>6}")

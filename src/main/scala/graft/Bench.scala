@@ -59,6 +59,10 @@ object Bench {
     "k25_denorm_q08",      // TPC-H q08 on the denormalized projection (vs tpch_q08)
     "k26_denorm_q14",      // TPC-H q14 on the denormalized projection (vs tpch_q14)
     "k27_bucketed_q22",    // TPC-H q22 on the custkey-bucketed layout (vs tpch_q22)
+    "k28_fused_q11",       // TPC-H q11 fused single-pass program (vs tpch_q11)
+    "k29_fused_q16",       // TPC-H q16 fused generator-filter program (vs tpch_q16)
+    "k30_fused_q17",       // TPC-H q17 fused single-scan program (vs tpch_q17)
+    "k31_fused_q20",       // TPC-H q20 fused red-slice program (vs tpch_q20)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery
@@ -99,7 +103,11 @@ object Bench {
     "k24_denorm_q10" -> "tpch_q10",
     "k25_denorm_q08" -> "tpch_q08",
     "k26_denorm_q14" -> "tpch_q14",
-    "k27_bucketed_q22" -> "tpch_q22")
+    "k27_bucketed_q22" -> "tpch_q22",
+    "k28_fused_q11" -> "tpch_q11",
+    "k29_fused_q16" -> "tpch_q16",
+    "k30_fused_q17" -> "tpch_q17",
+    "k31_fused_q20" -> "tpch_q20")
 
   /** Fixed-work single-thread CPU probe (~2e9 xorshift64 steps). Run before
     * and after the suite; the pair makes machine drift VISIBLE IN THE

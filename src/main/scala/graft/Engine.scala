@@ -142,6 +142,14 @@ object Engine {
     if (!opts.contains(graft.functions.DecimalSumRewrite))
       spark.experimental.extraOptimizations =
         opts :+ graft.functions.DecimalSumRewrite
+    // generator cross-join reorder: push selective joins below tiny
+    // constant cross joins (see plans/PushJoinThroughTinyCross.scala) —
+    // this is what lets the pure SQL texts of tpch_q16/q20 earn the
+    // filtered-generator plan the fused twins hand-build
+    val opts1 = spark.experimental.extraOptimizations
+    if (!opts1.contains(graft.plans.PushJoinThroughTinyCross))
+      spark.experimental.extraOptimizations =
+        opts1 :+ graft.plans.PushJoinThroughTinyCross
     val opts2 = spark.experimental.extraOptimizations
     // runs after Spark's InjectRuntimeFilter (extraOptimizations are the
     // final optimizer batch): removes injected blooms whose creation-side

@@ -17,6 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Tpcds.queries ++
       graft.queries.Tpch.queries ++
+      graft.queries.Tpch.fusedTwins ++
       graft.queries.Relational.queries ++
       graft.queries.Windows.queries ++
       graft.queries.Aggregates.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Tpcds.oracles ++
       graft.queries.Tpch.oracles ++
+      graft.queries.Tpch.fusedTwinOracles ++
       graft.queries.Relational.oracles ++
       graft.queries.Windows.oracles ++
       graft.queries.Aggregates.oracles ++

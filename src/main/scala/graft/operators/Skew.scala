@@ -207,10 +207,14 @@ object Skew {
 
   /** Denormalized lineitem projection: the order date, the customer's
     * nation/segment and the part type are folded INTO the fact row at
-    * ingest, and the table is
-    * range-partitioned + sorted by o_orderdate so both o_orderdate and
-    * l_shipdate predicates prune row groups via zone maps (shipdate trails
-    * orderdate by 1–121 days, so sorting one nearly sorts the other). The
+    * ingest, and the table uses a TWO-LEVEL zone-map layout: files are
+    * range-partitioned by o_orderdate (file-level zone maps prune the
+    * o_orderdate windows), while rows WITHIN each file are sorted by
+    * l_shipdate (row-group zone maps prune the l_shipdate windows inside
+    * the surviving files). The fixtures generate l_shipdate independently
+    * of o_orderdate, so a single o_orderdate sort would NOT make shipdate
+    * predicates prunable — both levels are needed (see the measured note
+    * at the .sortWithinPartitions call below). The
     * per-row revenue extendedprice*(1-discount) is stored as an exact
     * unscaled i64 at scale 8 (price_u(4) × (1-disc)_u(4); |row| < 1e14 —
     * exact), so revenue aggregation is a pure long-sum kernel.
@@ -1043,6 +1047,11 @@ object Skew {
     // ungrouped conditional sum over stored unscaled i64. ZERO joins, zero
     // shuffles beyond the single-partition reduce. Same values as tpch_q14
     // (shared oracle; k18 is the aggregate-broadcast variant).
+    // ASSUMPTION (oracle-gated): `l_ptype IS NOT NULL` stands in for "the
+    // left join matched a part row", which is exact only while part.p_type
+    // is never null — true of the TPC-H spec and these fixtures. If null
+    // p_type ever becomes possible, store a separate dn_pk-matched boolean
+    // at ingest instead (same caveat applies to k25's l_ptype equality).
     "k26_denorm_q14" -> { (s, dir) =>
       val tdn = writeDenormLineitem(s, dir, defaultBuckets)
       graft.functions.DecimalFunctions.register(s)

@@ -195,7 +195,28 @@ object PruneWeakBloom extends Rule[LogicalPlan] with PredicateHelper {
     case (v: Double, _) => Some(v)
     case (v: Float, _) => Some(v.toDouble)
     case (v: Decimal, _) => Some(v.toDouble)
+    case (v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      Some(bytesToUnitDouble(v.getBytes))
     case _ => None
+  }
+
+  /** Lexicographic prefix embedding of a byte string into [0, 1): the first
+    * 7 bytes as a base-256 fraction. Order-preserving up to the prefix, so
+    * uniform-range estimation works on string columns the same way it does
+    * on numeric ones (parquet BINARY footers carry min/max byte strings).
+    * A 7-byte prefix (56 bits, slightly past a double's 53-bit mantissa) is
+    * plenty: the estimate feeds a 25% selectivity gate, so sub-ulp rounding
+    * in the last prefix byte is irrelevant. */
+  private[graft] def bytesToUnitDouble(bytes: Array[Byte]): Double = {
+    var v = 0.0
+    var scale = 1.0 / 256.0
+    var i = 0
+    while (i < bytes.length && i < 7) {
+      v += (bytes(i) & 0xff) * scale
+      scale /= 256.0
+      i += 1
+    }
+    v
   }
 
   /** (min, max) of a top-level primitive column across every file of the
@@ -271,6 +292,15 @@ object PruneWeakBloom extends Rule[LogicalPlan] with PredicateHelper {
         case (mn: Number, mx: Number) => Some((mn.doubleValue(), mx.doubleValue()))
         case _ => None
       }
-    case _ => None // binary/bool/int96: no usable ordering for ranges
+    case PrimitiveTypeName.BINARY =>
+      // string/binary min-max: order-preserving prefix embedding (same
+      // encoding litToDouble applies to the predicate's string literals)
+      (st.genericGetMin, st.genericGetMax) match {
+        case (mn: org.apache.parquet.io.api.Binary,
+            mx: org.apache.parquet.io.api.Binary) =>
+          Some((bytesToUnitDouble(mn.getBytes), bytesToUnitDouble(mx.getBytes)))
+        case _ => None
+      }
+    case _ => None // bool/int96: no usable ordering for ranges
   }
 }

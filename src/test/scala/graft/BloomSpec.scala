@@ -59,6 +59,47 @@ class BloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sel.contains(0.05), s"estimate was $sel")
   }
 
+  private lazy val synthStrPath: String = {
+    val p = "target/tmp/bloomspec_synth_str.parquet"
+    import spark.implicits._
+    // s uniform over the 16 single chars 'a'..'p' — linear in the
+    // lexicographic prefix embedding, so the uniform-range estimate is
+    // exact up to the discrete-vs-continuous boundary effect
+    (0L until 1600L).toDF("x")
+      .withColumn("s", expr("char(ascii('a') + x % 16)"))
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("bloom prune: string range estimated from BINARY footer min/max") {
+    // footer range ['a','p'] (15 embedding steps); s >= 'm' spans 3 of
+    // them -> continuous-uniform estimate 3/15 = 0.20 (true discrete mass
+    // 4/16 = 0.25; the gate only needs the order of magnitude)
+    val df = spark.read.parquet(synthStrPath).filter(col("s") >= "m")
+    val sel = PruneWeakBloom.creationSelectivity(planOf(df))
+    assert(sel.isDefined, "string range should be estimable from footers")
+    assert(math.abs(sel.get - 0.2) < 0.01, s"estimate was $sel")
+  }
+
+  test("bloom prune: weak string-range bloom removed, strong one kept") {
+    def join(s: SparkSession, cut: String) = {
+      val dim = s.read.parquet(synthStrPath).filter(col("s") >= lit(cut))
+        .select(col("x").as("k"))
+      s.read.parquet(synthPath).join(dim, col("x") === col("k"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val off = bloomSession(prune = false)
+    assert(bloomCount(join(off, "b")) >= 1,
+      "expected InjectRuntimeFilter to fire on the string-filtered side")
+    val on = bloomSession(prune = true)
+    assert(bloomCount(join(on, "b")) === 0,
+      "s >= 'b' keeps ~93% -> bloom should be pruned")
+    assert(bloomCount(join(on, "p")) >= 1,
+      "s >= 'p' keeps ~7% -> bloom should survive")
+    // values unchanged by the prune
+    assert(join(on, "b").collect().toSeq === join(off, "b").collect().toSeq)
+  }
+
   test("bloom prune: non-estimable conjunct keeps the bloom (None)") {
     val df = spark.read.parquet(synthPath).filter(col("x") % 2 === 0)
     assert(PruneWeakBloom.creationSelectivity(planOf(df)).isEmpty)

@@ -24,6 +24,13 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     "tpch_q02", "tpch_q07", "tpch_q11", "tpch_q20", "tpch_q21",
     // staged-layout twins: same selective filters as their tpch originals
     "k03_bucketed_q21", "k08_staged_q11", "k11_staged_q02",
+    // denorm twin of tpch_q07 (same NATION_5/NATION_10 pair, which has
+    // zero suppliers in the 10-supplier sf0.001 fixture; 4 rows +
+    // hash-match at the sf0.01 oracle gate)
+    "k20_denorm_q07",
+    // fused strategy twins of tpch_q11/q20: identical NATION_7 / NATION_4
+    // supplier filters, empty at sf0.001 for the same fixture reason
+    "k28_fused_q11", "k31_fused_q20",
     // q06 HAVING count>=10, q19 selective manager+zip filter
     "tpcds_q06", "tpcds_q19",
     // HAVING count>100 (q27/q28), OFFSET 10 past the tiny group count
@@ -101,17 +108,19 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("fused TPC-H variants return exactly the SQL texts' rows") {
-    // the fused DataFrame implementations override only execution strategy;
-    // values must be bit-identical to the dialect-common SQL (which is also
-    // the oracle text)
+  test("fused TPC-H twins (k28-k31) return exactly the SQL texts' rows") {
+    // the fused DataFrame twins override only execution strategy; values
+    // must be bit-identical to the dialect-common SQL (which is also the
+    // oracle text). The tpch_q* defaults themselves are ALWAYS the
+    // Catalyst-planned SQL texts (round-9 verdict boundary fix).
     def rows(q: graft.QueryDsl.Q): Set[Seq[Any]] = {
       val df = q(spark, dir)
       df.select(df.columns.sorted.toSeq.map(col): _*).collect().map(_.toSeq).toSet
     }
-    Seq("tpch_q11", "tpch_q16", "tpch_q17", "tpch_q20").foreach { q =>
-      assert(rows(SparkEntry.queries(q)) ===
-        rows(graft.queries.Tpch.sqlTextQuery(q)), s"$q fused != SQL text")
+    graft.queries.Tpch.fusedTwins.foreach { case (name, fused) =>
+      val dflt = "tpch_" + name.takeRight(3)
+      assert(rows(fused) === rows(graft.queries.Tpch.sqlTextQuery(dflt)),
+        s"$name fused != $dflt SQL text")
     }
   }
 
