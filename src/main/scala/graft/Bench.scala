@@ -70,8 +70,10 @@ object Bench {
     // store-average filter, window deviation, class revenue share
     Seq("tpcds_q01", "tpcds_q09", "tpcds_q25", "tpcds_q36",
       "tpcds_q59", "tpcds_q65", "tpcds_q89", "tpcds_q98") ++
-    // ClickBench ports: 90-sum wide aggregate, heavy high-cardinality group
-    Seq("cbx_q29", "cbx_q32")
+    // ClickBench ports: 90-sum wide aggregate, heavy high-cardinality
+    // groups — defaults plus their staged-hits layout twins
+    Seq("cbx_q29", "cbx_q32", "cbx_q33",
+      "k32_staged_cbx29", "k33_staged_cbx32", "k34_staged_cbx33")
 
   /** Staged-layout twins vs their default-layout originals: same oracle,
     * different physical layout. Emitted as first-class same-run pairs in
@@ -107,7 +109,10 @@ object Bench {
     "k28_fused_q11" -> "tpch_q11",
     "k29_fused_q16" -> "tpch_q16",
     "k30_fused_q17" -> "tpch_q17",
-    "k31_fused_q20" -> "tpch_q20")
+    "k31_fused_q20" -> "tpch_q20",
+    "k32_staged_cbx29" -> "cbx_q29",
+    "k33_staged_cbx32" -> "cbx_q32",
+    "k34_staged_cbx33" -> "cbx_q33")
 
   /** Fixed-work single-thread CPU probe (~2e9 xorshift64 steps). Run before
     * and after the suite; the pair makes machine drift VISIBLE IN THE
@@ -197,7 +202,9 @@ object Bench {
       System.gc()
     }
 
-    val nRuns = 5
+    // timed runs per query (median reported); override for long sf100-scale
+    // runs where 5 medianed runs would push the suite past the session
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(5)
     val results = selected.map { name =>
       val r = try {
         val s = spark.newSession()

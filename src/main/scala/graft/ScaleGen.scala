@@ -240,20 +240,14 @@ object ScaleGen {
     val spark = Engine.session(appName = s"graft-scalegen-sf$sf")
     try {
       tables.foreach { t =>
-        val df = gen(spark, t, sf)
-        // Fact tables must yield at least one input split per core: Spark
-        // only splits parquet at file boundaries below maxPartitionBytes
-        // (128 MB), so 8×15 MB files = 8 tasks on 32 cores — a 4× scan
-        // parallelism loss vs a row-group-parallel reader. A cluster
-        // writer produces many files per table for the same reason.
-        val parts = t match {
-          case "lineitem" | "orders" | "events" =>
-            math.max(Engine.defaultCpus, (sf * 8).toInt)
-          case "customer" | "part" | "documents" | "embeddings" =>
-            math.max(4, sf.toInt)
-          case _ => 1
-        }
-        df.repartition(parts)
+        // Every column is a pure function of the range id, so the write
+        // needs NO shuffle: the range's own partitions (one per core)
+        // stream straight to parquet. The old `.repartition(parts)` here
+        // shuffled the entire table first — at sf100 lineitem that is a
+        // ~100 GB spill that filled the disk for zero value (values are
+        // id-derived either way, and files over 128 MB split at row-group
+        // boundaries on read, so scan parallelism is preserved).
+        gen(spark, t, sf)
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
         println(s"wrote $out/$t.parquet")
       }

@@ -39,6 +39,7 @@ object SparkEntry {
       graft.sources.TpchGen.queries ++
       graft.operators.Skew.queries ++
       graft.operators.Skew.bucketedQueries ++
+      graft.operators.CbxLayout.queries ++
       graft.functions.Aggregators.queries ++
       graft.streaming.Streaming.queries ++
       graft.streaming.Streaming.joinQueries
@@ -67,6 +68,7 @@ object SparkEntry {
       graft.sources.ParquetMeta.oracles ++
       graft.sources.TpchGen.oracles ++
       graft.operators.Skew.oracles ++
+      graft.operators.CbxLayout.oracles ++
       graft.functions.Aggregators.oracles ++
       graft.streaming.Streaming.oracles
 }

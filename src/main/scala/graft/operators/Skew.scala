@@ -256,14 +256,20 @@ object Skew {
           col("c_mktsegment").as("l_cmkt"))
       val ptype = t(spark, dir, "part")
         .select(col("p_partkey").as("dn_pk"), col("p_type").as("l_ptype"))
+      // supplier nation folded in like the customer's: one more i32 turns
+      // the q05-family supplier join into a stored-column predicate
+      val snat = t(spark, dir, "supplier")
+        .select(col("s_suppkey").as("dn_sk"),
+          col("s_nationkey").as("l_snation"))
       t(spark, dir, "lineitem")
         .join(ordCust, col("l_orderkey") === col("dn_ok"), "left")
         .join(ptype, col("l_partkey") === col("dn_pk"), "left")
+        .join(broadcast(snat), col("l_suppkey") === col("dn_sk"), "left")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"),
           col("l_shipdate"), col("l_returnflag"),
           col("o_orderdate"), col("l_custkey"), col("l_cnation"),
-          col("l_cmkt"), col("l_ptype"),
+          col("l_cmkt"), col("l_ptype"), col("l_snation"),
           (expr("to_unscaled64(l_extendedprice, 12, 4)") *
             (lit(10000L) - expr("to_unscaled64(l_discount, 6, 4)")))
             .as("l_rev_u"),
@@ -837,27 +843,30 @@ object Skew {
     "k19_denorm_q05" -> { (s, dir) =>
       val tdn = writeDenormLineitem(s, dir, defaultBuckets)
       graft.functions.DecimalFunctions.register(s)
-      val supNR = t(s, dir, "supplier")
-        .join(t(s, dir, "nation")
-            .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
-              col("n_regionkey") === col("r_regionkey")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      // With the supplier nation STORED on the fact row (l_snation), the
+      // whole query is scan-side predicates: orderdate window (zone-map
+      // pruned), supplier-nation ∈ ASIA (5-key IN, pushed to the scan),
+      // customer nation = supplier nation (row-local comparison). The ONLY
+      // join left is mapping 5 aggregated nation keys to names. Round-9
+      // k19 still probed a broadcast (suppkey, nationkey) composite per
+      // row — measured as its residual cost at sf10 (2.03x proxy). The
+      // 5-row region-dim collect() below turns the nation filter into
+      // scan-pushable IN literals — the bounded-dim enumeration pattern,
+      // not a driver-side data loop.
+      val asiaN = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val asiaKeys = asiaN.select("n_nationkey").collect().map(_.getInt(0))
       s.table(tdn)
         .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
-        .select(col("l_suppkey"), col("l_cnation"), col("l_rev_u"))
-        // cheap single-int semi against the 5 ASIA nation keys first: it
-        // drops ~4/5 of the pruned rows before the expensive composite
-        // (suppkey, nationkey) probe (measured: the 2-key probe over the
-        // full window dominated the twin at sf30)
-        .join(broadcast(supNR.select(col("s_nationkey").as("asia_nk"))
-            .distinct()),
-          col("l_cnation") === col("asia_nk"), "leftsemi")
-        .join(broadcast(supNR), col("l_suppkey") === col("s_suppkey") &&
-          col("l_cnation") === col("s_nationkey"))
-        .groupBy(col("n_name"))
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_snation").isin(asiaKeys.map(k => k: Any): _*) &&
+          col("l_cnation") === col("l_snation"))
+        .groupBy(col("l_snation"))
         .agg(expr("sum_unscaled128(l_rev_u, 8, 4)").as("revenue"))
+        .join(broadcast(asiaN), col("l_snation") === col("n_nationkey"))
+        .select(col("n_name"), col("revenue"))
         .orderBy(desc("revenue"))
     },
 
@@ -873,23 +882,30 @@ object Skew {
       val tdn = writeDenormLineitem(s, dir, defaultBuckets)
       graft.functions.DecimalFunctions.register(s)
       val twoN = Seq("NATION_5", "NATION_10")
-      val supN = t(s, dir, "supplier")
-        .join(t(s, dir, "nation").filter(col("n_name").isin(twoN: _*)),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-      val custN = t(s, dir, "nation").filter(col("n_name").isin(twoN: _*))
-        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      // nation-name literals for the two keys (bounded-dim enumeration:
+      // 2 rows), so BOTH nation constraints become scan-pushable IN
+      // filters on stored i32 columns and the mixed-pair inequality is a
+      // row-local integer compare — zero joins before the ≤|2 pairs×years|
+      // aggregate, names attached to the aggregated keys at the end.
+      val nk = t(s, dir, "nation").filter(col("n_name").isin(twoN: _*))
+        .select(col("n_nationkey"), col("n_name"))
+      val keys = nk.collect().map(r => r.getInt(0))
+      val names = nk
       s.table(tdn)
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
-          col("l_shipdate") <= lit("1997-12-31 00:00:00").cast("timestamp"))
-        .select(col("l_suppkey"), col("l_cnation"), col("l_shipdate"),
-          col("l_rev_u"))
-        .join(broadcast(custN), col("l_cnation") === col("cnk"))
-        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
-        .filter(col("supp_nation") =!= col("cust_nation"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
+          col("l_shipdate") <= lit("1997-12-31 00:00:00").cast("timestamp") &&
+          col("l_snation").isin(keys.map(k => k: Any): _*) &&
+          col("l_cnation").isin(keys.map(k => k: Any): _*) &&
+          col("l_snation") =!= col("l_cnation"))
+        .groupBy(col("l_snation"), col("l_cnation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(expr("sum_unscaled128(l_rev_u, 8, 4)").as("revenue"))
+        .join(broadcast(names.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("l_snation") === col("snk"))
+        .join(broadcast(names.select(col("n_nationkey").as("cnk2"),
+          col("n_name").as("cust_nation"))), col("l_cnation") === col("cnk2"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          col("revenue"))
         .orderBy(asc("supp_nation"), asc("cust_nation"), asc("l_year"))
     },
 

@@ -86,6 +86,18 @@ object ClickBench {
     .map(i => s"CAST(SUM(ResolutionWidth + $i) AS BIGINT) AS s$i")
     .mkString(", ")
 
+  /** The hits synthesis as a standalone SELECT (for staging the table once
+    * at ingest, `operators/Skew.writeStagedHits`) and the query texts —
+    * exposed so the staged-layout twins can run the SAME texts against a
+    * stored, sorted hits table instead of the per-query projection view. */
+  private[graft] def hitsSelect: String = {
+    val inner = hitsCte.substring(
+      hitsCte.indexOf('(') + 1, hitsCte.lastIndexOf(')'))
+    inner
+  }
+
+  private[graft] def text(name: String): String = texts(name)
+
   private val texts: Map[String, String] = Map(
     "cbx_q00" -> "SELECT COUNT(*) AS c FROM hits",
     "cbx_q01" -> "SELECT COUNT(*) AS c FROM hits WHERE AdvEngineID <> 0",
