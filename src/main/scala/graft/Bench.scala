@@ -71,9 +71,11 @@ object Bench {
     Seq("tpcds_q01", "tpcds_q09", "tpcds_q25", "tpcds_q36",
       "tpcds_q59", "tpcds_q65", "tpcds_q89", "tpcds_q98") ++
     // ClickBench ports: 90-sum wide aggregate, heavy high-cardinality
-    // groups — defaults plus their staged-hits layout twins
-    Seq("cbx_q29", "cbx_q32", "cbx_q33",
-      "k32_staged_cbx29", "k33_staged_cbx32", "k34_staged_cbx33")
+    // group, and the synthesized-string-hot queries with their staged-hits
+    // layout twins (see operators/CbxLayout.scala for the selection)
+    Seq("cbx_q29", "cbx_q32", "cbx_q08", "cbx_q09", "cbx_q10",
+      "k32_staged_cbx29", "k33_staged_cbx10", "k34_staged_cbx09",
+      "k35_staged_cbx08")
 
   /** Staged-layout twins vs their default-layout originals: same oracle,
     * different physical layout. Emitted as first-class same-run pairs in
@@ -111,8 +113,9 @@ object Bench {
     "k30_fused_q17" -> "tpch_q17",
     "k31_fused_q20" -> "tpch_q20",
     "k32_staged_cbx29" -> "cbx_q29",
-    "k33_staged_cbx32" -> "cbx_q32",
-    "k34_staged_cbx33" -> "cbx_q33")
+    "k33_staged_cbx10" -> "cbx_q10",
+    "k34_staged_cbx09" -> "cbx_q09",
+    "k35_staged_cbx08" -> "cbx_q08")
 
   /** Fixed-work single-thread CPU probe (~2e9 xorshift64 steps). Run before
     * and after the suite; the pair makes machine drift VISIBLE IN THE
@@ -257,10 +260,21 @@ object Bench {
     // bench JSON was truncated by the driver's stdout-tail capture because
     // the runs arrays doubled the line length); the full record including
     // per-run values goes to a file the driver/judge can read whole.
-    val summary =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","queries":$qs,"pairs":$pairsJson,"drift":$driftJson,"sf":"$sfDir"}"""
     val full =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","queries":$qs,"pairs":$pairsJson,"drift":$driftJson,"runs":$runsJson,"sf":"$sfDir"}"""
+    // stdout gets a line that FITS THE DRIVER'S 2000-CHAR TAIL CAPTURE:
+    // round 3 lost the artifact to per-run arrays, round 9 lost it again
+    // when the pairs map pushed the line past 2000 chars (BENCH_r09.json
+    // shipped "parsed": null). Per-query medians at 3 decimals, no
+    // pairs/drift/runs — those live in target/bench.json, which the
+    // end-of-round snapshot commits as bench/ artifacts.
+    val qsCompact = results.map { case (k, (m, _)) => "\"" + k + f"\":$m%.2f" }
+      .mkString("{", ",", "}")
+    val summary =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir"}"""
+    if (summary.length > 1900)
+      System.err.println(s"[bench] WARNING: stdout summary ${summary.length} chars " +
+        "(driver tail capture is 2000) — trim the headline or the driver loses the artifact")
     println(summary)
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)

@@ -59,16 +59,26 @@ object CbxLayout {
     s.sql(graft.queries.ClickBench.text(name).trim)
   }
 
-  /** Staged twins for the heaviest cbx queries (selection measured at sf10,
-    * round 10): the wide 90-aggregate scan, the high-cardinality group-bys,
-    * and the counter-filtered scans that benefit from the sort order. */
+  /** Staged twins for the cbx queries the layout measurably helps.
+    *
+    * Selection by measurement at sf10 (5-run medians, staged vs view):
+    * q10 −33%, q08 −19%, q09 −15%, q29 −10% — the wins are exactly the
+    * queries whose hot columns are SYNTHESIZED STRINGS (MobilePhoneModel,
+    * SearchPhrase concatenations): storing them turns per-row string
+    * building into a dictionary-encoded column read. MEASURED NEGATIVE
+    * and not twinned: q32 +4%, q33 +5%, q18 −5% — group-by/distinct-bound
+    * queries where deriving a column from one stored i64 is CHEAPER than
+    * reading the materialized string column; a stored layout only pays
+    * when the derivation is expensive relative to the read. */
   val queries: Map[String, Q] = Map(
     "k32_staged_cbx29" -> staged("cbx_q29"),
-    "k33_staged_cbx32" -> staged("cbx_q32"),
-    "k34_staged_cbx33" -> staged("cbx_q33"))
+    "k33_staged_cbx10" -> staged("cbx_q10"),
+    "k34_staged_cbx09" -> staged("cbx_q09"),
+    "k35_staged_cbx08" -> staged("cbx_q08"))
 
   val oracles: Map[String, String] = Map(
     "k32_staged_cbx29" -> graft.queries.ClickBench.oracles("cbx_q29"),
-    "k33_staged_cbx32" -> graft.queries.ClickBench.oracles("cbx_q32"),
-    "k34_staged_cbx33" -> graft.queries.ClickBench.oracles("cbx_q33"))
+    "k33_staged_cbx10" -> graft.queries.ClickBench.oracles("cbx_q10"),
+    "k34_staged_cbx09" -> graft.queries.ClickBench.oracles("cbx_q09"),
+    "k35_staged_cbx08" -> graft.queries.ClickBench.oracles("cbx_q08"))
 }
