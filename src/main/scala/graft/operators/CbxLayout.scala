@@ -30,17 +30,9 @@ object CbxLayout {
     * Same per-JVM-session staging contract as the TPC-H layout writers
     * (rebuilt per JVM, reused across sessions within it). */
   def writeStagedHits(spark: SparkSession, dir: String): String = {
-    val tag = Integer.toHexString(dir.hashCode).take(8)
+    val tag = Skew.layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8)
     val th = s"graft_hits_$tag"
-    if (!spark.catalog.tableExists(th)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val f = new java.io.File(wh, th)
-      if (f.exists()) {
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-        }
-        rm(f)
-      }
+    Skew.ensureStaged(spark, Seq(th -> None)) {
       graft.Engine.table(spark, dir, "events")
       spark.sql(graft.queries.ClickBench.hitsSelect)
         .repartitionByRange(32, col("CounterID"), col("EventDate"))

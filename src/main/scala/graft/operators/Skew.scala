@@ -48,6 +48,107 @@ object Skew {
   private def staticPlan(s: org.apache.spark.sql.SparkSession): Unit =
     s.conf.set("spark.sql.adaptive.enabled", "false")
 
+  /** Layout version, baked into every staged-table name. Bump when a
+    * staged schema or physical order changes: on-disk tables from older
+    * versions then simply stop matching and are rebuilt under the new
+    * name (production analogue: layout epochs in the table catalog). */
+  private[operators] val layoutVer = "r10"
+
+  /** Ingest batching: how many key-range slices to stage a fact table in.
+    *
+    * A single-shot `repartition(buckets, key).bucketBy.saveAsTable` of a
+    * 600M-row fact holds the ENTIRE table as live shuffle files plus the
+    * growing parquet output — at sf100 that transient peak overflowed the
+    * box's disk twice (measured: >52 GB free was not enough). Batched
+    * ingest bounds the peak at 1/slices: each slice filters the fact to a
+    * bucket range (`pmod(hash(key), buckets)` — the same Murmur3 hash
+    * bucketed writes use, so a slice's rows land ONLY in its buckets and
+    * every bucket still ends up a SINGLE sorted file), shuffles just that
+    * fraction, and appends. This is also how a production cluster ingests
+    * a 100 TB fact into a co-located layout: bounded batches, not one
+    * all-table exchange. Slices are sized from the input's on-disk bytes
+    * (~one slice per 4 GB, min 1, max 16). */
+  private[operators] def ingestSlices(dir: String, table: String): Int = {
+    sys.env.get("GRAFT_INGEST_SLICES").foreach(n => return n.toInt)
+    val f = new java.io.File(s"$dir/$table.parquet")
+    def size(x: java.io.File): Long =
+      if (x.isFile) x.length
+      else Option(x.listFiles()).map(_.map(size).sum).getOrElse(0L)
+    val gb = size(f).toDouble / (1L << 30)
+    math.max(1, math.min(16, math.ceil(gb / 4.0).toInt))
+  }
+
+  /** Write a bucketed+sorted table in bounded ingest batches (see
+    * [[ingestSlices]]): slice `s` keeps only the rows whose bucket id —
+    * `pmod(hash(key), buckets)`, the exact Murmur3 expression Spark's
+    * bucketed write uses — falls in the slice's bucket range, so each
+    * bucket receives files from exactly ONE slice and stays a single
+    * sorted file (the outputOrdering contract the merge-join twins rely
+    * on), while the live shuffle footprint is 1/slices of the table. */
+  private def writeBucketedSliced(
+      df: => DataFrame, key: String, nBuckets: Int, slices: Int,
+      table: String): Unit =
+    (0 until slices).foreach { s =>
+      val lo = s * nBuckets / slices
+      val hi = (s + 1) * nBuckets / slices
+      val bucketId = pmod(hash(col(key)), lit(nBuckets))
+      df.filter(bucketId >= lit(lo) && bucketId < lit(hi))
+        .repartition(nBuckets, col(key))
+        .write.mode(if (s == 0) "overwrite" else "append").format("parquet")
+        .bucketBy(nBuckets, key).sortBy(key)
+        .saveAsTable(table)
+    }
+
+  /** Attach-or-build for staged tables — staging is INGEST work and must
+    * happen once per (fixture, layout version), not once per JVM.
+    *
+    * The in-memory catalog forgets tables across JVMs but the warehouse
+    * files persist; the old writers deleted and rebuilt them every
+    * process, which (a) re-paid the full staging shuffle per bench run and
+    * (b) at sf100 overflowed the disk with a staging spill the bench JVM
+    * had no business repeating. Now: if every table dir carries a
+    * _SUCCESS marker, re-attach it as an external table (CREATE TABLE ...
+    * USING parquet [CLUSTERED BY ...] LOCATION — bucket identity rides on
+    * the bucketed writer's filename suffixes, so a re-attached table keeps
+    * its co-location and write-time sort order); otherwise clear and
+    * rebuild. Incomplete multi-table groups rebuild as a unit.
+    *
+    * @param tables (name, Some((buckets, key)) for bucketed | None plain)
+    */
+  private[operators] def ensureStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      tables: Seq[(String, Option[(Int, String)])])(build: => Unit): Unit = {
+    if (tables.forall { case (n, _) => spark.catalog.tableExists(n) }) return
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val complete = tables.forall { case (n, _) =>
+      new java.io.File(new java.io.File(wh, n), "_SUCCESS").isFile
+    }
+    if (complete) {
+      tables.foreach { case (n, bucketSpec) =>
+        if (!spark.catalog.tableExists(n)) {
+          val loc = new java.io.File(wh, n).getAbsolutePath
+          val schema = spark.read.parquet(loc).schema.toDDL
+          val cluster = bucketSpec.map { case (b, k) =>
+            s"CLUSTERED BY ($k) SORTED BY ($k) INTO $b BUCKETS"
+          }.getOrElse("")
+          spark.sql(
+            s"CREATE TABLE $n ($schema) USING parquet $cluster LOCATION '$loc'")
+        }
+      }
+    } else {
+      tables.foreach { case (n, _) =>
+        val f = new java.io.File(wh, n)
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+      }
+      build
+    }
+  }
+
   def saltedJoin(
       big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
       nSalts: Int): DataFrame = {
@@ -81,22 +182,12 @@ object Skew {
   def writeBucketed(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       nBuckets: Int): (String, String) = {
-    val tag = Integer.toHexString(dir.hashCode).take(8) + "_" + nBuckets
+    val tag = layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8) +
+      "_" + nBuckets
     val (to, tc) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
-    if (!spark.catalog.tableExists(to)) {
-      // the in-memory catalog is per-JVM but the warehouse dir persists:
-      // purge stale locations from earlier runs before re-creating
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      Seq(to, tc).foreach { tbl =>
-        val f = new java.io.File(wh, tbl)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          rm(f)
-        }
-      }
+    ensureStaged(spark, Seq(
+      to -> Some((nBuckets, "o_custkey")),
+      tc -> Some((nBuckets, "c_custkey")))) {
       t(spark, dir, "orders")
         .repartition(nBuckets, col("o_custkey"))
         .write.mode("overwrite").format("parquet")
@@ -129,19 +220,12 @@ object Skew {
   def writeBucketedTpch(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       nBuckets: Int): (String, String) = {
-    val tag = Integer.toHexString(dir.hashCode).take(8) + "_" + nBuckets
+    val tag = layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8) +
+      "_" + nBuckets
     val (tli, tor) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders2_$tag")
-    if (!spark.catalog.tableExists(tli)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      Seq(tli, tor).foreach { tbl =>
-        val f = new java.io.File(wh, tbl)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          rm(f)
-        }
-      }
+    ensureStaged(spark, Seq(
+      tli -> Some((nBuckets, "l_orderkey")),
+      tor -> Some((nBuckets, "o_orderkey")))) {
       t(spark, dir, "lineitem")
       graft.functions.DecimalFunctions.register(spark)
       // The *_u columns store the hot money/rate doubles as unscaled i64
@@ -149,7 +233,7 @@ object Skew {
       // HALF_UP decimal cast, so downstream sum_unscaled128 aggregation is
       // bit-identical to the decimal-sum plans while skipping the per-row
       // double→decimal→unscaled conversion entirely (k16's q01 kernel).
-      spark.sql("""
+      writeBucketedSliced(spark.sql("""
         SELECT lineitem.*,
           l_shipdate + INTERVAL 1 DAY * ((l_orderkey * 3 + l_linenumber * 7) % 61 - 30)
             AS l_commitdate,
@@ -163,11 +247,8 @@ object Skew {
           to_unscaled64(l_extendedprice, 12, 4) AS l_price_u,
           to_unscaled64(l_discount, 6, 4) AS l_disc_u,
           to_unscaled64(l_tax, 6, 4) AS l_tax_u
-        FROM lineitem""")
-        .repartition(nBuckets, col("l_orderkey"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(tli)
+        FROM lineitem"""),
+        "l_orderkey", nBuckets, ingestSlices(dir, "lineitem"), tli)
       // c_nationkey denormalized into orders at ingest (a materialized
       // join index): q05-shaped queries then never touch customer at all.
       // Left join: orders without a customer keep a null nationkey, which
@@ -175,13 +256,11 @@ object Skew {
       // replaces.
       val cust = t(spark, dir, "customer")
         .select(col("c_custkey").as("bk_ck"), col("c_nationkey"))
-      t(spark, dir, "orders")
-        .join(cust, col("o_custkey") === col("bk_ck"), "left")
-        .drop("bk_ck")
-        .repartition(nBuckets, col("o_orderkey"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(tor)
+      writeBucketedSliced(
+        t(spark, dir, "orders")
+          .join(cust, col("o_custkey") === col("bk_ck"), "left")
+          .drop("bk_ck"),
+        "o_orderkey", nBuckets, ingestSlices(dir, "orders"), tor)
     }
     (tli, tor)
   }
@@ -196,19 +275,12 @@ object Skew {
   def writeStagedPartsupp(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       nBuckets: Int): (String, String) = {
-    val tag = Integer.toHexString(dir.hashCode).take(8) + "_" + nBuckets
+    val tag = layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8) +
+      "_" + nBuckets
     val (tps, tpt) = (s"graft_bkt_partsupp_$tag", s"graft_bkt_part_$tag")
-    if (!spark.catalog.tableExists(tps)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      Seq(tps, tpt).foreach { tbl =>
-        val f = new java.io.File(wh, tbl)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          rm(f)
-        }
-      }
+    ensureStaged(spark, Seq(
+      tps -> Some((nBuckets, "ps_partkey")),
+      tpt -> Some((nBuckets, "p_partkey")))) {
       t(spark, dir, "part")
       t(spark, dir, "supplier")
       spark.sql(graft.queries.Tpch.partsuppSelect)
@@ -253,27 +325,12 @@ object Skew {
   def writeDenormLineitem(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       nParts: Int): String = {
-    val tag = Integer.toHexString(dir.hashCode).take(8) + "_" + nParts
+    val tag = layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8) +
+      "_" + nParts
     val tdn = s"graft_dnm_lineitem_$tag"
-    if (!spark.catalog.tableExists(tdn)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val f = new java.io.File(wh, tdn)
-      if (f.exists()) {
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-        }
-        rm(f)
-      }
+    ensureStaged(spark, Seq(tdn -> None)) {
       graft.functions.DecimalFunctions.register(spark)
-      val ordCust = t(spark, dir, "orders")
-        .join(t(spark, dir, "customer")
-            .select(col("c_custkey").as("dn_ck"), col("c_nationkey"),
-              col("c_mktsegment")),
-          col("o_custkey") === col("dn_ck"), "left")
-        .select(col("o_orderkey").as("dn_ok"), col("o_orderdate"),
-          col("o_custkey").as("l_custkey"),
-          col("c_nationkey").as("l_cnation"),
-          col("c_mktsegment").as("l_cmkt"))
+      val slices = ingestSlices(dir, "lineitem")
       val ptype = t(spark, dir, "part")
         .select(col("p_partkey").as("dn_pk"), col("p_type").as("l_ptype"))
       // supplier nation folded in like the customer's: one more i32 turns
@@ -281,35 +338,59 @@ object Skew {
       val snat = t(spark, dir, "supplier")
         .select(col("s_suppkey").as("dn_sk"),
           col("s_nationkey").as("l_snation"))
-      t(spark, dir, "lineitem")
-        .join(ordCust, col("l_orderkey") === col("dn_ok"), "left")
-        .join(ptype, col("l_partkey") === col("dn_pk"), "left")
-        .join(broadcast(snat), col("l_suppkey") === col("dn_sk"), "left")
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-          col("l_shipdate"), col("l_returnflag"),
-          col("o_orderdate"), col("l_custkey"), col("l_cnation"),
-          col("l_cmkt"), col("l_ptype"), col("l_snation"),
-          (expr("to_unscaled64(l_extendedprice, 12, 4)") *
-            (lit(10000L) - expr("to_unscaled64(l_discount, 6, 4)")))
-            .as("l_rev_u"),
-          expr("to_unscaled64(l_extendedprice, 12, 4)").as("l_price_u"),
-          expr("to_unscaled64(l_discount, 6, 4)").as("l_disc_u"),
-          expr("to_unscaled64(l_quantity, 6, 4)").as("l_qty_u"))
-        // Two-level zone-map layout (the fixtures generate l_shipdate
-        // INDEPENDENT of o_orderdate — corr ≈ 0 measured — so one sort key
-        // cannot serve both date families): files are range-partitioned by
-        // o_orderdate (file-level zone maps prune the q05/q08/q10 windows),
-        // rows within each file are sorted by l_shipdate into small row
-        // groups (row-group zone maps prune the q06/q07/q14 windows inside
-        // every surviving file). 4 files/core keeps file-level pruning at
-        // ~1% granularity while tasks stay ≫ scheduling cost; 16 MB row
-        // groups give ~4-8 shipdate zones per file.
-        .repartitionByRange(nParts * 4, col("o_orderdate"), col("l_orderkey"))
-        .sortWithinPartitions(col("l_shipdate"), col("o_orderdate"))
-        .write.mode("overwrite").format("parquet")
-        .option("parquet.block.size", (16L << 20).toString)
-        .saveAsTable(tdn)
+      // Batched ingest (see ingestSlices): slice s keeps the orderkeys with
+      // pmod(hash(k), slices) = s on BOTH join sides — equal keys hash
+      // equal, so the per-slice joins partition the full join exactly and
+      // the union of appends is the complete projection. Each slice covers
+      // the full o_orderdate range (hash slicing is date-uniform), so
+      // file-level zone-map pruning sees slices× more files at the same
+      // pruned fraction.
+      (0 until slices).foreach { s =>
+        def inSlice(k: Column): Column =
+          if (slices == 1) lit(true) else pmod(hash(k), lit(slices)) === lit(s)
+        val ordCust = t(spark, dir, "orders")
+          .filter(inSlice(col("o_orderkey")))
+          .join(t(spark, dir, "customer")
+              .select(col("c_custkey").as("dn_ck"), col("c_nationkey"),
+                col("c_mktsegment")),
+            col("o_custkey") === col("dn_ck"), "left")
+          .select(col("o_orderkey").as("dn_ok"), col("o_orderdate"),
+            col("o_custkey").as("l_custkey"),
+            col("c_nationkey").as("l_cnation"),
+            col("c_mktsegment").as("l_cmkt"))
+        t(spark, dir, "lineitem")
+          .filter(inSlice(col("l_orderkey")))
+          .join(ordCust, col("l_orderkey") === col("dn_ok"), "left")
+          .join(ptype, col("l_partkey") === col("dn_pk"), "left")
+          .join(broadcast(snat), col("l_suppkey") === col("dn_sk"), "left")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_shipdate"), col("l_returnflag"),
+            col("o_orderdate"), col("l_custkey"), col("l_cnation"),
+            col("l_cmkt"), col("l_ptype"), col("l_snation"),
+            (expr("to_unscaled64(l_extendedprice, 12, 4)") *
+              (lit(10000L) - expr("to_unscaled64(l_discount, 6, 4)")))
+              .as("l_rev_u"),
+            expr("to_unscaled64(l_extendedprice, 12, 4)").as("l_price_u"),
+            expr("to_unscaled64(l_discount, 6, 4)").as("l_disc_u"),
+            expr("to_unscaled64(l_quantity, 6, 4)").as("l_qty_u"))
+          // Two-level zone-map layout (the fixtures generate l_shipdate
+          // INDEPENDENT of o_orderdate — corr ≈ 0 measured — so one sort
+          // key cannot serve both date families): files are
+          // range-partitioned by o_orderdate (file-level zone maps prune
+          // the q05/q08/q10 windows), rows within each file are sorted by
+          // l_shipdate into small row groups (row-group zone maps prune
+          // the q06/q07/q14 windows inside every surviving file). 4
+          // files/core keeps file-level pruning at ~1% granularity while
+          // tasks stay ≫ scheduling cost; 16 MB row groups give ~4-8
+          // shipdate zones per file.
+          .repartitionByRange(math.max(1, nParts * 4 / slices),
+            col("o_orderdate"), col("l_orderkey"))
+          .sortWithinPartitions(col("l_shipdate"), col("o_orderdate"))
+          .write.mode(if (s == 0) "overwrite" else "append").format("parquet")
+          .option("parquet.block.size", (16L << 20).toString)
+          .saveAsTable(tdn)
+      }
     }
     tdn
   }
