@@ -24,7 +24,11 @@ object Verify {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // Fresh child session per query (same hygiene as Bench): queries that
+      // tune session conf for their own plan (e.g. the static-plan twins
+      // disabling AQE) must not leak that conf into later queries — p01's
+      // plan-shape introspection reds if a twin's AQE-off survives into it.
+      try fn(spark.newSession(), sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)

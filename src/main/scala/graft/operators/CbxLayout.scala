@@ -37,7 +37,7 @@ object CbxLayout {
       spark.sql(graft.queries.ClickBench.hitsSelect)
         .repartitionByRange(32, col("CounterID"), col("EventDate"))
         .sortWithinPartitions(col("CounterID"), col("EventDate"), col("UserID"))
-        .write.mode("overwrite").format("parquet")
+        .write.mode("overwrite").format("parquet").option("compression", Skew.stagedCodec)
         .saveAsTable(th)
     }
     th

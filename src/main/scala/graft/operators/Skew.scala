@@ -52,7 +52,15 @@ object Skew {
     * staged schema or physical order changes: on-disk tables from older
     * versions then simply stop matching and are rebuilt under the new
     * name (production analogue: layout epochs in the table catalog). */
-  private[operators] val layoutVer = "r10"
+  private[operators] val layoutVer = "r10z"
+
+  /** Staged layouts are written zstd, not the snappy default: they are
+    * write-once/read-many materializations, so the one-time ~2x encode
+    * cost buys ~40% smaller files on every subsequent scan — less IO per
+    * query and, at sf100 on this box, the difference between the layout
+    * set fitting on disk or not. (At 100 TB the same logic holds: a
+    * petabyte-scale projection store is always aggressively compressed.) */
+  private[operators] val stagedCodec = "zstd"
 
   /** Ingest batching: how many key-range slices to stage a fact table in.
     *
@@ -94,7 +102,7 @@ object Skew {
       val bucketId = pmod(hash(col(key)), lit(nBuckets))
       df.filter(bucketId >= lit(lo) && bucketId < lit(hi))
         .repartition(nBuckets, col(key))
-        .write.mode(if (s == 0) "overwrite" else "append").format("parquet")
+        .write.mode(if (s == 0) "overwrite" else "append").format("parquet").option("compression", stagedCodec)
         .bucketBy(nBuckets, key).sortBy(key)
         .saveAsTable(table)
     }
@@ -190,12 +198,12 @@ object Skew {
       tc -> Some((nBuckets, "c_custkey")))) {
       t(spark, dir, "orders")
         .repartition(nBuckets, col("o_custkey"))
-        .write.mode("overwrite").format("parquet")
+        .write.mode("overwrite").format("parquet").option("compression", stagedCodec)
         .bucketBy(nBuckets, "o_custkey").sortBy("o_custkey")
         .saveAsTable(to)
       t(spark, dir, "customer")
         .repartition(nBuckets, col("c_custkey"))
-        .write.mode("overwrite").format("parquet")
+        .write.mode("overwrite").format("parquet").option("compression", stagedCodec)
         .bucketBy(nBuckets, "c_custkey").sortBy("c_custkey")
         .saveAsTable(tc)
     }
@@ -285,12 +293,12 @@ object Skew {
       t(spark, dir, "supplier")
       spark.sql(graft.queries.Tpch.partsuppSelect)
         .repartition(nBuckets, col("ps_partkey"))
-        .write.mode("overwrite").format("parquet")
+        .write.mode("overwrite").format("parquet").option("compression", stagedCodec)
         .bucketBy(nBuckets, "ps_partkey").sortBy("ps_partkey")
         .saveAsTable(tps)
       t(spark, dir, "part")
         .repartition(nBuckets, col("p_partkey"))
-        .write.mode("overwrite").format("parquet")
+        .write.mode("overwrite").format("parquet").option("compression", stagedCodec)
         .bucketBy(nBuckets, "p_partkey").sortBy("p_partkey")
         .saveAsTable(tpt)
     }
@@ -387,7 +395,7 @@ object Skew {
           .repartitionByRange(math.max(1, nParts * 4 / slices),
             col("o_orderdate"), col("l_orderkey"))
           .sortWithinPartitions(col("l_shipdate"), col("o_orderdate"))
-          .write.mode(if (s == 0) "overwrite" else "append").format("parquet")
+          .write.mode(if (s == 0) "overwrite" else "append").format("parquet").option("compression", stagedCodec)
           .option("parquet.block.size", (16L << 20).toString)
           .saveAsTable(tdn)
       }
