@@ -86,6 +86,18 @@ object Skew {
     math.max(1, math.min(16, math.ceil(gb / 4.0).toInt))
   }
 
+  /** Release the previous ingest slice's shuffle files before the next
+    * slice shuffles. Spark deletes a shuffle's disk files only when its
+    * ShuffleDependency becomes weakly reachable and the ContextCleaner
+    * drains it — inside a slice loop nothing GCs, so every slice's files
+    * accumulate and the "bounded 1/slices footprint" claim silently
+    * becomes slices/slices (measured: 32 GB of blockmgr files at sf100,
+    * ENOSPC on a 41 GB-free disk). A GC pulse plus a short grace period
+    * lets the async cleaner reclaim them; the sleep is untimed ingest
+    * work, not query time. */
+  private def releaseShuffles(slices: Int): Unit =
+    if (slices > 1) { System.gc(); Thread.sleep(4000) }
+
   /** Write a bucketed+sorted table in bounded ingest batches (see
     * [[ingestSlices]]): slice `s` keeps only the rows whose bucket id —
     * `pmod(hash(key), buckets)`, the exact Murmur3 expression Spark's
@@ -105,6 +117,7 @@ object Skew {
         .write.mode(if (s == 0) "overwrite" else "append").format("parquet").option("compression", stagedCodec)
         .bucketBy(nBuckets, key).sortBy(key)
         .saveAsTable(table)
+      releaseShuffles(slices)
     }
 
   /** Attach-or-build for staged tables — staging is INGEST work and must
@@ -398,6 +411,7 @@ object Skew {
           .write.mode(if (s == 0) "overwrite" else "append").format("parquet").option("compression", stagedCodec)
           .option("parquet.block.size", (16L << 20).toString)
           .saveAsTable(tdn)
+        releaseShuffles(slices)
       }
     }
     tdn
