@@ -201,8 +201,8 @@ object Bench {
         catch { case _: Throwable => () }
         try graft.queries.Tpcds.clearStarCache(spark)
         catch { case _: Throwable => }
+        System.gc() // release this warmup's shuffle files (see timed loop)
       }
-      System.gc()
     }
 
     // timed runs per query (median reported); override for long sf100-scale
@@ -212,7 +212,14 @@ object Bench {
       val r = try {
         val s = spark.newSession()
         runOnce(s, name) // warmup (JIT + file listing + codegen + caches)
-        val runs = (1 to nRuns).map(_ => runOnce(s, name))
+        // Release each run's shuffle files before the next run: shuffle
+        // disk files persist until their ShuffleDependency is GC'd, so
+        // without a GC pulse N runs of a shuffle-heavy query hold N runs'
+        // files at once (~15 GB/run for tpch_q21 at sf100 — ENOSPC on this
+        // box). Between timed windows, so it costs no measured time.
+        val runs = (1 to nRuns).map { _ =>
+          System.gc(); runOnce(s, name)
+        }
         name -> (runs.sorted.apply(nRuns / 2), runs)
       } catch {
         case e: Throwable =>

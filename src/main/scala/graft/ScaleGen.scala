@@ -237,9 +237,14 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val sf = args(0).toDouble
     val out = args(1)
+    // optional 3rd arg: comma-separated table subset (regenerate just the
+    // pipeline tables after a disk-pressure eviction without rewriting the
+    // 15 GB sf100 lineitem — every column is a pure function of the row id,
+    // so selective regeneration is bit-identical to the original run)
+    val subset = args.lift(2).map(_.split(',').map(_.trim).toSet)
     val spark = Engine.session(appName = s"graft-scalegen-sf$sf")
     try {
-      tables.foreach { t =>
+      tables.filter(t => subset.forall(_.contains(t))).foreach { t =>
         // Every column is a pure function of the range id, so the write
         // needs NO shuffle: the range's own partitions (one per core)
         // stream straight to parquet. The old `.repartition(parts)` here
