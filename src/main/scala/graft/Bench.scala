@@ -201,7 +201,8 @@ object Bench {
         catch { case _: Throwable => () }
         try graft.queries.Tpcds.clearStarCache(spark)
         catch { case _: Throwable => }
-        System.gc() // release this warmup's shuffle files (see timed loop)
+        // release this warmup's shuffle files; grace for the async cleaner
+        System.gc(); Thread.sleep(2000)
       }
     }
 
@@ -218,7 +219,10 @@ object Bench {
         // files at once (~15 GB/run for tpch_q21 at sf100 — ENOSPC on this
         // box). Between timed windows, so it costs no measured time.
         val runs = (1 to nRuns).map { _ =>
-          System.gc(); runOnce(s, name)
+          // GC + grace: the ContextCleaner deletes asynchronously, so the
+          // pulse alone lets a busy driver outrun the deletes (measured:
+          // 23 GB of dead shuffle files mid-suite at sf100)
+          System.gc(); Thread.sleep(2000); runOnce(s, name)
         }
         name -> (runs.sorted.apply(nRuns / 2), runs)
       } catch {

@@ -41,6 +41,15 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // zstd shuffle/spill compression (default lz4): ~40% smaller shuffle
+      // files for a few % CPU — the standard trade at cluster scale, where
+      // shuffle bytes are network+disk cost, and on this box the difference
+      // between a 600M-row join's transient files fitting the disk or not.
+      .config("spark.io.compression.codec", "zstd")
+      // reap unreachable shuffle files every minute (default 30min is
+      // tuned for long-lived clusters; a bench/ingest JVM holding tens of
+      // GB of dead shuffle files needs the floor, not the ceiling)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       // driver-fixtures are small files; keep splits reasonable locally
       .config("spark.sql.files.maxPartitionBytes", "128m")
       // 8 MB: dimension tables always broadcast; fact tables (lineitem is
