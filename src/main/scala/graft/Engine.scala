@@ -46,10 +46,14 @@ object Engine {
       // shuffle bytes are network+disk cost, and on this box the difference
       // between a 600M-row join's transient files fitting the disk or not.
       .config("spark.io.compression.codec", "zstd")
-      // reap unreachable shuffle files every minute (default 30min is
+      // reap unreachable shuffle files every 5 min (default 30min is
       // tuned for long-lived clusters; a bench/ingest JVM holding tens of
-      // GB of dead shuffle files needs the floor, not the ceiling)
-      .config("spark.cleaner.periodicGC.interval", "60s")
+      // GB of dead shuffle files needs a floor). The round-10 60 s timer
+      // could fire a driver System.gc() INSIDE a timed bench window,
+      // adding a GC pause to sub-second medians (round-10 advice); the
+      // bench/ingest loops run their own between-run GC pulses, so the
+      // periodic timer is a backstop, not the mechanism.
+      .config("spark.cleaner.periodicGC.interval", "300s")
       // driver-fixtures are small files; keep splits reasonable locally
       .config("spark.sql.files.maxPartitionBytes", "128m")
       // 8 MB: dimension tables always broadcast; fact tables (lineitem is

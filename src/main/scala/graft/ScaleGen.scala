@@ -242,6 +242,14 @@ object ScaleGen {
     // 15 GB sf100 lineitem — every column is a pure function of the row id,
     // so selective regeneration is bit-identical to the original run)
     val subset = args.lift(2).map(_.split(',').map(_.trim).toSet)
+    // fail fast on a misspelled table name — a silently-ignored subset
+    // entry after a disk-pressure eviction leaves that table MISSING and
+    // the run still exits 0 (round-10 advice)
+    subset.foreach { s =>
+      val unknown = s -- tables.toSet
+      require(unknown.isEmpty,
+        s"unknown table(s) ${unknown.mkString(", ")}; valid: ${tables.mkString(", ")}")
+    }
     val spark = Engine.session(appName = s"graft-scalegen-sf$sf")
     try {
       tables.filter(t => subset.forall(_.contains(t))).foreach { t =>

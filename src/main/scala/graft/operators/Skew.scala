@@ -96,7 +96,36 @@ object Skew {
     * lets the async cleaner reclaim them; the sleep is untimed ingest
     * work, not query time. */
   private def releaseShuffles(slices: Int): Unit =
-    if (slices > 1) { System.gc(); Thread.sleep(4000) }
+    if (slices > 1) {
+      System.gc()
+      // The ContextCleaner deletes asynchronously; a fixed sleep was the
+      // round-10 floor, but on a slower disk the cleaner can lag past it
+      // and the bounded-footprint contract degrades silently (round-10
+      // advice). Poll the shuffle spill dirs instead: sleep in 1 s steps
+      // while their total size is still DROPPING (the cleaner is mid-reap),
+      // with the old 4 s as the floor and 20 s as a hard cap.
+      def spillBytes(): Long = {
+        val tmp = new java.io.File(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+        def size(x: java.io.File): Long =
+          if (x.isFile) x.length
+          else Option(x.listFiles()).map(_.map(size).sum).getOrElse(0L)
+        Option(tmp.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("blockmgr-") ||
+            f.getName.startsWith("spark-"))
+          .map(size).sum
+      }
+      Thread.sleep(4000)
+      var prev = spillBytes()
+      var waited = 4000L
+      var dropping = true
+      while (dropping && waited < 20000L) {
+        Thread.sleep(1000); waited += 1000
+        val now = spillBytes()
+        dropping = now < prev - (64L << 20) // still reaping >64 MB/s
+        prev = now
+      }
+    }
 
   /** Write a bucketed+sorted table in bounded ingest batches (see
     * [[ingestSlices]]): slice `s` keeps only the rows whose bucket id —
@@ -136,11 +165,36 @@ object Skew {
     *
     * @param tables (name, Some((buckets, key)) for bucketed | None plain)
     */
+  /** Delete warehouse dirs from SUPERSEDED layout versions. A layoutVer
+    * bump re-stages every table under a new name, but the rebuild path
+    * only ever deleted the new-name dirs — the old-version dirs (tens of
+    * GB of zstd parquet at sf100) were orphaned on a 94 GB box, the exact
+    * disk-pressure failure class round 10 fixed elsewhere (round-10
+    * advice). Version rides in the table name as `_r<digits><letters>_`;
+    * any graft_* dir whose version segment differs from [[layoutVer]] is
+    * dead by construction (nothing can re-attach it: ensureStaged only
+    * looks up current-version names). */
+  private val verSeg = "_(r\\d+[a-z]*)_".r
+  private def pruneStaleLayouts(wh: String): Unit = {
+    val dirs = Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+    dirs.filter(_.getName.startsWith("graft_")).foreach { d =>
+      val stale = verSeg.findFirstMatchIn(d.getName)
+        .exists(m => m.group(1) != layoutVer)
+      if (stale) {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        rm(d)
+      }
+    }
+  }
+
   private[operators] def ensureStaged(
       spark: org.apache.spark.sql.SparkSession,
       tables: Seq[(String, Option[(Int, String)])])(build: => Unit): Unit = {
     if (tables.forall { case (n, _) => spark.catalog.tableExists(n) }) return
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    pruneStaleLayouts(wh)
     val complete = tables.forall { case (n, _) =>
       new java.io.File(new java.io.File(wh, n), "_SUCCESS").isFile
     }
@@ -316,6 +370,45 @@ object Skew {
         .saveAsTable(tpt)
     }
     (tps, tpt)
+  }
+
+  /** Pre-aggregated q16 pairs projection: the DISTINCT
+    * (p_brand, p_type, p_size, ps_suppkey) relation, materialized once at
+    * ingest. q16's cost on every other layout is the part⋈partsupp
+    * expansion plus a two-phase COUNT(DISTINCT ps_suppkey) — but the
+    * distinct-pair set is a pure function of the catalog (part × its 4
+    * spec-spread suppliers), so a production system stores it and the
+    * query collapses to scan → broadcast-anti-join → count. Correctness
+    * hinges on two provable properties: (a) q16's WHERE touches ONLY group
+    * -key columns (brand/type/size) + the suppkey anti-join, so filtering
+    * the pre-deduped pairs equals filtering before dedup; (b) the pairs
+    * stay distinct after the anti-join (row removal preserves
+    * distinctness), so COUNT(*) == COUNT(DISTINCT ps_suppkey). Files are
+    * range-partitioned by p_size and sorted by (p_size, p_brand, p_type):
+    * the query's `p_size IN (8 of 50)` prunes ~84 % of the table via
+    * file/row-group zone maps before any row is read. At 100 TB this is a
+    * few-GB sorted projection of the catalog — the standard materialized
+    * distinct-aggregate layout. */
+  def writeStagedQ16Pairs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tag = layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8)
+    val tp = s"graft_q16pairs_$tag"
+    ensureStaged(spark, Seq(tp -> None)) {
+      t(spark, dir, "part")
+      t(spark, dir, "supplier")
+      spark.sql(graft.queries.Tpch.partsuppSelect)
+        .join(t(spark, dir, "part"),
+          col("ps_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("p_type"), col("p_size"),
+          col("ps_suppkey"))
+        .distinct()
+        .repartitionByRange(32, col("p_size"))
+        .sortWithinPartitions(col("p_size"), col("p_brand"), col("p_type"))
+        .write.mode("overwrite").format("parquet")
+        .option("compression", stagedCodec)
+        .saveAsTable(tp)
+    }
+    tp
   }
 
   /** Denormalized lineitem projection: the order date, the customer's
@@ -502,6 +595,28 @@ object Skew {
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
         .orderBy(desc("o_totalprice"), asc("o_orderdate"), asc("o_orderkey"))
         .limit(100)
+    },
+
+    // TPC-H q16 on the pre-aggregated pairs projection (writeStagedQ16Pairs):
+    // the part⋈partsupp expansion AND the distinct are paid once at ingest;
+    // the query is a zone-map-pruned scan of the stored distinct pairs, a
+    // broadcast anti join on the complaints suppliers, and a plain COUNT(*)
+    // (pairs are distinct by construction, so no two-phase distinct
+    // aggregate). Same values as tpch_q16 (shared oracle).
+    "k36_pairs_q16" -> { (s, dir) =>
+      val tp = writeStagedQ16Pairs(s, dir)
+      val complaints = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 13 === 0) // supplier_x comment filter
+        .select(col("s_suppkey"))
+      s.table(tp)
+        .filter(col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9) &&
+          col("p_brand") =!= "Brand#45" && !col("p_type").like("MEDIUM%"))
+        .join(broadcast(complaints),
+          col("ps_suppkey") === col("s_suppkey"), "leftanti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+          asc("p_size"))
     },
 
     // TPC-H q16 on the staged layout: partsupp is a stored bucketed table
@@ -1255,6 +1370,7 @@ object Skew {
     "k04_bucketed_q18" -> graft.queries.Tpch.oracles("tpch_q18"),
     "k05_bucketed_q04" -> graft.queries.Tpch.oracles("tpch_q04"),
     "k06_staged_q16" -> graft.queries.Tpch.oracles("tpch_q16"),
+    "k36_pairs_q16" -> graft.queries.Tpch.oracles("tpch_q16"),
     "k07_bucketed_q05" -> graft.queries.Tpch.oracles("tpch_q05"),
     "k08_staged_q11" -> graft.queries.Tpch.oracles("tpch_q11"),
     "k10_bucketed_q13" -> graft.queries.Tpch.oracles("tpch_q13"),

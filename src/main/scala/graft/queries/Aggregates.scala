@@ -140,6 +140,32 @@ object Aggregates {
               expr("percentile(l_extendedprice, 0.45)"),
               expr("percentile(l_extendedprice, 0.55)")).as("median_ok"))
         .orderBy("l_returnflag")
+    },
+
+    // approx_quantile VALUE oracle (round-10 verdict: the last
+    // non-hash-checked §2 row). The tolerance window is derived from the
+    // sketch's own accuracy parameter, not an arbitrary band:
+    // percentile_approx(acc) (Greenwald-Khanna summaries) guarantees rank
+    // error <= n/acc, so the approx p50 must lie between the exact value
+    // quantiles at 0.5 +/- eps with eps = 2/acc (2x the bound absorbs the
+    // nearest-rank-vs-interpolated boundary). DuckDB asserts the exact
+    // interpolated median (percentile_cont == Spark's percentile, both
+    // the continuous (n-1)*p definition; ROUND(...,4) absorbs last-ulp
+    // interpolation arithmetic differences) and TRUE for the window bit —
+    // a sketch regression is a driver hash mismatch.
+    "q47b_quantile_window" -> { (s, dir) =>
+      val acc = 10000
+      val eps = 2.0 / acc
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc))
+            .between(
+              expr(s"percentile(l_extendedprice, ${0.5 - eps})"),
+              expr(s"percentile(l_extendedprice, ${0.5 + eps})"))
+            .as("win_ok"))
+        .orderBy("l_returnflag")
     })
 
   val oracles: Map[String, String] = Map(
@@ -221,5 +247,15 @@ object Aggregates {
       SELECT l_returnflag,
         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         TRUE AS cd_ok, TRUE AS median_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Exact interpolated median + accuracy-derived window bit (see the
+    // query comment): DuckDB's percentile_cont(0.5) and Spark's
+    // percentile(.., 0.5) share the continuous (n-1)*p definition.
+    "q47b_quantile_window" -> """
+      SELECT l_returnflag,
+        ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+          AS p50_exact,
+        TRUE AS win_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

@@ -491,6 +491,28 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted >= 40, s"only $planted of 50 planted dups found")
   }
 
+  test("simhash band layout: fixture-stable below 1M docs, occupancy-bounded above") {
+    import graft.operators.Dedup.simhashBandLayout
+    // every driver fixture and the sf0.01 oracle resolve to the historical
+    // 4 x 16-bit layout — the adaptive rule must NOT change their output
+    Seq(50L, 500L, 5000L, 500000L, 1000000L).foreach { n =>
+      assert(simhashBandLayout(n) == ((4, 16, Seq(0, 16, 32, 48))),
+        s"layout changed at n=$n")
+    }
+    // above the 16-bit saturation point the key widens so mean occupancy
+    // stays bounded (n / 2^bandBits <= targetOcc up to ceil rounding) and
+    // the bands still fit the 64-bit signature
+    Seq(2000000L, 5000000L, 50000000L, 2000000000L).foreach { n =>
+      val (bands, bits, shifts) = simhashBandLayout(n)
+      assert(n.toDouble / (1L << bits) <= 16.0, s"occupancy unbounded at n=$n")
+      assert(bands >= 2 && shifts.length == bands)
+      assert(shifts.last + bits <= 64, s"band overflows signature at n=$n")
+      assert(shifts == shifts.sorted && shifts.distinct == shifts)
+    }
+    // sf100-scale corpus: 3 bands of 19 bits spread across the word
+    assert(simhashBandLayout(5000000L) == ((3, 19, Seq(0, 22, 45))))
+  }
+
   test("connected components: multi-hop chains collapse to one cluster") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 — forces several propagation rounds),
