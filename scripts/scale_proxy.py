@@ -1,11 +1,15 @@
 #!/usr/bin/env python3
-"""DuckDB proxy timings for the TPC-H scaling experiment.
+"""DuckDB proxy timings for the scaling experiments.
 
-Runs the repo's own tpch_q* oracle SQL (the exact text the Spark engine
-executes) in DuckDB over a generated scale directory, 32 threads, warm,
-median-of-3 — the same protocol the round-6 judge used for the sf0.1 proxy.
+Runs the repo's own oracle SQL (the exact text the Spark engine executes)
+in DuckDB over a generated scale directory, 32 threads, warm, median-of-3 —
+the same protocol the round-6 judge used for the sf0.1 proxy.
 
-Usage: scale_proxy.py <scaleDir> [<oracle_sql.json>]
+Usage: scale_proxy.py <scaleDir> [<oracle_sql.json>] [<prefixes>]
+  prefixes: comma-separated query-name prefixes to run (default tpch_q;
+            e.g. "cbx_q" for ClickBench, "tpcds_q04,tpcds_q11" for a
+            TPC-DS subset — the star-schema/hits synthesis CTEs ride
+            inside the oracle SQL, so only base fixture tables register).
 Emits one JSON line: {"sf": dir, "total": s, "queries": {name: sec}}.
 """
 import json
@@ -17,21 +21,28 @@ import time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem"]
+          "lineitem", "events", "documents", "embeddings"]
 
 
 def main():
     d = sys.argv[1]
     oracle_path = sys.argv[2] if len(sys.argv) > 2 else \
         "target/verify_new/oracle_sql.json"
+    prefixes = tuple((sys.argv[3] if len(sys.argv) > 3 else "tpch_q")
+                     .split(","))
     sql = {k: v for k, v in json.load(open(oracle_path)).items()
-           if k.startswith("tpch_q")}
+           if k.startswith(prefixes)}
+    if not sql:
+        sys.exit(f"no oracle queries match prefixes {prefixes}")
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     for t in TABLES:
         # generated scale dirs are directories of part files; the driver
-        # fixtures are single parquet files — support both layouts
+        # fixtures are single parquet files — support both layouts; skip
+        # tables the scale dir doesn't carry (subset regens)
         path = f"{d}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
         glob = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")

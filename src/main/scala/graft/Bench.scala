@@ -71,6 +71,13 @@ object Bench {
     // store-average filter, window deviation, class revenue share
     Seq("tpcds_q01", "tpcds_q09", "tpcds_q25", "tpcds_q36",
       "tpcds_q59", "tpcds_q65", "tpcds_q89", "tpcds_q98") ++
+    // the HEAVY TPC-DS set (round-10 verdict: perf-grade the multi-fact
+    // star-join regime, not just value-check it): year-over-year CTE
+    // towers (q04/q11), cross-channel fact unions (q14/q23), inventory
+    // stddev (q39), the store/catalog mega-join (q64), the wide rollup
+    // (q67), and the inventory-join fan-in (q72)
+    Seq("tpcds_q04", "tpcds_q11", "tpcds_q14", "tpcds_q23",
+      "tpcds_q39", "tpcds_q64", "tpcds_q67", "tpcds_q72") ++
     // ClickBench ports: 90-sum wide aggregate, heavy high-cardinality
     // group, and the synthesized-string-hot queries with their staged-hits
     // layout twins (see operators/CbxLayout.scala for the selection)
@@ -148,6 +155,29 @@ object Bench {
     dt
   }
 
+  /** Executor-metrics accumulator (round-10 verdict stretch: the "SMJ
+    * keeps spill robustness" claim should be measured, not asserted).
+    * Sums task-level spill/shuffle bytes across the whole JVM; the bench
+    * loop snapshots deltas around each query's timed runs. Listener
+    * delivery is async, so per-query numbers are read after the post-run
+    * GC pulse — an undercount of at most the last few task events. */
+  private class MetricsAcc extends org.apache.spark.scheduler.SparkListener {
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        memSpilled.addAndGet(m.memoryBytesSpilled)
+        diskSpilled.addAndGet(m.diskBytesSpilled)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snapshot(): (Long, Long, Long) =
+      (memSpilled.get, diskSpilled.get, shuffleWrite.get)
+  }
+
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split(" ").take(3).mkString(" ")
@@ -163,10 +193,19 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // local iteration aid: bench only a comma-separated subset of queries
+    // local iteration aids: bench only a comma-separated subset of the
+    // headline, and/or append arbitrary SparkEntry queries beyond it (the
+    // sf10/sf100 ratio protocols run full suites — e.g. all 43 cbx
+    // queries — that would bloat the driver-facing headline stdout line)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).toSet)
-    val selected = only.fold(headline)(f => headline.filter(f))
+    val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    extra.foreach(q => require(SparkEntry.queries.contains(q),
+      s"unknown bench query '$q'"))
+    val selected = (only.fold(headline)(f => headline.filter(f)) ++ extra)
+      .distinct
     val spark = Engine
       .configure(SparkSession.builder().master(s"local[${Engine.defaultCpus}]"))
       .getOrCreate()
@@ -237,10 +276,15 @@ object Bench {
     // timed runs per query (median reported); override for long sf100-scale
     // runs where 5 medianed runs would push the suite past the session
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(5)
+    val acc = new MetricsAcc
+    spark.sparkContext.addSparkListener(acc)
+    val spills = scala.collection.mutable.Map[String, (Long, Long, Long)]()
     val results = selected.map { name =>
+      var pre = acc.snapshot()
       val r = try {
         val s = spark.newSession()
         runOnce(s, name) // warmup (JIT + file listing + codegen + caches)
+        pre = acc.snapshot()
         // Release each run's shuffle files before the next run: shuffle
         // disk files persist until their ShuffleDependency is GC'd, so
         // without a GC pulse N runs of a shuffle-heavy query hold N runs'
@@ -263,6 +307,11 @@ object Bench {
       try graft.queries.Tpcds.clearStarCache(spark)
       catch { case _: Throwable => }
       System.gc()
+      // per-timed-window executor metrics (post-GC so the async listener
+      // bus has drained); normalized per run in the artifact
+      val post = acc.snapshot()
+      spills(name) = ((post._1 - pre._1) / nRuns,
+        (post._2 - pre._2) / nRuns, (post._3 - pre._3) / nRuns)
       r
     }
     val calPost = calibrate()
@@ -299,8 +348,14 @@ object Bench {
     // bench JSON was truncated by the driver's stdout-tail capture because
     // the runs arrays doubled the line length); the full record including
     // per-run values goes to a file the driver/judge can read whole.
+    // per-run executor metrics (bytes): memory spilled, disk spilled,
+    // shuffle written — the measured evidence behind plan-shape claims
+    // (e.g. SMJ spill robustness on the sf100 heavy shuffles)
+    val spillJson = selected.flatMap(name => spills.get(name).map { case (m, d, w) =>
+      "\"" + name + s"""":{"mem_spill":$m,"disk_spill":$d,"shuffle_write":$w}"""
+    }).mkString("{", ",", "}")
     val full =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","queries":$qs,"pairs":$pairsJson,"drift":$driftJson,"runs":$runsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","queries":$qs,"pairs":$pairsJson,"drift":$driftJson,"spill_per_run":$spillJson,"runs":$runsJson,"sf":"$sfDir"}"""
     // stdout gets a line that FITS THE DRIVER'S 2000-CHAR TAIL CAPTURE:
     // round 3 lost the artifact to per-run arrays, round 9 to the pairs
     // map, round 10 to sbt's OWN epilogue ([error]-prefixed stderr lines +

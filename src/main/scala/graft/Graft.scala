@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The library's one-call public entry point.
+  *
+  * Everything the engine installs piecemeal across the internal layers —
+  * session defaults ([[Engine.configure]]), the custom optimizer rules
+  * (decimal-sum fast path, generator cross-join reorder, weak-bloom
+  * pruning), the GlareDB-compat scalar/aggregate/table-function surface,
+  * and the path-as-table SQL sugar — comes up through this façade, so a
+  * user of the reference engine needs exactly two lines to run their
+  * queries on Spark:
+  *
+  * {{{
+  * val spark = graft.Graft.session()
+  * graft.Graft.sql(spark, "SELECT count(*) FROM 'data/lineitem.parquet'").show()
+  * }}}
+  *
+  * On a cluster, the session comes from the environment instead —
+  * [[install]] bolts the same surface onto any existing SparkSession
+  * without touching its master/conf.
+  */
+object Graft {
+
+  /** Build a local session with graft's engine defaults and the full
+    * function/rule surface installed. */
+  def session(cpus: Int = Engine.defaultCpus,
+      appName: String = "graft"): SparkSession =
+    install(Engine.session(cpus, appName))
+
+  /** Install graft's surface on an EXISTING session (idempotent):
+    * optimizer rules, sketch/vector kernels (simhash64, minhash_sig,
+    * l2_distance, ...), the GlareDB compat function names + TVFs, the
+    * SpaceSaving heavy-hitter and custom aggregators, and the exact
+    * decimal-sum kernels. Returns the same session for chaining. */
+  def install(spark: SparkSession): SparkSession = {
+    Engine.ensureOptimizations(spark)
+    functions.GraftFunctions.register(spark)
+    functions.GlareCompat.register(spark)
+    functions.DecimalFunctions.register(spark)
+    functions.HeavyHitters.register(spark)
+    functions.Aggregators.register(spark)
+    spark
+  }
+
+  /** SQL with the reference's sugar resolved: `FROM '<path>'`,
+    * read_parquet/read_csv/read_text/read_delta/read_iceberg (+ time
+    * travel), tpch_gen.* and parquet metadata TVFs. Plain Spark SQL
+    * passes through untouched. */
+  def sql(spark: SparkSession, query: String): DataFrame =
+    sources.GraftSession.sql(spark, query)
+
+  /** Register every fixture table under `dir` as a temp view
+    * (region/nation/.../lineitem/events/documents/embeddings). */
+  def open(spark: SparkSession, dir: String): SparkSession = {
+    Engine.registerAll(spark, dir)
+    spark
+  }
+
+  /** Ingest-time physical layouts (write once, query many): the staged
+    * tables the k-twin queries run on. Each returns the stored table
+    * name(s); re-invocations attach the existing tables instead of
+    * rebuilding. See operators/Skew.scala for the layout designs. */
+  object layouts {
+    /** lineitem + orders co-bucketed on the orderkey (zero-exchange
+      * order/line joins) with schema-completion columns materialized. */
+    def bucketedTpch(spark: SparkSession, dir: String,
+        buckets: Int = operators.Skew.defaultBuckets): (String, String) =
+      operators.Skew.writeBucketedTpch(spark, dir, buckets)
+
+    /** The denormalized lineitem projection (C-Store style): order/
+      * customer/part attributes folded into the fact, two-level
+      * (orderdate file, shipdate row-group) zone-map layout. */
+    def denormLineitem(spark: SparkSession, dir: String,
+        buckets: Int = operators.Skew.defaultBuckets): String =
+      operators.Skew.writeDenormLineitem(spark, dir, buckets)
+
+    /** partsupp + part co-bucketed on the partkey. */
+    def partsupp(spark: SparkSession, dir: String,
+        buckets: Int = operators.Skew.defaultBuckets): (String, String) =
+      operators.Skew.writeStagedPartsupp(spark, dir, buckets)
+  }
+}

@@ -513,6 +513,30 @@ class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(simhashBandLayout(5000000L) == ((3, 19, Seq(0, 22, 45))))
   }
 
+  test("Graft facade: install + open + sugar SQL + compat functions + layouts") {
+    // the README quickstart, exercised end to end on a real session
+    val s = Graft.install(spark.newSession())
+    // path-as-table sugar straight off the parquet file
+    val n = Graft.sql(s, s"SELECT count(*) AS n FROM '$dir/nation.parquet'")
+      .collect()(0).getAs[Long]("n")
+    assert(n == 25)
+    // registered fixture views + a GlareDB-compat function name
+    Graft.open(s, dir)
+    val r = Graft.sql(s,
+      "SELECT repeat('ab', 2) AS rep, count(*) AS cnt FROM region")
+      .collect()(0)
+    assert(r.getAs[String]("rep") == "abab" && r.getAs[Long]("cnt") == 5)
+    // sketch kernel registered by install
+    assert(Graft.sql(s, "SELECT simhash64(array('a','b')) AS h")
+      .collect()(0).getAs[Long]("h") != 0L)
+    // staged-layout surface: build (or attach) the co-bucketed pair and
+    // run a zero-exchange join on it
+    val (tli, tor) = Graft.layouts.bucketedTpch(s, dir)
+    val joined = s.table(tli).join(s.table(tor).hint("merge"),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined > 0)
+  }
+
   test("connected components: multi-hop chains collapse to one cluster") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 — forces several propagation rounds),
