@@ -77,13 +77,23 @@ object Bench {
     // stddev (q39), the store/catalog mega-join (q64), the wide rollup
     // (q67), and the inventory-join fan-in (q72)
     Seq("tpcds_q04", "tpcds_q11", "tpcds_q14", "tpcds_q23",
-      "tpcds_q39", "tpcds_q64", "tpcds_q67", "tpcds_q72") ++
+      "tpcds_q39", "tpcds_q64", "tpcds_q67", "tpcds_q72",
+      // staged-inventory twins (stored fact table vs per-query synthesis)
+      "k44_staged_ds39", "k45_staged_ds72") ++
     // ClickBench ports: 90-sum wide aggregate, heavy high-cardinality
     // group, and the synthesized-string-hot queries with their staged-hits
     // layout twins (see operators/CbxLayout.scala for the selection)
     Seq("cbx_q29", "cbx_q32", "cbx_q08", "cbx_q09", "cbx_q10",
       "k32_staged_cbx29", "k33_staged_cbx10", "k34_staged_cbx09",
-      "k35_staged_cbx08")
+      "k35_staged_cbx08") ++
+    // the CounterID+EventDate pruning family (round-11 sf10 sweep: 25-37x
+    // the proxy on the view path) + the string-distinct shape, with their
+    // zone-map-pruned staged-hits twins
+    Seq("cbx_q37", "cbx_q38", "cbx_q39", "cbx_q40", "cbx_q41", "cbx_q42",
+      "cbx_q05",
+      "k37_staged_cbx37", "k38_staged_cbx38", "k39_staged_cbx39",
+      "k40_staged_cbx40", "k41_staged_cbx41", "k42_staged_cbx42",
+      "k43_staged_cbx05")
 
   /** Staged-layout twins vs their default-layout originals: same oracle,
     * different physical layout. Emitted as first-class same-run pairs in
@@ -124,7 +134,16 @@ object Bench {
     "k32_staged_cbx29" -> "cbx_q29",
     "k33_staged_cbx10" -> "cbx_q10",
     "k34_staged_cbx09" -> "cbx_q09",
-    "k35_staged_cbx08" -> "cbx_q08")
+    "k35_staged_cbx08" -> "cbx_q08",
+    "k37_staged_cbx37" -> "cbx_q37",
+    "k38_staged_cbx38" -> "cbx_q38",
+    "k39_staged_cbx39" -> "cbx_q39",
+    "k40_staged_cbx40" -> "cbx_q40",
+    "k41_staged_cbx41" -> "cbx_q41",
+    "k42_staged_cbx42" -> "cbx_q42",
+    "k43_staged_cbx05" -> "cbx_q05",
+    "k44_staged_ds39" -> "tpcds_q39",
+    "k45_staged_ds72" -> "tpcds_q72")
 
   /** Compact stdout key for a query name (the driver's tail capture is
     * 2000 chars; full names live in target/bench.json): suite prefixes map

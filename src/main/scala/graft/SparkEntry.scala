@@ -40,6 +40,7 @@ object SparkEntry {
       graft.operators.Skew.queries ++
       graft.operators.Skew.bucketedQueries ++
       graft.operators.CbxLayout.queries ++
+      graft.operators.TpcdsLayout.queries ++
       graft.functions.Aggregators.queries ++
       graft.streaming.Streaming.queries ++
       graft.streaming.Streaming.joinQueries
@@ -69,6 +70,7 @@ object SparkEntry {
       graft.sources.TpchGen.oracles ++
       graft.operators.Skew.oracles ++
       graft.operators.CbxLayout.oracles ++
+      graft.operators.TpcdsLayout.oracles ++
       graft.functions.Aggregators.oracles ++
       graft.streaming.Streaming.oracles
 }

@@ -62,15 +62,38 @@ object CbxLayout {
     * queries where deriving a column from one stored i64 is CHEAPER than
     * reading the materialized string column; a stored layout only pays
     * when the derivation is expensive relative to the read. */
+  /** The round-11 sf10 cbx-vs-proxy sweep put the ENTIRE
+    * `CounterID = 62 AND EventDate BETWEEN ...` family (q37–q42) at
+    * 25–37x the DuckDB proxy on the view path: every query pays the full
+    * events scan + column synthesis to select ~1 % of rows. On the staged
+    * table the (CounterID, EventDate) range-partitioning + in-file sort
+    * turns that filter into file/row-group zone-map pruning — the
+    * ClickBench "partitioned hits" regime the reference benches against.
+    * q05 (COUNT(DISTINCT SearchPhrase)) is the synthesized-string-distinct
+    * shape: storing the phrase makes it a dictionary-encoded column read. */
   val queries: Map[String, Q] = Map(
     "k32_staged_cbx29" -> staged("cbx_q29"),
     "k33_staged_cbx10" -> staged("cbx_q10"),
     "k34_staged_cbx09" -> staged("cbx_q09"),
-    "k35_staged_cbx08" -> staged("cbx_q08"))
+    "k35_staged_cbx08" -> staged("cbx_q08"),
+    "k37_staged_cbx37" -> staged("cbx_q37"),
+    "k38_staged_cbx38" -> staged("cbx_q38"),
+    "k39_staged_cbx39" -> staged("cbx_q39"),
+    "k40_staged_cbx40" -> staged("cbx_q40"),
+    "k41_staged_cbx41" -> staged("cbx_q41"),
+    "k42_staged_cbx42" -> staged("cbx_q42"),
+    "k43_staged_cbx05" -> staged("cbx_q05"))
 
   val oracles: Map[String, String] = Map(
     "k32_staged_cbx29" -> graft.queries.ClickBench.oracles("cbx_q29"),
     "k33_staged_cbx10" -> graft.queries.ClickBench.oracles("cbx_q10"),
     "k34_staged_cbx09" -> graft.queries.ClickBench.oracles("cbx_q09"),
-    "k35_staged_cbx08" -> graft.queries.ClickBench.oracles("cbx_q08"))
+    "k35_staged_cbx08" -> graft.queries.ClickBench.oracles("cbx_q08"),
+    "k37_staged_cbx37" -> graft.queries.ClickBench.oracles("cbx_q37"),
+    "k38_staged_cbx38" -> graft.queries.ClickBench.oracles("cbx_q38"),
+    "k39_staged_cbx39" -> graft.queries.ClickBench.oracles("cbx_q39"),
+    "k40_staged_cbx40" -> graft.queries.ClickBench.oracles("cbx_q40"),
+    "k41_staged_cbx41" -> graft.queries.ClickBench.oracles("cbx_q41"),
+    "k42_staged_cbx42" -> graft.queries.ClickBench.oracles("cbx_q42"),
+    "k43_staged_cbx05" -> graft.queries.ClickBench.oracles("cbx_q05"))
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.QueryDsl.Q
+
+/** Staged TPC-DS inventory: the weekly (Sunday) item × warehouse snapshot
+  * grid materialized ONCE at ingest as a sorted parquet table.
+  *
+  * In the fixture model `inventory` is a synthesized CTE (the driver
+  * fixtures carry no star schema), so every query over it re-derives the
+  * full grid — and q39 references the CTE twice (month-over-month
+  * self-join), paying the derivation twice: measured 30.1 s at sf10
+  * (7.6× the DuckDB proxy, the worst ratio in the round-11 TPC-DS sweep)
+  * where a single derivation pass (q22 shape) costs ~15 s. A production
+  * deployment stores inventory as a fact table; this writer is that
+  * one-time `CREATE TABLE AS`. Effects:
+  *   - the 4-int-column grid (129 M rows ≈ hundreds of MB zstd at sf10)
+  *     reads back at parquet scan speed instead of cross-join synthesis;
+  *   - files are range-partitioned by inv_date_sk and sorted by
+  *     (inv_date_sk, inv_item_sk): the d_year/d_moy filters every
+  *     inventory query carries prune snapshots via zone maps once the
+  *     date_dim join key range is known (runtime bloom / DPP-class
+  *     filters), and item-range probes (q37/q82 shape) prune row groups;
+  *   - q39's two CTE references become two cheap scans of the same files.
+  *
+  * Twins run the IDENTICAL query texts with the `inventory` view
+  * re-pointed at the stored table — same values, same DuckDB oracle as
+  * their tpcds_q* originals.
+  */
+object TpcdsLayout {
+
+  /** Materialize the staged inventory table for `dir`; returns the table
+    * name. Same attach-or-build contract as the other layout writers. */
+  def writeStagedInventory(spark: SparkSession, dir: String): String = {
+    val tag = Skew.layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8)
+    val tn = s"graft_inventory_$tag"
+    Skew.ensureStaged(spark, Seq(tn -> None)) {
+      graft.queries.Tpcds.ensureStar(spark, dir)
+      spark.table("inventory")
+        .repartitionByRange(32, col("inv_date_sk"))
+        .sortWithinPartitions(col("inv_date_sk"), col("inv_item_sk"))
+        .write.mode("overwrite").format("parquet")
+        .option("compression", Skew.stagedCodec)
+        .saveAsTable(tn)
+    }
+    tn
+  }
+
+  /** Run a tpcds query text with `inventory` pointing at the stored
+    * layout for this session (all other star views stay as ensureStar
+    * builds them). */
+  private def staged(name: String): Q = { (s, dir) =>
+    val tn = writeStagedInventory(s, dir)
+    graft.queries.Tpcds.ensureStar(s, dir)
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW inventory AS SELECT * FROM $tn")
+    s.sql(graft.queries.Tpcds.texts(name).trim)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "k44_staged_ds39" -> staged("tpcds_q39"),
+    "k45_staged_ds72" -> staged("tpcds_q72"))
+
+  val oracles: Map[String, String] = Map(
+    "k44_staged_ds39" -> graft.queries.Tpcds.oracles("tpcds_q39"),
+    "k45_staged_ds72" -> graft.queries.Tpcds.oracles("tpcds_q72"))
+}

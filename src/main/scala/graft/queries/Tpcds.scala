@@ -372,10 +372,23 @@ object Tpcds {
       FROM nation WHERE n_nationkey < 12)""",
 
 
-    // weekly (Sunday) inventory snapshots per item x warehouse; quantity is
-    // a deterministic hash with enough spread for the q39 cov cut. NOT
-    // eagerly cached (36M rows at sf0.1) - derived per query, pruned by the
-    // query's own date filters.
+    // weekly (Sunday) inventory snapshots per warehouse over a SUB-LINEAR
+    // item subset; quantity is a deterministic hash with enough spread for
+    // the q39 cov cut. NOT eagerly cached - derived per query, pruned by
+    // the query's own date filters.
+    //
+    // Item scaling follows the TPC-DS spec's own curve, where the item
+    // dimension grows ~SF^0.6, NOT linearly (spec table 3-2: 18k items at
+    // SF1, 102k at SF10, 300k at SF100). Our item table rides on part
+    // (200k x SF), so an uncapped cross product put inventory at 3.6 B
+    // rows at sf10 - a fixture-model bug, not a workload: the round-11
+    // sf10 sweep measured q39 >40 min and q72 183 s, both synthesis-bound.
+    // The cap (18000 * SF^0.6, SF derived from the supplier count so the
+    // SAME text scales in both engines) lands at 284/1.1k/4.5k/72k/285k
+    // items for sf0.001/0.01/0.1/10/100 - inventory is 129 M rows at sf10,
+    // matching real TPC-DS SF10's 133 M. Semantics: warehouses stock a
+    // subset of the catalog; inventory joins restrict to it identically in
+    // Spark and the DuckDB oracle.
     "inventory" -> """inventory AS (
       SELECT d.d_date_sk AS inv_date_sk,
              i.i_item_sk AS inv_item_sk,
@@ -383,7 +396,11 @@ object Tpcds {
              CAST((CAST(d.d_date_sk AS BIGINT) * 83 + i.i_item_sk * 257
                    + w.w_warehouse_sk * 389) % 1000 AS INT)
                AS inv_quantity_on_hand
-      FROM date_dim d CROSS JOIN item i CROSS JOIN warehouse w
+      FROM date_dim d
+      CROSS JOIN (SELECT i_item_sk FROM item WHERE i_item_sk <=
+                   (SELECT CAST(FLOOR(18000 * POWER(COUNT(*) / 10000.0, 0.6))
+                           AS BIGINT) FROM supplier)) i
+      CROSS JOIN warehouse w
       WHERE d.d_dow = 0)""",
 
     // one store_sales row per lineitem; all surrogate keys and money values
@@ -707,7 +724,7 @@ object Tpcds {
       s"WITH $block\n$t"
   }
 
-  private val texts: Map[String, String] = Map(
+  private[graft] val texts: Map[String, String] = Map(
     // Q1: customers returning more than 1.2x their store's average
     // (correlated scalar avg over a CTE, used twice).
     "tpcds_q01" -> s"""
@@ -3068,6 +3085,11 @@ object Tpcds {
     // Q39: inventory coefficient-of-variation month-over-month self-join.
     // Ref cov cut 1 -> 0.5 (fixture quantities are uniform; the asymptotic
     // cov is ~0.58, so >1 selects only degenerate small-sample groups).
+    // The cut rounds cov to 6 dp first: stddev_samp accumulates in a
+    // different order across engines (Welford vs two-pass), and with ~5
+    // samples/group a last-ulp difference flips groups sitting ON the 0.5
+    // boundary (measured: 3 of ~3.5k rows at sf0.01 after the round-11
+    // inventory rescale). Rounding both sides makes the cut deterministic.
     "tpcds_q39" -> s"""
       WITH inv AS
         (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
@@ -3083,7 +3105,7 @@ object Tpcds {
               AND inv_date_sk = d_date_sk
               AND d_year = 2001
             GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
-         WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 0.5)
+         WHERE CASE mean WHEN 0 THEN 0 ELSE ROUND(stdev / mean, 6) END > 0.5)
       SELECT inv1.w_warehouse_sk wsk1, inv1.i_item_sk isk1,
              inv1.d_moy dmoy1, inv1.mean mean1, inv1.cov cov1,
              inv2.w_warehouse_sk AS wsk2, inv2.i_item_sk AS isk2,
@@ -4582,7 +4604,7 @@ object Tpcds {
     * one materialization. The DuckDB oracle keeps the identical CTE text
     * inline (single-statement oracle), so both engines still see the same
     * input data by construction. */
-  private[queries] def ensureStar(s: SparkSession, dir: String): Unit =
+  private[graft] def ensureStar(s: SparkSession, dir: String): Unit =
     starReady.synchronized {
       val cachedDirs = starCached.computeIfAbsent(s.sparkContext,
         _ => scala.collection.mutable.Set[String]())
