@@ -12,6 +12,18 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// the bench artifact. Two things used to land after it and void the parse
+// (BENCH_r08..r11 all "parsed": null):
+//  - sbt's logger wrapped the forked JVM's stdout as "[info] ..." lines —
+//    StdoutOutput forwards the child's streams verbatim instead;
+//  - sbt's "[success] Total time ..." epilogue printed after the JSON —
+//    showSuccess := false removes it. Compile/test errors still print
+//    (they are error-level), and exit codes are unaffected.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,6 +15,13 @@ import sys
 def main():
     bench = json.load(open(sys.argv[1]))
     proxy = json.load(open(sys.argv[2]))
+    # round-11 lesson: a drift-contaminated sweep (calibration 3.77 ->
+    # 16.18 s) flowed into a committed ratio table; Bench now stamps
+    # validity in the artifact and this report refuses invalid inputs.
+    if bench.get("valid") is False:
+        sys.exit("ERROR: bench artifact stamped invalid "
+                 f"({bench.get('invalid_reason', 'no reason recorded')}); "
+                 "re-run on a quiet box instead of reporting from it.")
     q = bench["queries"]
     pairs = bench.get("pairs", {})
     # twin times per default query

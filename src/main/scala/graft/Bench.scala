@@ -93,7 +93,10 @@ object Bench {
       "cbx_q05",
       "k37_staged_cbx37", "k38_staged_cbx38", "k39_staged_cbx39",
       "k40_staged_cbx40", "k41_staged_cbx41", "k42_staged_cbx42",
-      "k43_staged_cbx05")
+      "k43_staged_cbx05") ++
+    // the heavy high-cardinality GROUP BY class representatives with the
+    // pre-aggregated (SearchPhrase, UserID) projection twins
+    Seq("cbx_q12", "cbx_q13", "k46_pairs_cbx13", "k47_pairs_cbx12")
 
   /** Staged-layout twins vs their default-layout originals: same oracle,
     * different physical layout. Emitted as first-class same-run pairs in
@@ -143,7 +146,9 @@ object Bench {
     "k42_staged_cbx42" -> "cbx_q42",
     "k43_staged_cbx05" -> "cbx_q05",
     "k44_staged_ds39" -> "tpcds_q39",
-    "k45_staged_ds72" -> "tpcds_q72")
+    "k45_staged_ds72" -> "tpcds_q72",
+    "k46_pairs_cbx13" -> "cbx_q13",
+    "k47_pairs_cbx12" -> "cbx_q12")
 
   /** Compact stdout key for a query name (the driver's tail capture is
     * 2000 chars; full names live in target/bench.json): suite prefixes map
@@ -363,6 +368,23 @@ object Bench {
     // averages (pre/post), and hypervisor steal % across the suite window
     val driftJson =
       f"""{"calibration_sec":[$calPre%.3f,$calPost%.3f],"loadavg_pre":"$loadPre","loadavg_post":"$loadPost","steal_pct":$stealPct%.2f}"""
+    // validity gate (round-11 lesson: a drift-contaminated TPC-DS sweep —
+    // calibration 3.77 -> 16.18 s — and a -1.0 failure sentinel both went
+    // into committed ratio tables as if they were measurements). A run is
+    // stamped INVALID in the artifact itself when the box measurably
+    // changed speed under it or any query failed; downstream ratio
+    // tooling refuses invalid inputs instead of averaging them.
+    val failedQs = results.collect { case (k, (m, _)) if m < 0 => k }
+    val invalidReasons =
+      (if (calPost > calPre * 1.5)
+        Seq(f"calibration blew out ${calPre}%.2f -> ${calPost}%.2f s (box under external load)")
+      else Seq.empty) ++
+      (if (failedQs.nonEmpty)
+        Seq(s"failed queries (median=-1 sentinel): ${failedQs.mkString(",")}")
+      else Seq.empty)
+    val valid = invalidReasons.isEmpty
+    val invalidJson =
+      if (valid) "" else s""","invalid_reason":"${invalidReasons.mkString("; ")}""""
     // stdout gets the one-line summary WITHOUT per-run arrays (the round-3
     // bench JSON was truncated by the driver's stdout-tail capture because
     // the runs arrays doubled the line length); the full record including
@@ -374,7 +396,7 @@ object Bench {
       "\"" + name + s"""":{"mem_spill":$m,"disk_spill":$d,"shuffle_write":$w}"""
     }).mkString("{", ",", "}")
     val full =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","queries":$qs,"pairs":$pairsJson,"drift":$driftJson,"spill_per_run":$spillJson,"runs":$runsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":$nRuns,"aggregation":"median","valid":$valid$invalidJson,"queries":$qs,"pairs":$pairsJson,"drift":$driftJson,"spill_per_run":$spillJson,"runs":$runsJson,"sf":"$sfDir"}"""
     // stdout gets a line that FITS THE DRIVER'S 2000-CHAR TAIL CAPTURE:
     // round 3 lost the artifact to per-run arrays, round 9 to the pairs
     // map, round 10 to sbt's OWN epilogue ([error]-prefixed stderr lines +
@@ -390,18 +412,24 @@ object Bench {
       "\"" + shortKey(k) + f"\":$m%.2f"
     }.mkString("{", ",", "}")
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir"}"""
-    val out = java.nio.file.Paths.get("target/bench.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out,
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    System.err.println(s"[bench] full JSON (incl. per-run values): $out")
-    if (summary.length > 1900)
-      System.err.println(s"[bench] WARNING: stdout summary ${summary.length} chars " +
-        "(driver tail capture is 2000) — trim the headline or the driver loses the artifact")
-    spark.stop()
-    System.err.flush()
-    println(summary)
-    System.out.flush()
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","valid":$valid,"queries":$qsCompact,"sf":"$sfDir"}"""
+    // the stdout summary is the driver's artifact of record: print it in a
+    // finally so a failing file write or spark.stop() (disk-full is this
+    // box's known failure mode) cannot take both artifacts out at once
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full JSON (incl. per-run values): $out")
+      if (summary.length > 1900)
+        System.err.println(s"[bench] WARNING: stdout summary ${summary.length} chars " +
+          "(driver tail capture is 2000) — trim the headline or the driver loses the artifact")
+      spark.stop()
+    } finally {
+      System.err.flush()
+      println(summary)
+      System.out.flush()
+    }
   }
 }

@@ -80,5 +80,61 @@ object Graft {
     def partsupp(spark: SparkSession, dir: String,
         buckets: Int = operators.Skew.defaultBuckets): (String, String) =
       operators.Skew.writeStagedPartsupp(spark, dir, buckets)
+
+    /** orders + customer co-bucketed on the custkey. */
+    def bucketedOrdersCustomer(spark: SparkSession, dir: String,
+        buckets: Int = operators.Skew.defaultBuckets): (String, String) =
+      operators.Skew.writeBucketed(spark, dir, buckets)
+
+    /** The pre-aggregated distinct (brand, type, size, suppkey) relation
+      * behind TPC-H q16's COUNT(DISTINCT) — a pure function of the part
+      * catalog, zone-map-pruned by p_size. */
+    def q16Pairs(spark: SparkSession, dir: String): String =
+      operators.Skew.writeStagedQ16Pairs(spark, dir)
+
+    /** The ClickBench `hits` projection, range-partitioned by CounterID
+      * and sorted (CounterID, EventDate, UserID) — the reference's own
+      * partitioned-hits physical order. */
+    def stagedHits(spark: SparkSession, dir: String): String =
+      operators.CbxLayout.writeStagedHits(spark, dir)
+
+    /** The TPC-DS weekly inventory snapshot grid stored as a fact table,
+      * range-partitioned and sorted by (inv_date_sk, inv_item_sk). */
+    def stagedInventory(spark: SparkSession, dir: String): String =
+      operators.TpcdsLayout.writeStagedInventory(spark, dir)
+  }
+
+  /** Reproduce the measurement protocol on any fixture dir: runs the
+    * bench main (median-of-n timed runs per query, fresh session per
+    * query, calibration + load/steal drift guard, per-run spill metrics)
+    * and returns the full-artifact path. `only` filters the headline set;
+    * `extra` appends any catalog query. */
+  def bench(sfDir: String, only: Seq[String] = Seq.empty,
+      extra: Seq[String] = Seq.empty, runs: Int = 5): java.nio.file.Path = {
+    val env = Map("SPARK_GRAFT_SF_DIR" -> sfDir,
+      "SPARK_GRAFT_BENCH_RUNS" -> runs.toString) ++
+      (if (only.nonEmpty) Map("SPARK_GRAFT_BENCH_ONLY" -> only.mkString(","))
+       else Map.empty) ++
+      (if (extra.nonEmpty) Map("SPARK_GRAFT_BENCH_EXTRA" -> extra.mkString(","))
+       else Map.empty)
+    // Bench.main reads its protocol from the environment (the driver's
+    // contract); re-exec in-process is not possible without mutating the
+    // JVM env, so this wrapper shells out to the same entry point.
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq("java", "-Xmx96g") ++
+      Seq("java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+        "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+        "java.base/sun.nio.cs", "java.base/sun.security.action",
+        "java.base/sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++
+      Seq("-cp", cp, "graft.Bench")
+    val pb = new ProcessBuilder(cmd: _*).inheritIO()
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val rc = pb.start().waitFor()
+    require(rc == 0, s"bench exited $rc")
+    java.nio.file.Paths.get("target/bench.json")
   }
 }

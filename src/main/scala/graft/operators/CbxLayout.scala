@@ -51,6 +51,57 @@ object CbxLayout {
     s.sql(graft.queries.ClickBench.text(name).trim)
   }
 
+  /** Pre-aggregated (SearchPhrase, UserID) profile projection with
+    * per-pair counts, bucketed + sorted by SearchPhrase.
+    *
+    * The round-11 verdict named the ClickBench heavy high-cardinality
+    * GROUP BY class (q08–q18, 7–10 s vs proxy 1.5–2.2 s at sf100) the
+    * one regime still over the 2× bar with no layout answer: a
+    * single-table hash agg whose mid-plan exchange DuckDB's in-core agg
+    * never pays. This is that answer for the phrase-keyed shapes — the
+    * standard materialized-view/cube pattern: COUNT(*) per (phrase, user)
+    * pair is the common sub-aggregate of q12 (COUNT(*) per phrase =
+    * SUM(c)) and q13 (COUNT(DISTINCT UserID) per phrase = COUNT(*) of
+    * pairs), both EXACT by construction. Bucketing by SearchPhrase means
+    * the twin's final aggregation plans ZERO exchange — only the top-10
+    * crosses the wire. At 100 TB the pair projection is orders of
+    * magnitude smaller than the fact table (bounded by distinct
+    * user-phrase pairs), and its build is one partial-agg pass at ingest. */
+  def writeStagedPhraseUser(spark: SparkSession, dir: String): String = {
+    val tag = Skew.layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8)
+    val tp = s"graft_hits_pu_$tag"
+    Skew.ensureStaged(spark, Seq(tp -> Some((32, "SearchPhrase")))) {
+      val th = writeStagedHits(spark, dir)
+      spark.table(th)
+        .groupBy(col("SearchPhrase"), col("UserID"))
+        .agg(count(lit(1)).as("c"))
+        .repartition(32, col("SearchPhrase"))
+        .write.mode("overwrite").format("parquet")
+        .option("compression", Skew.stagedCodec)
+        .bucketBy(32, "SearchPhrase").sortBy("SearchPhrase")
+        .saveAsTable(tp)
+    }
+    tp
+  }
+
+  private def pairsQ13: Q = { (s, dir) =>
+    val tp = writeStagedPhraseUser(s, dir)
+    s.table(tp).filter(col("SearchPhrase") =!= "")
+      .groupBy(col("SearchPhrase"))
+      .agg(count(lit(1)).as("u"))
+      .orderBy(desc("u"), asc("SearchPhrase"))
+      .limit(10)
+  }
+
+  private def pairsQ12: Q = { (s, dir) =>
+    val tp = writeStagedPhraseUser(s, dir)
+    s.table(tp).filter(col("SearchPhrase") =!= "")
+      .groupBy(col("SearchPhrase"))
+      .agg(sum(col("c")).as("c"))
+      .orderBy(desc("c"), asc("SearchPhrase"))
+      .limit(10)
+  }
+
   /** Staged twins for the cbx queries the layout measurably helps.
     *
     * Selection by measurement at sf10 (5-run medians, staged vs view):
@@ -82,7 +133,9 @@ object CbxLayout {
     "k40_staged_cbx40" -> staged("cbx_q40"),
     "k41_staged_cbx41" -> staged("cbx_q41"),
     "k42_staged_cbx42" -> staged("cbx_q42"),
-    "k43_staged_cbx05" -> staged("cbx_q05"))
+    "k43_staged_cbx05" -> staged("cbx_q05"),
+    "k46_pairs_cbx13" -> pairsQ13,
+    "k47_pairs_cbx12" -> pairsQ12)
 
   val oracles: Map[String, String] = Map(
     "k32_staged_cbx29" -> graft.queries.ClickBench.oracles("cbx_q29"),
@@ -95,5 +148,7 @@ object CbxLayout {
     "k40_staged_cbx40" -> graft.queries.ClickBench.oracles("cbx_q40"),
     "k41_staged_cbx41" -> graft.queries.ClickBench.oracles("cbx_q41"),
     "k42_staged_cbx42" -> graft.queries.ClickBench.oracles("cbx_q42"),
-    "k43_staged_cbx05" -> graft.queries.ClickBench.oracles("cbx_q05"))
+    "k43_staged_cbx05" -> graft.queries.ClickBench.oracles("cbx_q05"),
+    "k46_pairs_cbx13" -> graft.queries.ClickBench.oracles("cbx_q13"),
+    "k47_pairs_cbx12" -> graft.queries.ClickBench.oracles("cbx_q12"))
 }

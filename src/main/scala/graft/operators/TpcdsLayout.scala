@@ -32,10 +32,26 @@ import graft.QueryDsl.Q
 object TpcdsLayout {
 
   /** Materialize the staged inventory table for `dir`; returns the table
-    * name. Same attach-or-build contract as the other layout writers. */
+    * name. Same attach-or-build contract as the other layout writers.
+    * The tag folds in a hash of the FULL defining text (inventory CTE +
+    * its transitive dims), so an edit to the synthesis SQL rebuilds the
+    * stored table instead of silently attaching stale data that no longer
+    * matches the oracle's inlined CTE (round-11 advice). Superseded
+    * same-version dirs with an old def hash are pruned here (the global
+    * layoutVer pruner can't see them — their version segment is current). */
   def writeStagedInventory(spark: SparkSession, dir: String): String = {
-    val tag = Skew.layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8)
+    val tag = Skew.layoutVer + "_" + graft.queries.Tpcds.defHash("inventory") +
+      "_" + Integer.toHexString(dir.hashCode).take(8)
     val tn = s"graft_inventory_$tag"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.getName.startsWith("graft_inventory_") && d.getName != tn)
+      .foreach { d =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        rm(d)
+      }
     Skew.ensureStaged(spark, Seq(tn -> None)) {
       graft.queries.Tpcds.ensureStar(spark, dir)
       spark.table("inventory")
@@ -49,13 +65,20 @@ object TpcdsLayout {
   }
 
   /** Run a tpcds query text with `inventory` pointing at the stored
-    * layout for this session (all other star views stay as ensureStar
-    * builds them). */
+    * layout (all other star views stay as ensureStar builds them). The
+    * re-point is ANALYSIS-scoped: Spark resolves the view eagerly when
+    * s.sql() builds the DataFrame, so the synthesized view is restored
+    * immediately after — a later view-path query in the same session
+    * reads the CTE derivation again, keeping staged-vs-view twin timings
+    * honest even for harnesses that share one session (round-11 advice;
+    * Bench's fresh-session-per-query never hit this). */
   private def staged(name: String): Q = { (s, dir) =>
     val tn = writeStagedInventory(s, dir)
     graft.queries.Tpcds.ensureStar(s, dir)
     s.sql(s"CREATE OR REPLACE TEMPORARY VIEW inventory AS SELECT * FROM $tn")
-    s.sql(graft.queries.Tpcds.texts(name).trim)
+    try s.sql(graft.queries.Tpcds.texts(name).trim)
+    finally s.sql("CREATE OR REPLACE TEMPORARY VIEW inventory AS " +
+      graft.queries.Tpcds.viewBody("inventory"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -700,6 +700,22 @@ object Tpcds {
       FROM web_sales
       WHERE (ws_order_number * 5 + ws_item_sk) % 10 < 3)""")
 
+  /** A star view's inner SELECT text (exactly what ensureStar registers) —
+    * layout twins use it to RESTORE the synthesized view after re-pointing
+    * a name at a stored table, and to tag staged tables with a hash of
+    * their defining text (a definition edit then forces a rebuild instead
+    * of silently attaching stale data — round-11 advice). */
+  private[graft] def viewBody(name: String): String = {
+    val defn = cteDefs.toMap.apply(name)
+    defn.substring(defn.indexOf('(') + 1, defn.lastIndexOf(')'))
+  }
+
+  /** Stable hash of a view's full defining text INCLUDING the transitive
+    * CTE closure it reads (inventory's contents change when item/date_dim
+    * definitions do, not just its own text). */
+  private[graft] def defHash(name: String): String =
+    Integer.toHexString(wrap(s"SELECT * FROM $name").hashCode).take(8)
+
   /** Prepend the transitive closure of fixture CTEs the query references,
     * in definition order; merge with the query's own WITH clause. */
   private[queries] def wrap(q: String): String = {

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Scratch: diagnose k44_staged_ds39 vs tpcds_q39 row diff at tiny sf. */
+object K44Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Engine.session(cpus = 8, appName = "k44-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    def rows(name: String): Set[Seq[Any]] = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.select(df.columns.sorted.toSeq.map(col): _*).collect().map(_.toSeq).toSet
+    }
+    val a = rows("k44_staged_ds39")
+    val b = rows("tpcds_q39")
+    println(s"twin rows: ${a.size}, default rows: ${b.size}")
+    val onlyA = a -- b
+    val onlyB = b -- a
+    println(s"only in twin: ${onlyA.size}; only in default: ${onlyB.size}")
+    onlyA.take(5).foreach(r => println(s"  twin-only: $r"))
+    onlyB.take(5).foreach(r => println(s"  dflt-only: $r"))
+    // also compare the staged table contents against the view derivation
+    val tn = graft.operators.TpcdsLayout.writeStagedInventory(spark, dir)
+    graft.queries.Tpcds.ensureStar(spark, dir)
+    val st = spark.table(tn)
+    val vw = spark.sql("SELECT * FROM inventory")
+    println(s"staged count=${st.count()} view count=${vw.count()}")
+    println(s"staged-except-view=${st.exceptAll(vw).count()} " +
+      s"view-except-staged=${vw.exceptAll(st).count()}")
+    spark.stop()
+  }
+}
