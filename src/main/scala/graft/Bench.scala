@@ -79,7 +79,8 @@ object Bench {
     Seq("tpcds_q04", "tpcds_q11", "tpcds_q14", "tpcds_q23",
       "tpcds_q39", "tpcds_q64", "tpcds_q67", "tpcds_q72",
       // staged-inventory twins (stored fact table vs per-query synthesis)
-      "k44_staged_ds39", "k45_staged_ds72") ++
+      // + the fused single-derivation q39 program over the stored fact
+      "k44_staged_ds39", "k45_staged_ds72", "k48_fused_ds39") ++
     // ClickBench ports: 90-sum wide aggregate, heavy high-cardinality
     // group, and the synthesized-string-hot queries with their staged-hits
     // layout twins (see operators/CbxLayout.scala for the selection)
@@ -148,7 +149,8 @@ object Bench {
     "k44_staged_ds39" -> "tpcds_q39",
     "k45_staged_ds72" -> "tpcds_q72",
     "k46_pairs_cbx13" -> "cbx_q13",
-    "k47_pairs_cbx12" -> "cbx_q12")
+    "k47_pairs_cbx12" -> "cbx_q12",
+    "k48_fused_ds39" -> "tpcds_q39")
 
   /** Compact stdout key for a query name (the driver's tail capture is
     * 2000 chars; full names live in target/bench.json): suite prefixes map

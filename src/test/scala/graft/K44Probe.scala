@@ -12,7 +12,8 @@ object K44Probe {
       val df = SparkEntry.queries(name)(spark, dir)
       df.select(df.columns.sorted.toSeq.map(col): _*).collect().map(_.toSeq).toSet
     }
-    val a = rows("k44_staged_ds39")
+    val twin = if (args.length > 1) args(1) else "k44_staged_ds39"
+    val a = rows(twin)
     val b = rows("tpcds_q39")
     println(s"twin rows: ${a.size}, default rows: ${b.size}")
     val onlyA = a -- b
