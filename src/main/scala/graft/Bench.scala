@@ -96,8 +96,9 @@ object Bench {
       "k40_staged_cbx40", "k41_staged_cbx41", "k42_staged_cbx42",
       "k43_staged_cbx05") ++
     // the heavy high-cardinality GROUP BY class representatives with the
-    // pre-aggregated (SearchPhrase, UserID) projection twins
-    Seq("cbx_q12", "cbx_q13", "k46_pairs_cbx13", "k47_pairs_cbx12")
+    // pre-aggregated (SearchPhrase, UserID) / (RegionID, UserID) grid twins
+    Seq("cbx_q12", "cbx_q13", "k46_pairs_cbx13", "k47_pairs_cbx12",
+      "k49_grid_cbx08", "k50_grid_cbx09")
 
   /** Staged-layout twins vs their default-layout originals: same oracle,
     * different physical layout. Emitted as first-class same-run pairs in
@@ -150,7 +151,9 @@ object Bench {
     "k45_staged_ds72" -> "tpcds_q72",
     "k46_pairs_cbx13" -> "cbx_q13",
     "k47_pairs_cbx12" -> "cbx_q12",
-    "k48_fused_ds39" -> "tpcds_q39")
+    "k48_fused_ds39" -> "tpcds_q39",
+    "k49_grid_cbx08" -> "cbx_q08",
+    "k50_grid_cbx09" -> "cbx_q09")
 
   /** Compact stdout key for a query name (the driver's tail capture is
     * 2000 chars; full names live in target/bench.json): suite prefixes map

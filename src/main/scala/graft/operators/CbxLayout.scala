@@ -102,6 +102,55 @@ object CbxLayout {
       .limit(10)
   }
 
+  /** The (RegionID, UserID) grid with per-pair COUNT/SUM partials — the
+    * same materialized-sub-aggregate pattern as [[writeStagedPhraseUser]]
+    * for the region-keyed heavy shapes (q08/q09: COUNT(DISTINCT UserID)
+    * plus plain SUM/COUNT/AVG by RegionID). Every aggregate the queries
+    * need is recoverable exactly: COUNT(DISTINCT UserID) = COUNT(*) of
+    * grid rows, COUNT(*) = SUM(c), SUM(AdvEngineID) = SUM(sa),
+    * AVG(ResolutionWidth) = SUM(sw)/SUM(c) (the column is non-null by
+    * synthesis, so AVG's null-skipping is vacuous). Bucketed by RegionID:
+    * the twins' final aggregation plans zero exchange. */
+  def writeStagedRegionUser(spark: SparkSession, dir: String): String = {
+    val tag = Skew.layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8)
+    val tg = s"graft_hits_ru_$tag"
+    Skew.ensureStaged(spark, Seq(tg -> Some((32, "RegionID")))) {
+      val th = writeStagedHits(spark, dir)
+      spark.table(th)
+        .groupBy(col("RegionID"), col("UserID"))
+        .agg(count(lit(1)).as("c"), sum(col("AdvEngineID")).as("sa"),
+          sum(col("ResolutionWidth")).as("sw"))
+        .repartition(32, col("RegionID"))
+        .write.mode("overwrite").format("parquet")
+        .option("compression", Skew.stagedCodec)
+        .bucketBy(32, "RegionID").sortBy("RegionID")
+        .saveAsTable(tg)
+    }
+    tg
+  }
+
+  private def gridQ08: Q = { (s, dir) =>
+    val tg = writeStagedRegionUser(s, dir)
+    s.table(tg)
+      .groupBy(col("RegionID"))
+      .agg(count(lit(1)).as("u"))
+      .orderBy(desc("u"), asc("RegionID"))
+      .limit(10)
+  }
+
+  private def gridQ09: Q = { (s, dir) =>
+    val tg = writeStagedRegionUser(s, dir)
+    s.table(tg)
+      .groupBy(col("RegionID"))
+      .agg(sum(col("sa")).cast("long").as("s"),
+        sum(col("c")).as("c"),
+        (sum(col("sw")) / sum(col("c"))).as("a"),
+        count(lit(1)).as("u"))
+      .select(col("RegionID"), col("s"), col("c"), col("a"), col("u"))
+      .orderBy(desc("c"), asc("RegionID"))
+      .limit(10)
+  }
+
   /** Staged twins for the cbx queries the layout measurably helps.
     *
     * Selection by measurement at sf10 (5-run medians, staged vs view):
@@ -135,7 +184,9 @@ object CbxLayout {
     "k42_staged_cbx42" -> staged("cbx_q42"),
     "k43_staged_cbx05" -> staged("cbx_q05"),
     "k46_pairs_cbx13" -> pairsQ13,
-    "k47_pairs_cbx12" -> pairsQ12)
+    "k47_pairs_cbx12" -> pairsQ12,
+    "k49_grid_cbx08" -> gridQ08,
+    "k50_grid_cbx09" -> gridQ09)
 
   val oracles: Map[String, String] = Map(
     "k32_staged_cbx29" -> graft.queries.ClickBench.oracles("cbx_q29"),
@@ -150,5 +201,7 @@ object CbxLayout {
     "k42_staged_cbx42" -> graft.queries.ClickBench.oracles("cbx_q42"),
     "k43_staged_cbx05" -> graft.queries.ClickBench.oracles("cbx_q05"),
     "k46_pairs_cbx13" -> graft.queries.ClickBench.oracles("cbx_q13"),
-    "k47_pairs_cbx12" -> graft.queries.ClickBench.oracles("cbx_q12"))
+    "k47_pairs_cbx12" -> graft.queries.ClickBench.oracles("cbx_q12"),
+    "k49_grid_cbx08" -> graft.queries.ClickBench.oracles("cbx_q08"),
+    "k50_grid_cbx09" -> graft.queries.ClickBench.oracles("cbx_q09"))
 }

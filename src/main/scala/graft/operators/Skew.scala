@@ -690,11 +690,15 @@ object Skew {
 
     // TPC-H q11 on the staged partsupp: the per-query synthesis cross-join
     // disappears (the table is stored), supplier⋈nation broadcasts, and
-    // the per-part sums are materialized ONCE (localCheckpoint, ~|filtered
-    // parts| rows) feeding both the HAVING threshold and the output — one
-    // scan of the stored table instead of two. Exact i64 group sums
-    // re-summed 128-bit = the all-rows sum by associativity. Same values
-    // as tpch_q11 (shared oracle).
+    // the per-part sums are computed ONCE — the threshold branch and the
+    // output branch contain the identical agg subtree and ReuseExchange
+    // shares its shuffle, so the broadcast-threshold job builds it and the
+    // final job reads the same shuffle files. This replaced an eager
+    // localCheckpoint in round 12: the checkpoint was a whole BLOCKING
+    // driver job of pure materialization (JobsProbe timeline: 6 jobs/933 ms
+    // span vs 5 jobs/795 ms; medians 1.156 -> 0.974 s at sf10, -15.7%).
+    // Exact i64 group sums re-summed 128-bit = the all-rows sum by
+    // associativity. Same values as tpch_q11 (shared oracle).
     "k08_staged_q11" -> { (s, dir) =>
       staticPlan(s)
       val (tps, _) = writeStagedPartsupp(s, dir, defaultBuckets)
@@ -709,7 +713,6 @@ object Skew {
           expr("to_unscaled64(ps_supplycost, 12, 4)") * col("ps_availqty"))
         .groupBy(col("ps_partkey"))
         .agg(sum(col("row_u")).as("gu"))
-        .localCheckpoint()
       val threshold = byPart
         .agg((expr("sum_unscaled128(gu, 4, 4)") * lit(0.001)).as("t"))
       byPart

@@ -10,11 +10,17 @@ object K44Probe {
     spark.sparkContext.setLogLevel("WARN")
     def rows(name: String): Set[Seq[Any]] = {
       val df = SparkEntry.queries(name)(spark, dir)
-      df.select(df.columns.sorted.toSeq.map(col): _*).collect().map(_.toSeq).toSet
+      df.select(df.columns.sorted.toSeq.map(col): _*).collect().map(_.toSeq.map {
+        case d: Double if !d.isNaN && !d.isInfinite =>
+          BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+        case x => x
+      }).toSet
     }
     val twin = if (args.length > 1) args(1) else "k44_staged_ds39"
+    val dflt = if (args.length > 2) args(2)
+      else Bench.twinOf.getOrElse(twin, "tpcds_q39")
     val a = rows(twin)
-    val b = rows("tpcds_q39")
+    val b = rows(dflt)
     println(s"twin rows: ${a.size}, default rows: ${b.size}")
     val onlyA = a -- b
     val onlyB = b -- a
@@ -22,13 +28,15 @@ object K44Probe {
     onlyA.take(5).foreach(r => println(s"  twin-only: $r"))
     onlyB.take(5).foreach(r => println(s"  dflt-only: $r"))
     // also compare the staged table contents against the view derivation
-    val tn = graft.operators.TpcdsLayout.writeStagedInventory(spark, dir)
-    graft.queries.Tpcds.ensureStar(spark, dir)
-    val st = spark.table(tn)
-    val vw = spark.sql("SELECT * FROM inventory")
-    println(s"staged count=${st.count()} view count=${vw.count()}")
-    println(s"staged-except-view=${st.exceptAll(vw).count()} " +
-      s"view-except-staged=${vw.exceptAll(st).count()}")
+    if (dflt.startsWith("tpcds")) {
+      val tn = graft.operators.TpcdsLayout.writeStagedInventory(spark, dir)
+      graft.queries.Tpcds.ensureStar(spark, dir)
+      val st = spark.table(tn)
+      val vw = spark.sql("SELECT * FROM inventory")
+      println(s"staged count=${st.count()} view count=${vw.count()}")
+      println(s"staged-except-view=${st.exceptAll(vw).count()} " +
+        s"view-except-staged=${vw.exceptAll(st).count()}")
+    }
     spark.stop()
   }
 }
