@@ -343,6 +343,12 @@ object Bench {
         (post._2 - pre._2) / nRuns, (post._3 - pre._3) / nRuns)
       r
     }
+    // Stop Spark BEFORE the post-calibration: after a heavy sf100 suite
+    // the async ContextCleaner is still deleting tens of GB of spill/
+    // shuffle files and the single-thread probe reads ~2x slow (measured:
+    // 3.78 -> 7.76 s with zero external load, loadavg_pre 0.32) — the
+    // drift gate must measure the BOX, not the JVM's own cleanup.
+    spark.stop()
     val calPost = calibrate()
     val loadPost = loadavg()
     val jiffiesPost = cpuJiffies()
@@ -430,7 +436,6 @@ object Bench {
       if (summary.length > 1900)
         System.err.println(s"[bench] WARNING: stdout summary ${summary.length} chars " +
           "(driver tail capture is 2000) — trim the headline or the driver loses the artifact")
-      spark.stop()
     } finally {
       System.err.flush()
       println(summary)
