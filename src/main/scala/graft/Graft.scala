@@ -110,7 +110,8 @@ object Graft {
     * and returns the full-artifact path. `only` filters the headline set;
     * `extra` appends any catalog query. */
   def bench(sfDir: String, only: Seq[String] = Seq.empty,
-      extra: Seq[String] = Seq.empty, runs: Int = 5): java.nio.file.Path = {
+      extra: Seq[String] = Seq.empty, runs: Int = 5,
+      heap: Option[String] = None): java.nio.file.Path = {
     val env = Map("SPARK_GRAFT_SF_DIR" -> sfDir,
       "SPARK_GRAFT_BENCH_RUNS" -> runs.toString) ++
       (if (only.nonEmpty) Map("SPARK_GRAFT_BENCH_ONLY" -> only.mkString(","))
@@ -120,17 +121,22 @@ object Graft {
     // Bench.main reads its protocol from the environment (the driver's
     // contract); re-exec in-process is not possible without mutating the
     // JVM env, so this wrapper shells out to the same entry point.
+    // Heap and --add-opens are INHERITED from this JVM's own runtime args
+    // (round-12 advice: a hardcoded -Xmx96g fails outright on a smaller
+    // box, and a hand-copied opens list drifts from the canonical set the
+    // parent is already running with). `heap` overrides, e.g. Some("32g").
+    import scala.jdk.CollectionConverters._
+    val parentArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val opens = parentArgs.sliding(2).collect {
+      case Seq("--add-opens", v) => Seq("--add-opens", v)
+    }.flatten.toSeq ++ parentArgs.filter(_.startsWith("--add-opens="))
+    val xmx = heap.map("-Xmx" + _.stripPrefix("-Xmx"))
+      .orElse(parentArgs.filter(_.startsWith("-Xmx")).lastOption)
+      // no explicit -Xmx on the parent: mirror its effective max heap
+      .getOrElse("-Xmx" + (Runtime.getRuntime.maxMemory() >> 20) + "m")
     val cp = System.getProperty("java.class.path")
-    val cmd = Seq("java", "-Xmx96g") ++
-      Seq("java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio", "java.base/java.util",
-        "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
-        "java.base/sun.nio.cs", "java.base/sun.security.action",
-        "java.base/sun.util.calendar")
-        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++
-      Seq("-cp", cp, "graft.Bench")
+    val cmd = Seq("java", xmx) ++ opens ++ Seq("-cp", cp, "graft.Bench")
     val pb = new ProcessBuilder(cmd: _*).inheritIO()
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     val rc = pb.start().waitFor()

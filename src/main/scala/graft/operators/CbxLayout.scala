@@ -26,13 +26,34 @@ import graft.QueryDsl.Q
   */
 object CbxLayout {
 
+  /** Staged-table tag: layout version + a hash of the DEFINING TEXT +
+    * fixture-dir hash. The def hash folds in the hits synthesis SQL (and,
+    * for derived grids, the grid's own aggregate SQL), mirroring
+    * `Tpcds.defHash` — an edit to the synthesis CTE or a grid definition
+    * then forces a rebuild instead of silently attaching stale aggregates
+    * that no longer match the oracle's inlined CTE (round-12 advice; the
+    * round-11 stale-inventory failure mode). */
+  private def tag(dir: String, gridDef: String = ""): String =
+    Skew.layoutVer + "_" +
+      Integer.toHexString(
+        (graft.queries.ClickBench.hitsSelect + gridDef).hashCode).take(8) +
+      "_" + Integer.toHexString(dir.hashCode).take(8)
+
+  private def dirSuffix(dir: String): String =
+    "_" + Integer.toHexString(dir.hashCode).take(8)
+
   /** Materialize the staged hits table for `dir`; returns the table name.
     * Same per-JVM-session staging contract as the TPC-H layout writers
     * (rebuilt per JVM, reused across sessions within it). */
   def writeStagedHits(spark: SparkSession, dir: String): String = {
-    val tag = Skew.layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8)
-    val th = s"graft_hits_$tag"
+    val th = s"graft_hits_${tag(dir)}"
     Skew.ensureStaged(spark, Seq(th -> None)) {
+      // superseded def-hash builds of THIS fixture dir die here (build
+      // branch only — never from an attach-only JVM). The prefix pins the
+      // version segment so the derived grid families (graft_hits_pu_*,
+      // graft_hits_mu_*, ...) are not matched.
+      Skew.pruneSuperseded(spark, s"graft_hits_${Skew.layoutVer}",
+        dirSuffix(dir), keep = th)
       graft.Engine.table(spark, dir, "events")
       spark.sql(graft.queries.ClickBench.hitsSelect)
         .repartitionByRange(32, col("CounterID"), col("EventDate"))
@@ -41,6 +62,28 @@ object CbxLayout {
         .saveAsTable(th)
     }
     th
+  }
+
+  /** Shared grid-writer shape: `gridSql` (a SELECT over `$HITS`) is both
+    * the defining text that feeds the staleness tag AND the build query,
+    * so the two cannot drift apart. Bucketed + sorted by `bucketKey`:
+    * every twin whose grouping keys contain the bucket key plans ZERO
+    * exchange over the grid. */
+  private def writeGrid(spark: SparkSession, dir: String, family: String,
+      gridSql: String, bucketKey: String): String = {
+    val tn = s"graft_hits_${family}_${tag(dir, gridSql)}"
+    Skew.ensureStaged(spark, Seq(tn -> Some((32, bucketKey)))) {
+      Skew.pruneSuperseded(spark, s"graft_hits_${family}_${Skew.layoutVer}",
+        dirSuffix(dir), keep = tn)
+      val th = writeStagedHits(spark, dir)
+      spark.sql(gridSql.replace("$HITS", th))
+        .repartition(32, col(bucketKey))
+        .write.mode("overwrite").format("parquet")
+        .option("compression", Skew.stagedCodec)
+        .bucketBy(32, bucketKey).sortBy(bucketKey)
+        .saveAsTable(tn)
+    }
+    tn
   }
 
   /** Run a cbx query text against the staged table (the text references
@@ -67,22 +110,10 @@ object CbxLayout {
     * crosses the wire. At 100 TB the pair projection is orders of
     * magnitude smaller than the fact table (bounded by distinct
     * user-phrase pairs), and its build is one partial-agg pass at ingest. */
-  def writeStagedPhraseUser(spark: SparkSession, dir: String): String = {
-    val tag = Skew.layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8)
-    val tp = s"graft_hits_pu_$tag"
-    Skew.ensureStaged(spark, Seq(tp -> Some((32, "SearchPhrase")))) {
-      val th = writeStagedHits(spark, dir)
-      spark.table(th)
-        .groupBy(col("SearchPhrase"), col("UserID"))
-        .agg(count(lit(1)).as("c"))
-        .repartition(32, col("SearchPhrase"))
-        .write.mode("overwrite").format("parquet")
-        .option("compression", Skew.stagedCodec)
-        .bucketBy(32, "SearchPhrase").sortBy("SearchPhrase")
-        .saveAsTable(tp)
-    }
-    tp
-  }
+  def writeStagedPhraseUser(spark: SparkSession, dir: String): String =
+    writeGrid(spark, dir, "pu",
+      """SELECT SearchPhrase, UserID, COUNT(*) AS c
+         FROM $HITS GROUP BY SearchPhrase, UserID""", "SearchPhrase")
 
   private def pairsQ13: Q = { (s, dir) =>
     val tp = writeStagedPhraseUser(s, dir)
@@ -111,22 +142,109 @@ object CbxLayout {
     * AVG(ResolutionWidth) = SUM(sw)/SUM(c) (the column is non-null by
     * synthesis, so AVG's null-skipping is vacuous). Bucketed by RegionID:
     * the twins' final aggregation plans zero exchange. */
-  def writeStagedRegionUser(spark: SparkSession, dir: String): String = {
-    val tag = Skew.layoutVer + "_" + Integer.toHexString(dir.hashCode).take(8)
-    val tg = s"graft_hits_ru_$tag"
-    Skew.ensureStaged(spark, Seq(tg -> Some((32, "RegionID")))) {
-      val th = writeStagedHits(spark, dir)
-      spark.table(th)
-        .groupBy(col("RegionID"), col("UserID"))
-        .agg(count(lit(1)).as("c"), sum(col("AdvEngineID")).as("sa"),
-          sum(col("ResolutionWidth")).as("sw"))
-        .repartition(32, col("RegionID"))
-        .write.mode("overwrite").format("parquet")
-        .option("compression", Skew.stagedCodec)
-        .bucketBy(32, "RegionID").sortBy("RegionID")
-        .saveAsTable(tg)
-    }
-    tg
+  def writeStagedRegionUser(spark: SparkSession, dir: String): String =
+    writeGrid(spark, dir, "ru",
+      """SELECT RegionID, UserID, COUNT(*) AS c,
+         SUM(AdvEngineID) AS sa, SUM(ResolutionWidth) AS sw
+         FROM $HITS GROUP BY RegionID, UserID""", "RegionID")
+
+  /** The (MobilePhone, MobilePhoneModel, UserID) grid behind q10/q11.
+    * Rows are DISTINCT triples (the build is a GROUP BY), so q11's
+    * COUNT(DISTINCT UserID) per (phone, model) is exactly COUNT(*) of
+    * grid rows; q10's per-model distinct re-dedups across phones — over
+    * the grid, not the fact. The model<>'' filter both queries carry is
+    * applied at build (the grid is the filtered profile). Bucketed by
+    * MobilePhoneModel: both twins' aggregations plan zero exchange. */
+  def writeStagedModelUser(spark: SparkSession, dir: String): String =
+    writeGrid(spark, dir, "mu",
+      """SELECT MobilePhone, MobilePhoneModel, UserID, COUNT(*) AS c
+         FROM $HITS WHERE MobilePhoneModel <> ''
+         GROUP BY MobilePhone, MobilePhoneModel, UserID""", "MobilePhoneModel")
+
+  /** The (UserID, SearchPhrase, SearchEngineID) activity grid — ONE
+    * projection serving the whole q14-q17 band: q15 = SUM(c) per user
+    * (zero exchange; bucketed by UserID), q16/q17 = SUM(c) per
+    * (user, phrase) (zero exchange — HashPartitioning(UserID) satisfies
+    * the clustered distribution), q14 = SUM(c) per (engine, phrase) (one
+    * exchange, but over grid rows — orders of magnitude below the fact).
+    * Unfiltered build (q15 counts ALL hits, phrase = '' included); the
+    * phrase <> '' twins filter at query time. */
+  def writeStagedUserPhrase(spark: SparkSession, dir: String): String =
+    writeGrid(spark, dir, "up",
+      """SELECT UserID, SearchPhrase, SearchEngineID, COUNT(*) AS c
+         FROM $HITS GROUP BY UserID, SearchPhrase, SearchEngineID""", "UserID")
+
+  /** The (UserID, minute, SearchPhrase) grid: q18's exact group set, so
+    * the twin is a pure top-k read (TakeOrderedAndProject over the
+    * projection, no re-aggregation). The minute expression replays the
+    * query text verbatim. */
+  def writeStagedUserMinute(spark: SparkSession, dir: String): String =
+    writeGrid(spark, dir, "um",
+      """SELECT UserID, CAST(FLOOR((EventTime % 3600) / 60.0) AS INT) AS m,
+         SearchPhrase, COUNT(*) AS c
+         FROM $HITS GROUP BY 1, 2, 3""", "UserID")
+
+  private def gridQ10: Q = { (s, dir) =>
+    val tg = writeStagedModelUser(s, dir)
+    s.table(tg)
+      .groupBy(col("MobilePhoneModel"))
+      .agg(countDistinct(col("UserID")).as("u"))
+      .orderBy(desc("u"), asc("MobilePhoneModel"))
+      .limit(10)
+  }
+
+  private def gridQ11: Q = { (s, dir) =>
+    val tg = writeStagedModelUser(s, dir)
+    s.table(tg)
+      .groupBy(col("MobilePhone"), col("MobilePhoneModel"))
+      .agg(count(lit(1)).as("u")) // grid rows are distinct (phone,model,user)
+      .orderBy(desc("u"), asc("MobilePhone"), asc("MobilePhoneModel"))
+      .limit(10)
+  }
+
+  private def gridQ14: Q = { (s, dir) =>
+    val tg = writeStagedUserPhrase(s, dir)
+    s.table(tg).filter(col("SearchPhrase") =!= "")
+      .groupBy(col("SearchEngineID"), col("SearchPhrase"))
+      .agg(sum(col("c")).as("c"))
+      .orderBy(desc("c"), asc("SearchEngineID"), asc("SearchPhrase"))
+      .limit(10)
+  }
+
+  private def gridQ15: Q = { (s, dir) =>
+    val tg = writeStagedUserPhrase(s, dir)
+    s.table(tg)
+      .groupBy(col("UserID"))
+      .agg(sum(col("c")).as("c"))
+      .orderBy(desc("c"), asc("UserID"))
+      .limit(10)
+  }
+
+  private def gridQ16: Q = { (s, dir) =>
+    val tg = writeStagedUserPhrase(s, dir)
+    s.table(tg)
+      .groupBy(col("UserID"), col("SearchPhrase"))
+      .agg(sum(col("c")).as("c"))
+      .orderBy(desc("c"), asc("UserID"), asc("SearchPhrase"))
+      .limit(10)
+  }
+
+  private def gridQ17: Q = { (s, dir) =>
+    val tg = writeStagedUserPhrase(s, dir)
+    s.table(tg)
+      .groupBy(col("UserID"), col("SearchPhrase"))
+      .agg(sum(col("c")).as("c"))
+      .orderBy(asc("UserID"), asc("SearchPhrase"))
+      .limit(10)
+  }
+
+  private def gridQ18: Q = { (s, dir) =>
+    val tg = writeStagedUserMinute(s, dir)
+    // the grid's groups ARE q18's groups — top-k read, no re-aggregation
+    s.table(tg)
+      .select(col("UserID"), col("m"), col("SearchPhrase"), col("c"))
+      .orderBy(desc("c"), asc("UserID"), asc("m"), asc("SearchPhrase"))
+      .limit(10)
   }
 
   private def gridQ08: Q = { (s, dir) =>
@@ -186,7 +304,14 @@ object CbxLayout {
     "k46_pairs_cbx13" -> pairsQ13,
     "k47_pairs_cbx12" -> pairsQ12,
     "k49_grid_cbx08" -> gridQ08,
-    "k50_grid_cbx09" -> gridQ09)
+    "k50_grid_cbx09" -> gridQ09,
+    "k51_grid_cbx10" -> gridQ10,
+    "k52_grid_cbx11" -> gridQ11,
+    "k53_grid_cbx14" -> gridQ14,
+    "k54_grid_cbx15" -> gridQ15,
+    "k55_grid_cbx16" -> gridQ16,
+    "k56_grid_cbx17" -> gridQ17,
+    "k57_grid_cbx18" -> gridQ18)
 
   val oracles: Map[String, String] = Map(
     "k32_staged_cbx29" -> graft.queries.ClickBench.oracles("cbx_q29"),
@@ -203,5 +328,12 @@ object CbxLayout {
     "k46_pairs_cbx13" -> graft.queries.ClickBench.oracles("cbx_q13"),
     "k47_pairs_cbx12" -> graft.queries.ClickBench.oracles("cbx_q12"),
     "k49_grid_cbx08" -> graft.queries.ClickBench.oracles("cbx_q08"),
-    "k50_grid_cbx09" -> graft.queries.ClickBench.oracles("cbx_q09"))
+    "k50_grid_cbx09" -> graft.queries.ClickBench.oracles("cbx_q09"),
+    "k51_grid_cbx10" -> graft.queries.ClickBench.oracles("cbx_q10"),
+    "k52_grid_cbx11" -> graft.queries.ClickBench.oracles("cbx_q11"),
+    "k53_grid_cbx14" -> graft.queries.ClickBench.oracles("cbx_q14"),
+    "k54_grid_cbx15" -> graft.queries.ClickBench.oracles("cbx_q15"),
+    "k55_grid_cbx16" -> graft.queries.ClickBench.oracles("cbx_q16"),
+    "k56_grid_cbx17" -> graft.queries.ClickBench.oracles("cbx_q17"),
+    "k57_grid_cbx18" -> graft.queries.ClickBench.oracles("cbx_q18"))
 }

@@ -189,6 +189,28 @@ object Skew {
     }
   }
 
+  /** Delete warehouse dirs for SUPERSEDED builds of one staged-table
+    * family: same `prefix` + same fixture-dir suffix, different def-hash
+    * segment (the def hash rides in the table name between them; see
+    * TpcdsLayout/CbxLayout writers). Call ONLY from inside an
+    * ensureStaged build branch — an attach-only JVM must never delete a
+    * dir a concurrent sibling on an older jar may still be reading
+    * (round-12 advice). */
+  private[operators] def pruneSuperseded(
+      spark: org.apache.spark.sql.SparkSession,
+      prefix: String, dirSuffix: String, keep: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.getName.startsWith(prefix) &&
+        d.getName.endsWith(dirSuffix) && d.getName != keep)
+      .foreach { d =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        rm(d)
+      }
+  }
+
   private[operators] def ensureStaged(
       spark: org.apache.spark.sql.SparkSession,
       tables: Seq[(String, Option[(Int, String)])])(build: => Unit): Unit = {

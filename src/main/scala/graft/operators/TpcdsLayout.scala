@@ -43,21 +43,16 @@ object TpcdsLayout {
     val tag = Skew.layoutVer + "_" + graft.queries.Tpcds.defHash("inventory") +
       "_" + Integer.toHexString(dir.hashCode).take(8)
     val tn = s"graft_inventory_$tag"
-    // prune only THIS fixture dir's superseded builds (same dir-hash
-    // suffix, different def-hash) — other scale factors' staged tables
-    // stay attached across test/verify/bench JVMs
-    val dirSuffix = "_" + Integer.toHexString(dir.hashCode).take(8)
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.getName.startsWith("graft_inventory_") &&
-        d.getName.endsWith(dirSuffix) && d.getName != tn)
-      .foreach { d =>
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-        }
-        rm(d)
-      }
     Skew.ensureStaged(spark, Seq(tn -> None)) {
+      // prune only THIS fixture dir's superseded builds (same dir-hash
+      // suffix, different def-hash) — other scale factors' staged tables
+      // stay attached across test/verify/bench JVMs. Pruning happens
+      // ONLY inside the build branch (round-12 advice): an attach-only
+      // JVM must never delete a dir a concurrently running sibling on an
+      // older jar may still be reading; when we get HERE, the def hash
+      // changed and this JVM is rebuilding anyway.
+      Skew.pruneSuperseded(spark, "graft_inventory_",
+        "_" + Integer.toHexString(dir.hashCode).take(8), keep = tn)
       graft.queries.Tpcds.ensureStar(spark, dir)
       spark.table("inventory")
         .repartitionByRange(32, col("inv_date_sk"))
@@ -138,13 +133,220 @@ object TpcdsLayout {
         asc_nulls_first("mean2"), asc_nulls_first("cov2"))
   }
 
+  /** Narrow per-channel sales pricing projections: (sold_date_sk, item_sk,
+    * quantity, list_price) for store/catalog/web_sales, range-partitioned
+    * and sorted by the date key — the C-Store-style column-subset
+    * projection behind the q14/q23 cross-channel class. In the fixture
+    * model each sales fact is a synthesized CTE over lineitem, and q14
+    * references every channel THREE times (cross_items triple-set,
+    * avg_sales, main leg) — nine synthesis passes per run, the round-12
+    * verdict's confirmed-structural 3.88x. A production deployment stores
+    * the facts once; these writers are that CREATE TABLE AS, kept narrow
+    * because the q14-class reads exactly these four columns (column
+    * pruning would do the same on a full-width fact; narrow keeps the
+    * sandbox disk budget honest). Def-hash rides in the table name via
+    * `Tpcds.defHash`, so a synthesis edit rebuilds instead of attaching
+    * stale rows. */
+  def writeStagedSalesPricing(spark: SparkSession, dir: String)
+      : (String, String, String) = {
+    val dirH = Integer.toHexString(dir.hashCode).take(8)
+    // store_sales carries the report-class columns too (q67 needs
+    // store_sk/sales_price, q98 ext_sales_price); catalog/web stay at the
+    // 4 cross-channel pricing columns the q14/q23 class reads
+    val cols = Map(
+      "ss" -> Seq("ss_sold_date_sk", "ss_item_sk", "ss_store_sk",
+        "ss_quantity", "ss_list_price", "ss_sales_price",
+        "ss_ext_sales_price"),
+      "cs" -> Seq("cs_sold_date_sk", "cs_item_sk", "cs_quantity",
+        "cs_list_price"),
+      "ws" -> Seq("ws_sold_date_sk", "ws_item_sk", "ws_quantity",
+        "ws_list_price"))
+    val specs = Seq(("ss", "store_sales"), ("cs", "catalog_sales"),
+      ("ws", "web_sales")).map { case (p, fact) =>
+      // def hash folds in the synthesis text AND the projection's column
+      // list, so widening the projection rebuilds it
+      val defH = Integer.toHexString((graft.queries.Tpcds.defHash(fact) +
+        cols(p).mkString(",")).hashCode).take(8)
+      val tn = s"graft_${p}price_${Skew.layoutVer}_${defH}_$dirH"
+      (p, fact, tn)
+    }
+    specs.foreach { case (p, fact, tn) =>
+      Skew.ensureStaged(spark, Seq(tn -> None)) {
+        Skew.pruneSuperseded(spark, s"graft_${p}price_${Skew.layoutVer}",
+          "_" + dirH, keep = tn)
+        graft.queries.Tpcds.ensureStar(spark, dir)
+        spark.table(fact)
+          .select(cols(p).map(col): _*)
+          .repartitionByRange(32, col(s"${p}_sold_date_sk"))
+          .sortWithinPartitions(col(s"${p}_sold_date_sk"), col(s"${p}_item_sk"))
+          .write.mode("overwrite").format("parquet")
+          .option("compression", Skew.stagedCodec)
+          .saveAsTable(tn)
+      }
+    }
+    (specs(0)._3, specs(1)._3, specs(2)._3)
+  }
+
+  /** q14 as a fused program over the staged pricing projections — the
+    * k48 pattern applied to the round-12 verdict's worst confirmed-
+    * structural TPC-DS shape.
+    *
+    * Key fusion: ONE per-channel per-item aggregate over the 1999-2001
+    * slice — `(item_sk, SUM(quantity * list_price::dec), COUNT(*))` —
+    * serves BOTH of the query's shared CTEs at once. avg_sales is the
+    * decimal-exact roll-up of the three grids' (sqlp, cnt) partials
+    * (decimal sums are associative, so rounding once at the end replays
+    * the text's sumd exactly), and each channel's triple set for
+    * cross_items is the grid joined to the item dims (an item has a grid
+    * row iff it sold in that channel in-window — the same membership the
+    * text derives by scanning the fact). The grids and the INTERSECT
+    * result are localCheckpointed at ~|items| rows, so the three main
+    * legs (d_year=2001, d_moy=11 — zone-map-pruned scans of the
+    * date-sorted projections) reuse them without re-derivation. Values =
+    * tpcds_q14 (shared oracle; the ROLLUP tail is the text's own). */
+  private def fusedQ14: Q = { (s, dir) =>
+    val (ssT, csT, wsT) = writeStagedSalesPricing(s, dir)
+    graft.queries.Tpcds.ensureStar(s, dir)
+    val sqlh = graft.QueryDsl.sql
+    // slim item dims, derived once (the view re-synthesizes from part on
+    // every reference; four references in the text path)
+    s.sql("""SELECT i_item_sk, i_brand_id, i_class_id, i_category_id
+             FROM item""").localCheckpoint()
+      .createOrReplaceTempView("item_slim_m")
+    def grid(fact: String, p: String): Unit =
+      s.sql(s"""
+        SELECT ${p}_item_sk AS item_sk,
+               SUM(${p}_quantity * ${sqlh.dmoney(s"${p}_list_price")}) AS sqlp,
+               COUNT(*) AS cnt
+        FROM $fact, date_dim
+        WHERE ${p}_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+        GROUP BY ${p}_item_sk""").localCheckpoint()
+        .createOrReplaceTempView(s"g_${p}_m")
+    grid(ssT, "ss"); grid(csT, "cs"); grid(wsT, "ws")
+    s.sql("""
+      SELECT CAST(ROUND(SUM(sqlp), 4) AS DOUBLE) / SUM(cnt) AS average_sales
+      FROM (SELECT sqlp, cnt FROM g_ss_m UNION ALL
+            SELECT sqlp, cnt FROM g_cs_m UNION ALL
+            SELECT sqlp, cnt FROM g_ws_m)""").localCheckpoint()
+      .createOrReplaceTempView("avg_sales_m")
+    def triples(p: String): String = s"""
+      SELECT i.i_brand_id brand_id, i.i_class_id class_id,
+             i.i_category_id category_id
+      FROM g_${p}_m g JOIN item_slim_m i ON g.item_sk = i.i_item_sk"""
+    s.sql(s"""
+      SELECT i_item_sk AS ss_item_sk
+      FROM item_slim_m,
+        (${triples("ss")} INTERSECT ${triples("cs")}
+         INTERSECT ${triples("ws")}) sq1
+      WHERE i_brand_id = brand_id AND i_class_id = class_id
+        AND i_category_id = category_id""")
+      .localCheckpoint()
+      .createOrReplaceTempView("cross_items_m")
+    def leg(fact: String, p: String, channel: String): String = s"""
+      SELECT '$channel' channel, i_brand_id, i_class_id, i_category_id,
+             ${sqlh.sumd(s"${p}_quantity * ${sqlh.dmoney(s"${p}_list_price")}")} sales,
+             count(*) number_sales
+      FROM $fact, item_slim_m, date_dim
+      WHERE ${p}_item_sk IN (SELECT ss_item_sk FROM cross_items_m)
+        AND ${p}_item_sk = i_item_sk AND ${p}_sold_date_sk = d_date_sk
+        AND d_year = 2001 AND d_moy = 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING ${sqlh.sumd(s"${p}_quantity * ${sqlh.dmoney(s"${p}_list_price")}")} >
+        (SELECT average_sales FROM avg_sales_m)"""
+    s.sql(s"""
+      SELECT channel, i_brand_id, i_class_id, i_category_id,
+             ${sqlh.sumd("CAST(sales AS DECIMAL(24,4))")} AS sum_sales,
+             CAST(SUM(number_sales) AS BIGINT) AS sum_number_sales
+      FROM (${leg(ssT, "ss", "store")}
+            UNION ALL ${leg(csT, "cs", "catalog")}
+            UNION ALL ${leg(wsT, "ws", "web")}) y
+      GROUP BY ROLLUP (channel, i_brand_id, i_class_id, i_category_id)
+      ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST,
+               i_class_id NULLS FIRST, i_category_id NULLS FIRST
+      LIMIT 100""")
+  }
+
+  /** q67 with the ROLLUP re-aggregated from a finest-granularity base —
+    * the round-12 verdict's report-floor adjudication (task 4), informed
+    * by the DsProbe stage decomposition: Spark plans ROLLUP as
+    * Expand(x9 grouping sets) BEFORE the first aggregate, so the fact's
+    * joined rows are replicated nine times through the partial agg. All
+    * nine grouping sets are prefixes of the full 8-column tuple and the
+    * aggregate is a decimal SUM (associative, null-tolerant), so
+    * aggregating ONCE at finest granularity and rolling the (orders of
+    * magnitude smaller) base up is value-identical: each rollup row is
+    * the sum of a disjoint partition of base rows, and the text's
+    * per-set sumd (ROUND once, cast double) is applied only at the outer
+    * level. Runs over the staged pricing projection, so the synthesis
+    * CTE is out of the loop too. Values = tpcds_q67 (shared oracle). */
+  private def fusedQ67: Q = { (s, dir) =>
+    val (ssT, _, _) = writeStagedSalesPricing(s, dir)
+    graft.queries.Tpcds.ensureStar(s, dir)
+    val sqlh = graft.QueryDsl.sql
+    s.sql(s"""
+      SELECT * FROM
+        (SELECT i_category AS i_category, i_class AS i_class,
+                i_brand AS i_brand, i_product_name AS i_product_name,
+                d_year AS d_year, d_qoy AS d_qoy, d_moy AS d_moy,
+                s_store_id AS s_store_id, sumsales AS sumsales,
+                rank() OVER (PARTITION BY i_category
+                             ORDER BY sumsales DESC) rk
+         FROM
+           (SELECT i_category, i_class, i_brand, i_product_name, d_year,
+                   d_qoy, d_moy, s_store_id,
+                   CAST(ROUND(SUM(s0), 4) AS DOUBLE) sumsales
+            FROM
+              (SELECT i_category, i_class, i_brand, i_product_name, d_year,
+                      d_qoy, d_moy, s_store_id,
+                      SUM(${sqlh.dbig("coalesce(ss_sales_price * ss_quantity, 0)")}) s0
+               FROM $ssT, date_dim, store, item
+               WHERE ss_sold_date_sk = d_date_sk
+                 AND ss_item_sk = i_item_sk
+                 AND ss_store_sk = s_store_sk
+                 AND d_month_seq BETWEEN 120 AND 120 + 11
+               GROUP BY i_category, i_class, i_brand, i_product_name,
+                        d_year, d_qoy, d_moy, s_store_id) base
+            GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name,
+                            d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+      WHERE rk <= 100
+      ORDER BY i_category NULLS FIRST, i_class NULLS FIRST,
+               i_brand NULLS FIRST, i_product_name NULLS FIRST,
+               d_year NULLS FIRST, d_qoy NULLS FIRST, d_moy NULLS FIRST,
+               s_store_id NULLS FIRST, sumsales NULLS FIRST, rk NULLS FIRST
+      LIMIT 100""")
+  }
+
+  /** A tpcds text with ONE star view re-pointed at a stored table for
+    * the duration of the sql() analysis (same restore discipline as
+    * [[staged]]). */
+  private def repointed(name: String, view: String)(
+      tableOf: (SparkSession, String) => String): Q = { (s, dir) =>
+    val tn = tableOf(s, dir)
+    graft.queries.Tpcds.ensureStar(s, dir)
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view AS SELECT * FROM $tn")
+    try s.sql(graft.queries.Tpcds.texts(name).trim)
+    finally s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view AS " +
+      graft.queries.Tpcds.viewBody(view))
+  }
+
   val queries: Map[String, Q] = Map(
     "k44_staged_ds39" -> staged("tpcds_q39"),
     "k45_staged_ds72" -> staged("tpcds_q72"),
-    "k48_fused_ds39" -> fusedQ39)
+    "k48_fused_ds39" -> fusedQ39,
+    "k58_fused_ds14" -> fusedQ14,
+    "k59_fused_ds67" -> fusedQ67,
+    // q98 reads exactly three store_sales columns; the staged pricing
+    // projection replaces the synthesis scan (k44 lesson checked: q98's
+    // date window is a JOIN-derived filter, not a generator-prunable
+    // predicate, so the stored read wins or ties — measured at sf10)
+    "k60_staged_ds98" -> repointed("tpcds_q98", "store_sales")(
+      (s, d) => writeStagedSalesPricing(s, d)._1))
 
   val oracles: Map[String, String] = Map(
     "k44_staged_ds39" -> graft.queries.Tpcds.oracles("tpcds_q39"),
     "k45_staged_ds72" -> graft.queries.Tpcds.oracles("tpcds_q72"),
-    "k48_fused_ds39" -> graft.queries.Tpcds.oracles("tpcds_q39"))
+    "k48_fused_ds39" -> graft.queries.Tpcds.oracles("tpcds_q39"),
+    "k58_fused_ds14" -> graft.queries.Tpcds.oracles("tpcds_q14"),
+    "k59_fused_ds67" -> graft.queries.Tpcds.oracles("tpcds_q67"),
+    "k60_staged_ds98" -> graft.queries.Tpcds.oracles("tpcds_q98"))
 }
