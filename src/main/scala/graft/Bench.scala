@@ -86,9 +86,16 @@ object Bench {
       // it stays oracle-checked in CORRECTNESS via SparkEntry.queries.
       "k45_staged_ds72", "k48_fused_ds39",
       // the fused cross-channel q14 program over the staged per-channel
-      // pricing projections (round-12 verdict task 3), the finest-base
-      // rollup q67 and the staged-projection q98 (task 4)
-      "k58_fused_ds14", "k59_fused_ds67", "k60_staged_ds98") ++
+      // pricing projections (round-12 verdict task 3). The report-floor
+      // candidates measured NEGATIVE in the round-13 DsProbe and stay
+      // oracle-only (k08 precedent): k59_fused_ds67 +12% (the finest-
+      // granularity base holds ~7.0M of the 8.7M joined rows — near-
+      // unique (item, store, month) combos — so re-rollup adds a pass
+      // while Spark's post-Expand partial agg already compresses to
+      // 9.7M records, not 9x the fact) and k60_staged_ds98 +7%/noise
+      // (the synthesis is NOT q98's cost; the agg+window+sort pipeline
+      // is). The q67/q98/q89/q36 class is a measured per-query floor.
+      "k58_fused_ds14") ++
     // ClickBench ports: 90-sum wide aggregate, heavy high-cardinality
     // group, and the synthesized-string-hot queries with their staged-hits
     // layout twins (see operators/CbxLayout.scala for the selection)
