@@ -64,6 +64,7 @@ object Bench {
     "k30_fused_q17",       // TPC-H q17 fused single-scan program (vs tpch_q17)
     "k31_fused_q20",       // TPC-H q20 fused red-slice program (vs tpch_q20)
     "k36_pairs_q16",       // TPC-H q16 on the pre-aggregated pairs projection
+    "k61_grid_q17",        // TPC-H q17 on the per-part quantity grid (vs tpch_q17)
     "t04_fingerprint") ++  // text normalize + md5 (native kernel)
     (1 to 22).map(i => f"tpch_q$i%02d") ++ // the reference's golden suite
     // TPC-DS (synthesized star schema): correlated CTE avg, scalar-subquery
@@ -164,6 +165,7 @@ object Bench {
     "k30_fused_q17" -> "tpch_q17",
     "k31_fused_q20" -> "tpch_q20",
     "k36_pairs_q16" -> "tpch_q16",
+    "k61_grid_q17" -> "tpch_q17",
     "k32_staged_cbx29" -> "cbx_q29",
     "k33_staged_cbx10" -> "cbx_q10",
     "k34_staged_cbx09" -> "cbx_q09",

@@ -433,6 +433,43 @@ object Skew {
     tp
   }
 
+  /** Pre-aggregated per-part quantity grid: one row per l_partkey carrying
+    * the FINAL `sumd(drate(l_quantity))` double (`sq`) and the row count
+    * (`c`) over ALL of lineitem — exactly tpch_q17's correlated
+    * sub-aggregate, materialized once at ingest (the k46/k49 user-grid
+    * recovery argument applied to TPC-H: the grid row IS the subquery
+    * result for its part, and decimal sums are exact and associative, so
+    * the query-time threshold `0.2 * (sq / c)` replays the text's
+    * `0.2 * (sumd(drate(l_quantity)) / COUNT(*))` bit-for-bit regardless
+    * of aggregation order). Cardinality is |parts that ever sold| — 20 k
+    * at sf0.1, 2 M at sf100 — vs |lineitem| (600 k / 600 M): a 30-300x
+    * reduction, which is what makes THIS sub-aggregate grid-able while the
+    * q20 analog is not: (l_partkey, l_suppkey) pairs are 98.5 % unique in
+    * the fixture lineitem (measured at sf0.1: 590,973 distinct pairs /
+    * 600,000 rows), so a (part, supp, year) grid collapses nothing — the
+    * q67/DsProbe near-unique-base negative, closed by arithmetic without
+    * a run. The def text rides in the table name so an edit to the grid
+    * definition rebuilds instead of attaching stale aggregates. */
+  def writeStagedPartQtyGrid(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val defTxt = "l_partkey:sumd(drate(l_quantity)),count:v1"
+    val dirH = Integer.toHexString(dir.hashCode).take(8)
+    val tg = s"graft_pqty_${layoutVer}_" +
+      Integer.toHexString(defTxt.hashCode).take(8) + "_" + dirH
+    ensureStaged(spark, Seq(tg -> None)) {
+      pruneSuperseded(spark, s"graft_pqty_${layoutVer}", "_" + dirH, keep = tg)
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sumd(drate(col("l_quantity"))).as("sq"), count(lit(1)).as("c"))
+        .repartitionByRange(32, col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").format("parquet")
+        .option("compression", stagedCodec)
+        .saveAsTable(tg)
+    }
+    tg
+  }
+
   /** Denormalized lineitem projection: the order date, the customer's
     * nation/segment and the part type are folded INTO the fact row at
     * ingest, and the table uses a TWO-LEVEL zone-map layout: files are
@@ -639,6 +676,46 @@ object Skew {
         .agg(count(lit(1)).as("supplier_cnt"))
         .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
           asc("p_size"))
+    },
+
+    // TPC-H q17 on the per-part quantity grid (writeStagedPartQtyGrid):
+    // the correlated per-part avg is a STORED aggregate, so the query is
+    // one broadcast-filtered lineitem pass + the 1-row final sum. The
+    // fused twin k30 still derives the thresholds at query time (scan ->
+    // localCheckpoint survivors -> aggregate them); here both the
+    // checkpoint materialization and the threshold aggregate disappear —
+    // and unlike the DuckDB proxy's decorrelated plan (a full 600 M-row
+    // group-by into 2 M part groups per query at sf100), the grid prepays
+    // that group-by at ingest. Same values as tpch_q17 (shared oracle):
+    // see the writer's recovery argument.
+    "k61_grid_q17" -> { (s, dir) =>
+      val tg = writeStagedPartQtyGrid(s, dir)
+      // part_x's p_container, synthesized exactly like the CTE (k06/k36
+      // precedent for replaying the view's derived columns)
+      val container = concat(
+        when(col("p_partkey") % 5 === 0, "SM")
+          .when(col("p_partkey") % 5 === 1, "LG")
+          .when(col("p_partkey") % 5 === 2, "MED")
+          .when(col("p_partkey") % 5 === 3, "JUMBO").otherwise("WRAP"),
+        lit(" "),
+        when(col("p_partkey") % 8 === 0, "CASE")
+          .when(col("p_partkey") % 8 === 1, "BOX")
+          .when(col("p_partkey") % 8 === 2, "BAG")
+          .when(col("p_partkey") % 8 === 3, "JAR")
+          .when(col("p_partkey") % 8 === 4, "PKG")
+          .when(col("p_partkey") % 8 === 5, "PACK")
+          .when(col("p_partkey") % 8 === 6, "CAN").otherwise("DRUM"))
+      val ptKeys = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && container === "MED BOX")
+        .select(col("p_partkey"))
+      val thr = s.table(tg)
+        .join(broadcast(ptKeys), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey").as("tk"),
+          (lit(0.2) * (col("sq") / col("c"))).as("qty_thr"))
+      t(s, dir, "lineitem")
+        .join(broadcast(thr), col("l_partkey") === col("tk"))
+        .filter(col("l_quantity") < col("qty_thr"))
+        .agg((sumd(dmoney(col("l_extendedprice"))) / 7.0).as("avg_yearly"))
     },
 
     // TPC-H q16 on the staged layout: partsupp is a stored bucketed table
@@ -1396,6 +1473,7 @@ object Skew {
     "k05_bucketed_q04" -> graft.queries.Tpch.oracles("tpch_q04"),
     "k06_staged_q16" -> graft.queries.Tpch.oracles("tpch_q16"),
     "k36_pairs_q16" -> graft.queries.Tpch.oracles("tpch_q16"),
+    "k61_grid_q17" -> graft.queries.Tpch.oracles("tpch_q17"),
     "k07_bucketed_q05" -> graft.queries.Tpch.oracles("tpch_q05"),
     "k08_staged_q11" -> graft.queries.Tpch.oracles("tpch_q11"),
     "k10_bucketed_q13" -> graft.queries.Tpch.oracles("tpch_q13"),

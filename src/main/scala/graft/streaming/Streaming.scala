@@ -52,6 +52,29 @@ object Streaming {
     d.getAbsolutePath
   }
 
+  /** Drain `body` with no-data micro-batches disabled, restoring the
+    * session conf after. A `processAllAvailable` drain of a finite input
+    * otherwise runs a SECOND, zero-input-row micro-batch purely to advance
+    * the watermark and evict state — and that batch re-pays the full
+    * per-partition state-store commit machinery (measured by St04Probe at
+    * sf0.1: batch 1 = 0 rows, 3.0–5.7 s of trigger time, ~45 % of st04's
+    * cost; state itself is 8.8 MB). It is output-neutral exactly for the
+    * shapes that use this helper: stream-stream INNER joins emit matches
+    * in the batch they arrive (the watermark only bounds state, never
+    * gates append output), and complete-mode aggregations rewrite the
+    * whole result every batch (the no-data batch re-emits the identical
+    * table). Shapes where the no-data batch DOES produce or finalize
+    * output — event-time timeouts (st03's FlatMapGroupsWithState),
+    * append-mode windowed aggregation — must NOT use it. */
+  private def drainNoIdleBatch[A](
+      s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_hourly" -> { (s, dir) =>
       val sinkName = "st01_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -63,13 +86,15 @@ object Streaming {
         .withWatermark("event_time", "1 hour")
         .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumd(dmoney(col("value"))).as("total_value"))
-      val q = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(sinkName)
-        .start()
-      try { q.processAllAvailable(); recordExplain("st01_stream_hourly", q) }
-      finally q.stop()
+      drainNoIdleBatch(s) {
+        val q = stream.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(sinkName)
+          .start()
+        try { q.processAllAvailable(); recordExplain("st01_stream_hourly", q) }
+        finally q.stop()
+      }
       s.table(sinkName)
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n"), col("total_value"))
@@ -255,15 +280,17 @@ object Streaming {
       val signups = side("signup", "signup_id", "signup_time")
       val purchases = side("purchase", "purchase_id", "purchase_time")
         .withColumnRenamed("user_id", "p_user_id")
-      val q = signups.join(purchases,
-          col("user_id") === col("p_user_id") &&
-            col("purchase_time") > col("signup_time") &&
-            col("purchase_time") <= col("signup_time") + expr("INTERVAL 1 HOUR"))
-        .select(col("user_id"), col("signup_id"), col("purchase_id"))
-        .writeStream.outputMode("append").format("memory").queryName(sinkName)
-        .start()
-      try { q.processAllAvailable(); recordExplain("st04_stream_stream_join", q) }
-      finally q.stop()
+      drainNoIdleBatch(s) {
+        val q = signups.join(purchases,
+            col("user_id") === col("p_user_id") &&
+              col("purchase_time") > col("signup_time") &&
+              col("purchase_time") <= col("signup_time") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("signup_id"), col("purchase_id"))
+          .writeStream.outputMode("append").format("memory").queryName(sinkName)
+          .start()
+        try { q.processAllAvailable(); recordExplain("st04_stream_stream_join", q) }
+        finally q.stop()
+      }
       s.table(sinkName).orderBy("user_id", "signup_id", "purchase_id")
     })
 
