@@ -211,15 +211,28 @@ object Skew {
       }
   }
 
+  /** Build-completion marker. `_SUCCESS` is NOT a completeness signal for
+    * staged tables: the bounded-batch sliced writers (`writeDenormLineitem`
+    * etc.) commit one Spark job PER SLICE, each of which writes its own
+    * `_SUCCESS` — so a build that dies between slices (measured in round
+    * 13: an ENOSPC at the sf100 staging peak left graft_dnm_lineitem with
+    * 300 M of 600 M rows, a `_SUCCESS`, and a live catalog entry, and the
+    * same-JVM twin queries silently ran on half the fact) looks complete
+    * to both the catalog check and the old `_SUCCESS` probe. The marker is
+    * written ONLY after the whole build block returns; any dir without it
+    * is treated as partial and rebuilt from scratch. */
+  private def completeMarker(wh: String, n: String): java.io.File =
+    new java.io.File(new java.io.File(wh, n), "_GRAFT_COMPLETE")
+
   private[operators] def ensureStaged(
       spark: org.apache.spark.sql.SparkSession,
       tables: Seq[(String, Option[(Int, String)])])(build: => Unit): Unit = {
-    if (tables.forall { case (n, _) => spark.catalog.tableExists(n) }) return
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (tables.forall { case (n, _) =>
+        spark.catalog.tableExists(n) && completeMarker(wh, n).isFile
+      }) return
     pruneStaleLayouts(wh)
-    val complete = tables.forall { case (n, _) =>
-      new java.io.File(new java.io.File(wh, n), "_SUCCESS").isFile
-    }
+    val complete = tables.forall { case (n, _) => completeMarker(wh, n).isFile }
     if (complete) {
       tables.foreach { case (n, bucketSpec) =>
         if (!spark.catalog.tableExists(n)) {
@@ -234,6 +247,11 @@ object Skew {
       }
     } else {
       tables.foreach { case (n, _) =>
+        // a partial build may have left a live catalog entry (slice 0's
+        // saveAsTable commits the table before later slices append) —
+        // drop it BEFORE deleting the dir so the rebuild starts clean
+        if (spark.catalog.tableExists(n))
+          spark.sql(s"DROP TABLE IF EXISTS $n")
         val f = new java.io.File(wh, n)
         if (f.exists()) {
           def rm(x: java.io.File): Unit = {
@@ -243,6 +261,7 @@ object Skew {
         }
       }
       build
+      tables.foreach { case (n, _) => completeMarker(wh, n).createNewFile() }
     }
   }
 
