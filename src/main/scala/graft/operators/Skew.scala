@@ -261,7 +261,14 @@ object Skew {
         }
       }
       build
-      tables.foreach { case (n, _) => completeMarker(wh, n).createNewFile() }
+      tables.foreach { case (n, _) =>
+        // a failed marker write must surface NOW, not as a silent full
+        // rebuild on the next run (round-13 advice): ENOSPC right after a
+        // successful build is this box's known failure mode
+        val m = completeMarker(wh, n)
+        require(m.createNewFile() || m.isFile,
+          s"failed to write completion marker ${m.getAbsolutePath}")
+      }
     }
   }
 

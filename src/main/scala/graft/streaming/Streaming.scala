@@ -75,18 +75,66 @@ object Streaming {
     finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
   }
 
+  /** Micro-batch shuffle/state partition count sized to the INPUT, not the
+    * session's core count (guide §2.2: partition count is a per-batch COST
+    * for stateful streaming — every stateful operator commits one state
+    * store per shuffle partition per micro-batch, so partitions the state
+    * doesn't need are pure commit/maintenance overhead). Round-13 St04Probe
+    * measured st04's residual drain cost as exactly this machinery: 32
+    * partitions × 4 join state stores for 8.8 MB of state, and the 8-core
+    * bench ran st04 2.3× FASTER than 32-core (1.32 vs 2.97 s) purely from
+    * the lower partition count. Sizing: one partition per 8 MB of staged
+    * input (state for these shapes is O(input window)), floor 1, cap at
+    * the session's cores — a 100 TB/day stream derives hundreds of
+    * partitions and still uses every core, while a kilobyte fixture stops
+    * paying 32-way commit fan-out. Override: SPARK_GRAFT_STREAM_PARTS.
+    * Safe for result values on every shape here: partitioning never
+    * changes what a shuffle computes, and each bench/oracle run starts a
+    * fresh query (memory sink, fresh checkpoint), so there is no prior
+    * checkpoint whose state-partition count could conflict.
+    *
+    * Round-14 St04Probe sweep at sf0.1 (warm, parts = 32/8/4/2/1):
+    * st04 3.5-3.8 / 1.8-1.9 / 1.8-1.9 / 1.6-2.0 / 1.9-2.1 s and
+    * st01 1.6 / 1.27 / 1.18-1.35 / 1.27-1.45 / 1.47-1.54 s — a flat
+    * optimum at 4-8 partitions (st04 −48%, st01 −23% vs 32) with a mild
+    * SINGLE-partition penalty (the per-batch compute serializes), hence
+    * the floor of min(4, cores) rather than 1. */
+  private def sizedStreamParts(staged: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+      def size(x: java.io.File): Long =
+        if (x.isFile) x.length
+        else Option(x.listFiles()).map(_.map(size).sum).getOrElse(0L)
+      val bytes = size(new java.io.File(staged))
+      val cores = graft.Engine.defaultCpus
+      math.max(math.min(4, cores), math.min(cores, (bytes >> 23).toInt))
+    }
+
+  /** Run `body` with the session's shuffle partitions sized by
+    * [[sizedStreamParts]], restoring the previous value after (the sink
+    * read-back and any later query in the session keep the engine
+    * default). */
+  private def withSizedStreamParts[A](
+      s: org.apache.spark.sql.SparkSession, staged: String)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, sizedStreamParts(staged).toString)
+    try body
+    finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_hourly" -> { (s, dir) =>
       val sinkName = "st01_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val staged = stageDir(dir)
       val stream = s.readStream.schema(evSchema)
-        .parquet(stageDir(dir))
+        .parquet(staged)
         // ts is TIMESTAMP_NTZ µs in the fixtures; session tz is UTC so the
         // NTZ→TZ cast is value-preserving (watermark/window need TIMESTAMP)
         .withColumn("event_time", col("ts").cast(TimestampType))
         .withWatermark("event_time", "1 hour")
         .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumd(dmoney(col("value"))).as("total_value"))
-      drainNoIdleBatch(s) {
+      withSizedStreamParts(s, staged) { drainNoIdleBatch(s) {
         val q = stream.writeStream
           .outputMode("complete")
           .format("memory")
@@ -94,7 +142,7 @@ object Streaming {
           .start()
         try { q.processAllAvailable(); recordExplain("st01_stream_hourly", q) }
         finally q.stop()
-      }
+      } }
       s.table(sinkName)
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n"), col("total_value"))
@@ -270,8 +318,9 @@ object Streaming {
     // and deterministic; the oracle is the equivalent batch self-join.
     "st04_stream_stream_join" -> { (s, dir) =>
       val sinkName = "st04_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stagedDir = stageDir(dir)
       def side(kind: String, idAs: String, tsAs: String) =
-        s.readStream.schema(evSchema).parquet(stageDir(dir))
+        s.readStream.schema(evSchema).parquet(stagedDir)
           .filter(col("event_type") === kind)
           .select(col("user_id"),
             col("event_id").as(idAs),
@@ -280,7 +329,7 @@ object Streaming {
       val signups = side("signup", "signup_id", "signup_time")
       val purchases = side("purchase", "purchase_id", "purchase_time")
         .withColumnRenamed("user_id", "p_user_id")
-      drainNoIdleBatch(s) {
+      withSizedStreamParts(s, stagedDir) { drainNoIdleBatch(s) {
         val q = signups.join(purchases,
             col("user_id") === col("p_user_id") &&
               col("purchase_time") > col("signup_time") &&
@@ -290,7 +339,7 @@ object Streaming {
           .start()
         try { q.processAllAvailable(); recordExplain("st04_stream_stream_join", q) }
         finally q.stop()
-      }
+      } }
       s.table(sinkName).orderBy("user_id", "signup_id", "purchase_id")
     })
 

@@ -12,13 +12,16 @@ object St04Probe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Engine.session(cpus = 32, appName = "st04-probe")
     spark.sparkContext.setLogLevel("WARN")
-    Seq("as-is", "as-is2").foreach { label =>
-      val s = spark.newSession()
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries("st04_stream_stream_join")(s, dir)
-      df.write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[$label] st04 end-to-end: $dt%.2f s")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "derived")
+    Seq("cold", "warm", "warm2").foreach { label =>
+      Seq("st04_stream_stream_join", "st01_stream_hourly").foreach { qn =>
+        val s = spark.newSession()
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(qn)(s, dir)
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[parts=$parts $label] $qn end-to-end: $dt%.2f s")
+      }
     }
     // re-run with progress capture: re-issue the core query inline so we
     // can read lastProgress (SparkEntry's closure stops the query)

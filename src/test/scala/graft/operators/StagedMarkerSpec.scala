@@ -14,9 +14,29 @@ class StagedMarkerSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("partial staged build (no marker) is dropped and rebuilt") {
-    val spark = graft.Engine.session(cpus = 4, appName = "marker-spec")
+    // Isolated warehouse (round-13 advice): the spec deletes a data file of
+    // a live staged table, so pointing it at the SHARED spark-warehouse can
+    // collide with other suites' staged tables (or leave partial state an
+    // interrupted test run forces them to rebuild). A temp warehouse makes
+    // the mutation invisible outside this spec.
+    val tmpWh = java.nio.file.Files
+      .createTempDirectory("marker-spec-wh").toFile.getAbsolutePath
+    // the warehouse dir is a STATIC conf, fixed when the SharedState is
+    // built — an already-running shared session would silently keep the
+    // shared warehouse, so stop it first (suites run sequentially; the
+    // next getOrCreate simply builds a fresh context)
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop())
+    org.apache.spark.sql.SparkSession.getDefaultSession.foreach(_.stop())
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("marker-spec")
+      .config("spark.sql.warehouse.dir", tmpWh)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    assert(wh.contains("marker-spec-wh"),
+      s"spec must run against its own temp warehouse, got $wh")
 
     val tg = Skew.writeStagedPartQtyGrid(spark, dir)
     val marker = new java.io.File(new java.io.File(wh, tg), "_GRAFT_COMPLETE")
@@ -42,5 +62,9 @@ class StagedMarkerSpec extends AnyFunSuite {
     assert(s2.table(tg2).count() == fullCount,
       "rebuild must restore the full table, not attach the partial one")
     spark.stop()
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+    }
+    rm(new java.io.File(tmpWh))
   }
 }
